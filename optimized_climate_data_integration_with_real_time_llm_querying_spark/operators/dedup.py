@@ -1,0 +1,295 @@
+"""Deduplication operators for pretraining-scale corpora.
+
+Four families, all shuffle-conscious:
+
+- **Exact**: hash-groupBy on (normalized) text. One shuffle on a
+  128-bit fingerprint, never on the raw text bytes — at 100 TB the
+  shuffle moves 16-byte keys, not documents.
+- **N-gram Jaccard**: shingle -> explode -> equi-join on shingle ->
+  per-pair intersection counts. Fully relational (no UDFs), with a
+  document-frequency cap so ubiquitous shingles don't produce a
+  quadratic join blowup.
+- **MinHash + LSH**: shingle -> per-seed min of xxhash64 -> band
+  buckets -> equi-join within buckets -> exact-Jaccard verify on the
+  candidates only. The canonical sub-quadratic near-dup pipeline.
+- **SimHash**: 64-bit signature from token hashes; candidates share a
+  16-bit band; verify by Hamming distance.
+
+Everything is deterministic (xxhash64 with fixed literal seeds) so
+runs are reproducible across sessions and scale factors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: representative (min id) + duplicate count.
+
+    Shuffles on the md5 fingerprint of normalized text, not the text
+    itself; group sizes are tiny so no skew handling needed.
+    """
+    fp = F.md5(normalize_text(text_col).cast("binary"))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative row per normalized text (min id wins —
+    deterministic, unlike dropDuplicates which keeps an arbitrary row)."""
+    w_keep = exact_duplicates(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(w_keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# Shingling (shared by Jaccard + MinHash)
+# --------------------------------------------------------------------------
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct k-word shingles per document.
+
+    Built with slice/transform over the token array — one codegen'd
+    projection, no UDF. A doc with < k tokens contributes its whole
+    token string as a single shingle so short docs still participate.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    shingle_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_jaccard: float = 0.0,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard similarity on k-gram shingle sets for every pair
+    sharing >= 1 shingle. Relational plan: explode -> self-equi-join on
+    shingle -> count -> inclusion-exclusion.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents before the join — the standard stop-shingle guard that
+    keeps the join from going quadratic on boilerplate at corpus scale
+    (a shingle in f docs yields f^2 join rows).
+    """
+    sh = shingles(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): per-document MinHash signature.
+
+    Hash family j is xxhash64(j, shingle) — JVM-side, deterministic,
+    no Python. One explode + one hash-aggregate; the aggregate does
+    map-side partial mins so the shuffle carries only signatures.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Banding: docs agreeing on all rows of any band become candidate
+    pairs. Pairs are generated by an equi-join on (band, bucket-hash);
+    oversized buckets (degenerate content) are dropped by
+    ``max_bucket_size`` — the LSH skew guard.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band_{b}"))
+    banded = signatures.select(F.col(id_col), *band_cols)
+    buckets = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    small = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    buckets = buckets.join(small, ["band", "bucket"], "left_semi")
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures -> banded candidates ->
+    exact-Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    exact = ngram_jaccard_pairs(df, text_col, id_col, k, min_jaccard=0.0, max_shingle_df=None)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    bit_i(sig) = 1 iff sum over tokens of (+1 if bit_i(hash)=1 else -1)
+    is positive. Implemented as 64 conditional sums in one hash
+    aggregate — wide but fully codegen'd, no UDF.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    h = F.xxhash64(F.col("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bs_{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"bs_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dups by SimHash: candidates share one of four 16-bit bands
+    (any pair within Hamming distance 3 must agree on >= 1 band, by
+    pigeonhole), verified with an exact popcount on the XOR."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products via zip_with + aggregate (JVM-side, no Python); the
+  query vector rides along as a broadcast single-row join, and the
+  top-k is ORDER BY + LIMIT (TakeOrderedAndProject — per-partition
+  heaps, no global sort, so this scans 100 TB without shuffling it).
+- ``hyperplane_lsh_buckets`` / ``lsh_topk``: random-hyperplane LSH as
+  the scale path — sign-pattern buckets shrink the candidate set from
+  N to a bucket; deterministic planes from a fixed seed.
+- ``label_centroids``: per-cluster mean vectors (the IVF coarse
+  quantizer building block).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum of elementwise products, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a single-row query DataFrame.
+
+    ``query_df`` must have columns (q_id, q_vec). Cross-join is a
+    broadcast of one row; ORDER BY+LIMIT keeps it a streaming top-k.
+    """
+    joined = df.crossJoin(F.broadcast(query_df))
+    scored = joined.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cosine_sim"),
+    ).filter(F.col(id_col) != F.col("q_id") if "q_id" in query_df.columns else F.lit(True))
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side tiny,
+    shipped as literals into the plan)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / s for x in v])
+    return planes
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach an LSH bucket id: bit i = sign of <v, plane_i>.
+
+    2^n_planes buckets; cosine-similar vectors collide with high
+    probability. Bucket id is a plain int column, so downstream
+    candidate generation is an equi-join/groupBy on it (hash shuffle on
+    a 4-byte key — the 100 TB-friendly shape).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict the brute-force scan to the query's
+    LSH bucket. Recall < 1 by construction; pair with multi-probe or
+    more tables when recall matters."""
+    bucketed = hyperplane_lsh_buckets(df, dim, n_planes, seed, vec_col)
+    q_bucketed = hyperplane_lsh_buckets(
+        query_df.withColumnRenamed("q_vec", vec_col), dim, n_planes, seed, vec_col
+    ).select(F.col("lsh_bucket"), F.col(vec_col).alias("q_vec"), "q_id")
+    cands = bucketed.join(F.broadcast(q_bucketed), "lsh_bucket")
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cosine_sim"),
+    ).filter(F.col(id_col) != F.col("q_id"))
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Mean vector per label via posexplode + groupBy(label, dim) —
+    relational (oracle-checkable), and the shuffle carries scalars,
+    not vectors. Returns long form (label, dim, centroid)."""
+    exploded = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim0", "component")
+    )
+    return (
+        exploded.groupBy(label_col, (F.col("dim0") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("component").cast("double")), 6).alias("centroid"))
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators: tokenization, token counting, language ID,
+quality scoring, fingerprinting.
+
+Everything here is a pure column expression — no Python UDFs — so the
+operators run inside whole-stage codegen and scale linearly with input
+(no shuffle at all for per-document scoring; these are map-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer shared by every operator. Empty/blank text ->
+# empty token array (split('') would yield ['']).
+_WS = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, _WS))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+# BPE-ish subword estimate: letter runs, digit runs, and single
+# non-alphanumeric marks each count as one token — a cheap, regex-only
+# stand-in for a real BPE vocab (the shape GPT-style pretokenizers use).
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_PATTERN), F.lit(0)))
+
+
+# Language-ID: count stopword hits per language, pick the argmax.
+# n-gram-free heuristic (SURVEY-mandated lang-ID operator); the
+# stopword inventories are tiny and inlined into the regex so the whole
+# thing stays one codegen'd expression per language.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des"],
+    "es": ["el", "los", "las", "es", "una", "que", "por"],
+}
+
+
+def lang_hit_count(col: Column | str, lang: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), F.lit(0)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language = argmax of stopword hits, ties broken by the
+    fixed en > de > fr > es priority; 'und' (undetermined) if no hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    scores = {lang: lang_hit_count(c, lang) for lang in LANG_STOPWORDS}
+    best = scores["en"]
+    pred = F.lit("en")
+    for lang in ["de", "fr", "es"]:
+        is_better = scores[lang] > best
+        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Per-document quality features (length / punctuation / stopword
+    ratios — the reference-adjacent heuristics for pretraining-data
+    filtering)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_alpha = _count_matches(c, r"[A-Za-z]")
+    n_punct = _count_matches(c, r"[!-/:-@\[-`{-~]")
+    n_stop = lang_hit_count(c, "en")
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round((n_chars - (n_tokens - 1)) / safe_tokens.cast("double"), 4),
+        "alpha_ratio": F.round(n_alpha / safe_chars.cast("double"), 4),
+        "punct_ratio": F.round(n_punct / safe_chars.cast("double"), 4),
+        "stopword_ratio": F.round(n_stop / safe_tokens.cast("double"), 4),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality in [0,1]: rewards alphabetic text with a sane
+    stopword rate and token length, penalizes punctuation soup."""
+    f = quality_features(col)
+    raw = (
+        0.4 * f["alpha_ratio"]
+        + 0.3 * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + 0.3 * (1 - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+    )
+    return F.round(raw, 4)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact-dedup/fingerprinting: lowercase, trim,
+    collapse whitespace runs to single spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 hex of the
+    normalized text). md5 (not xxhash64) so external oracles can
+    reproduce it."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document analysis column set (map-only)."""
+    feats = quality_features(text_col)
+    return df.select(
+        "*",
+        feats["n_tokens"].alias("n_tokens"),
+        bpe_token_estimate(text_col).alias("n_bpe_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(text_col).alias("quality_score"),
+        lang_id(text_col).alias("pred_lang"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,258 @@
+"""LLM-training-data pipeline queries: dedup, text analysis,
+similarity search — each wired to the operators in
+``..operators`` with a DuckDB oracle where the semantics are
+ANSI-SQL-expressible (hash-based LSH internals get rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, similarity, text
+from . import register
+
+# Shared oracle fragments (kept textually identical across queries so
+# Spark and DuckDB compute the same expressions).
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_NTOK = r"CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
+_SCORES = r"""
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b'))       AS s_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des)\b'))    AS s_fr,
+         len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que|por)\b'))   AS s_es
+  FROM documents
+"""
+
+
+@register(
+    "exact_dedup_docs",
+    f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           MIN(doc_id)  AS keep_id,
+           COUNT(*)     AS n_copies
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+    doc="Exact dedup: hash-groupBy on the md5 of normalized text; the "
+    "shuffle moves 16-byte fingerprints, never document bytes.",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_stats",
+    f"""
+    WITH scores AS ({_SCORES})
+    SELECT d.doc_id,
+           {_NTOK} AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           CASE WHEN GREATEST(s.s_en, s.s_de, s.s_fr, s.s_es) = 0 THEN 'und'
+                WHEN s.s_es > GREATEST(s.s_en, s.s_de, s.s_fr)   THEN 'es'
+                WHEN s.s_fr > GREATEST(s.s_en, s.s_de)           THEN 'fr'
+                WHEN s.s_de > s.s_en                             THEN 'de'
+                ELSE 'en' END AS pred_lang,
+           md5({_NORM}) AS fingerprint
+    FROM documents d JOIN scores s USING (doc_id)
+    """,
+    doc="Token counting (whitespace + BPE-ish regex), n-gram-heuristic "
+    "language ID, md5 fingerprint — all map-only codegen'd expressions.",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_token_estimate("text").alias("n_bpe_tokens"),
+        text.lang_id("text").alias("pred_lang"),
+        text.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "quality_scores",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             {_NTOK} AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]'))        AS n_alpha,
+             len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS n_stop
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id,
+             ROUND((n_chars - (n_tokens - 1)) / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 4) AS avg_token_len,
+             ROUND(n_alpha / CAST(GREATEST(n_chars, 1) AS DOUBLE), 4) AS alpha_ratio,
+             ROUND(n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE), 4) AS punct_ratio,
+             ROUND(n_stop  / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 4) AS stopword_ratio
+      FROM feats
+    )
+    SELECT doc_id, avg_token_len, alpha_ratio, punct_ratio, stopword_ratio,
+           ROUND(0.4 * alpha_ratio
+                 + 0.3 * LEAST(stopword_ratio * 4, 1.0)
+                 + 0.3 * (1 - LEAST(punct_ratio * 5, 1.0)), 4) AS quality_score
+    FROM ratios
+    """,
+    doc="Per-document quality features + composite score for "
+    "pretraining-data filtering (length/punct/stopword ratios).",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = text.quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        text.quality_score("text").alias("quality_score"),
+    )
+
+
+@register(
+    "doc_length_buckets",
+    """
+    SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+           COUNT(*)  AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Corpus length histogram (bucketed) — the summary-stats shape "
+    "every corpus audit starts with.",
+)
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy((F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "ngram_jaccard_top_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 3
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+    doc="Exact n-gram (3-word shingle) Jaccard similarity, top-20 pairs. "
+    "Fully relational: explode -> equi-join on shingle -> "
+    "inclusion-exclusion; the production variant adds the stop-shingle "
+    "document-frequency cap (see operators.dedup.ngram_jaccard_pairs).",
+)
+def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.0, max_shingle_df=None)
+    return (
+        pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "minhash_near_dup_pairs",
+    None,  # hash-based LSH banding is not ANSI-SQL-expressible -> rows-only
+    doc="MinHash(32 hashes)+LSH(8 bands) candidate generation with "
+    "exact-Jaccard verification at >= 0.5. Deterministic xxhash64 seeds.",
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(d, min_jaccard=0.5)
+
+
+@register(
+    "simhash_near_dup_pairs",
+    None,
+    doc="64-bit SimHash near-dup pairs at Hamming distance <= 3 via "
+    "16-bit band candidates + exact popcount verify.",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(d, max_hamming=3)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") == vec_id).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.q_vec AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force exact cosine top-k (ANN correctness baseline): "
+    "zip_with/aggregate dot products, TakeOrderedAndProject top-k.",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "embedding_lsh_topk",
+    None,  # approximate by construction -> rows-only check
+    doc="Random-hyperplane LSH ANN (8 planes, seed 7): scan only the "
+    "query's bucket — the 100 TB scale path for similarity search.",
+)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, _query_vec(spark, sf_dir), dim=64, k=10)
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    SELECT label,
+           CAST(i.range AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[CAST(i.range AS BIGINT)] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, range(1, 65) i
+    GROUP BY label, i.range
+    """,
+    doc="Per-label mean embedding (IVF coarse-quantizer building block) "
+    "via posexplode -> groupBy(label, dim): the shuffle carries scalar "
+    "components, not whole vectors.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(e)

@@ -1,0 +1,84 @@
+"""Streaming-aggregation shapes, expressed in batch form for the
+correctness oracle. The same plans run incrementally under Structured
+Streaming in ``..streaming.rollup`` (watermark + tumbling window) —
+tests assert streaming and batch agree.
+
+The reference has no streaming at all (SURVEY.md §2.9); this is the
+north-star's Structured-Streaming-integration capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "events_tumbling_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-day window aggregation (batch form of the streaming "
+    "rollup; F.window on a real cluster runs incrementally with a "
+    "watermark — streaming/rollup.py).",
+)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "user_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           SUM(new_session) AS n_sessions,
+           COUNT(*)         AS n_events
+    FROM gaps
+    GROUP BY user_id
+    """,
+    doc="Sessionization via lag(ts) gap > 30 min (the batch twin of "
+    "streaming session_window). Per-user windows partition-prune "
+    "cleanly; at scale this is one shuffle on user_id.",
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
