@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with the `noop` DataSourceV2 sink so
+the full plan executes (a bare .count() would let Catalyst prune the
+computed columns) while nothing funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+    all_queries,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.session import (
+    get_spark,
+)
+
+# Representative slice of the registry: one per operator family.
+HEADLINE = [
+    "pricing_summary",          # wide hash aggregate
+    "join_agg_topk",            # 3-way join + agg + top-k
+    "broadcast_dim_join",       # star-schema broadcast join
+    "window_topk_per_group",    # ranking window
+    "pivot_wide_by_priority",   # pivot (wide/long duality)
+    "events_tumbling_daily",    # tumbling-window rollup
+    "user_sessionization",      # lag-window sessionization
+    "exact_dedup_docs",         # fingerprint dedup
+    "token_stats",              # map-only text analysis
+    "ngram_jaccard_top_pairs",  # relational n-gram similarity
+    "minhash_near_dup_pairs",   # MinHash+LSH near-dup
+    "embedding_cosine_topk",    # brute-force ANN baseline
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("ocdi-bench")
+    registry = all_queries()
+
+    # Warm the JVM/codegen paths outside the timed region.
+    registry["first_n_preview"].builder(spark, sf_dir).collect()
+
+    # Two passes, per-query minimum: the sandbox host shows heavy
+    # transient noise (identical runs vary 5-10x), and min-of-2 is the
+    # cheapest robust estimator of steady-state throughput.
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            q = registry[name]
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

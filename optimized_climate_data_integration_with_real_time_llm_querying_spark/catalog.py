@@ -116,9 +116,20 @@ TABLES = list(TABLE_SCHEMAS)
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
     """Load one table as a DataFrame (columnar parquet scan; Catalyst
-    pushes filters/projections down — SURVEY.md §4 pushdown rows)."""
+    pushes filters/projections down — SURVEY.md §4 pushdown rows).
+
+    ``rebalance=True`` redistributes row-group-starved inputs across
+    the cluster before compute-heavy map work (regex scoring, hashing,
+    shingling). The test files are single-row-group, so without this
+    every scan is one task no matter how many cores exist. Guarded to
+    only fire when input partitions < default parallelism — on a real
+    multi-file 100 TB table (splits >> cores) it is a no-op, so the
+    shuffle is never paid at scale.
+    """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -135,6 +146,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 f.name, F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long"))
             )
+    if rebalance:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

@@ -40,7 +40,7 @@ _SCORES = r"""
     "shuffle moves 16-byte fingerprints, never document bytes.",
 )
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @register(
@@ -62,7 +62,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "language ID, md5 fingerprint — all map-only codegen'd expressions.",
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     return d.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
@@ -101,7 +101,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pretraining-data filtering (length/punct/stopword ratios).",
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     feats = text.quality_features("text")
     return d.select(
         "doc_id",
@@ -126,7 +126,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every corpus audit starts with.",
 )
 def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     return (
         d.groupBy((F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bucket_lo"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
@@ -171,7 +171,7 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document-frequency cap (see operators.dedup.ngram_jaccard_pairs).",
 )
 def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.0, max_shingle_df=None)
     return (
         pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
@@ -187,7 +187,7 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact-Jaccard verification at >= 0.5. Deterministic xxhash64 seeds.",
 )
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     return dedup.minhash_near_duplicates(d, min_jaccard=0.5)
 
 
@@ -198,7 +198,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "16-bit band candidates + exact popcount verify.",
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     return dedup.simhash_near_duplicates(d, max_hamming=3)
 
 
@@ -225,7 +225,7 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
     "zip_with/aggregate dot products, TakeOrderedAndProject top-k.",
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return similarity.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
@@ -236,7 +236,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "query's bucket — the 100 TB scale path for similarity search.",
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return similarity.lsh_topk(e, _query_vec(spark, sf_dir), dim=64, k=10)
 
 
@@ -254,5 +254,5 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "components, not whole vectors.",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return similarity.label_centroids(e)

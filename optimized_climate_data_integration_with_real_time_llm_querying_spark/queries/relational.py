@@ -49,7 +49,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "hash aggregate; TPC-H Q1 shape. Partial+final agg, filter pushed to scan.",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))

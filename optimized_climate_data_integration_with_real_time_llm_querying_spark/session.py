@@ -42,9 +42,16 @@ def get_spark(app_name: str = "ocdi-spark", cpus: int | None = None) -> SparkSes
         # reader rejects; read as long and convert in catalog.load_table
         # (micro-truncation matches DuckDB's ns->us behavior).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4 routes lower()/upper() under UTF8_BINARY through ICU
+        # case mapping; ICU's internal locks serialize all executor
+        # threads (observed: 32 tasks blocked ~90s in
+        # CollationSupport$Lower.execBinaryICU). JVM case mapping is
+        # lock-free and identical for the data handled here.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
