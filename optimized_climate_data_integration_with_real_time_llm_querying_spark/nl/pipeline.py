@@ -1,0 +1,293 @@
+"""Question -> QuerySpec -> one DataFrame plan -> grounded answer.
+
+The end-to-end lifecycle of SURVEY.md §3, one engine instead of four
+stdio client/server pairs. Routing, resolution, and planning are
+driver-side (they look at vocabularies and dimension tables, not
+data); the single compiled plan is the only cluster work per
+question — e.g. "Compare precipitation in Dhaka and Colombo in 2020"
+is ONE groupBy plan here versus the reference's 24 point queries plus
+resolution probes (``era5client.py:246-277``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec, compile_spec
+from ..sources import climate
+import difflib
+
+from .answer import Transport, answer
+from .resolve import fuzzy_match_phrase, keyword_lookup
+from .timeparse import extract_time
+
+
+def _resolve_word(word: str, names: list[str], cutoff: float) -> str | None:
+    """Driver-side single-word entity resolution (exact -> difflib),
+    the per-question shape of resolve.resolve_entities."""
+    for n in names:
+        if n.lower() == word.lower():
+            return n
+    m = difflib.get_close_matches(word.lower(), [n.lower() for n in names], n=1, cutoff=cutoff)
+    return next((n for n in names if n.lower() == m[0]), None) if m else None
+
+# U3's metric aliases (Disaster dollar/client.py:61-66).
+FEMA_METRICS = {
+    "ihp total": "ihp_total",
+    "ihp": "ihp_total",
+    "pa total": "pa_total",
+    "public assistance": "pa_total",
+    "cdbg": "cdbg_dr_allocation",
+    "valid applications": "valid_ihp_applications",
+    "eligible applications": "eligible_ihp_applications",
+    "pa projects": "pa_projects_count",
+}
+
+# P5's NL comparison phrases (Disaster dollar/client.py:47-50).
+COMPARISON_PHRASES = {
+    "more than": ">",
+    "greater than": ">",
+    "over": ">",
+    "above": ">",
+    "at least": ">=",
+    "less than": "<",
+    "under": "<",
+    "below": "<",
+    "at most": "<=",
+}
+
+# U9: F-gas groups -> IN-lists (EDGARclient.py:38-46, 169-182).
+GAS_KEYWORDS = {
+    "co2": ("CO2", None),
+    "carbon dioxide": ("CO2", None),
+    "methane": ("CH4", None),
+    "ch4": ("CH4", None),
+    "n2o": ("N2O", None),
+    "nitrous oxide": ("N2O", None),
+    "hfc": ("F-gas", [s for s in climate.FGAS_SUBSTANCES if s.startswith("HFC")]),
+    "sf6": ("F-gas", ["SF6"]),
+    "f-gas": ("F-gas", climate.FGAS_SUBSTANCES),
+    "fluorinated": ("F-gas", climate.FGAS_SUBSTANCES),
+}
+
+
+@dataclass
+class Answer:
+    question: str
+    domain: str
+    spec: QuerySpec
+    result: DataFrame
+    text: str
+    dropped_fields: list[str]
+
+
+class ClimateEngine:
+    """All four reference modules behind one ask()."""
+
+    def __init__(self, spark: SparkSession, transport: Transport | None = None):
+        self.spark = spark
+        self.transport = transport
+        self.tables = climate.register_climate_views(spark)
+        # Dimension values are tiny; cache them for resolution.
+        self._era5_metrics = list(climate.ERA5_METRICS)
+        self._cities = sorted(
+            {c for cities in climate.ERA5_CITIES.values() for c in cities}
+        )
+        self._countries = list(climate.GHG_COUNTRIES)
+        self._states = climate.US_STATES
+
+    # ------------------------------------------------------------------
+    # Routing (the four modules' implicit domains).
+    # ------------------------------------------------------------------
+
+    def route(self, question: str) -> str:
+        """Domain routing by cue strength: exact vocabulary hits (gas
+        names, FEMA metrics, US states, disaster synonyms) outrank the
+        ERA5 fuzzy-metric scan, which fires on near-anything ('total
+        disaster cost' ~ 'total ozone' at the 0.6 cutoff)."""
+        q = question.lower()
+        if any(k in q for k in GAS_KEYWORDS) or "emission" in q:
+            return "emissions"
+        if any(k in q for k in FEMA_METRICS) or any(
+            s.lower() in q for s in self._states
+        ):
+            return "fema"
+        if keyword_lookup(question, climate.DISASTER_SYNONYMS) or "disaster" in q:
+            return "disasters"
+        if fuzzy_match_phrase(question, self._era5_metrics) or any(
+            c.lower() in q for c in self._cities
+        ):
+            return "era5"
+        if any(t.lower() in q for t in climate.FEMA_INCIDENT_TYPES):
+            return "fema"
+        raise ValueError(f"cannot route question: {question!r}")
+
+    # ------------------------------------------------------------------
+    # Per-domain spec builders (U11 planners, minus the fan-out).
+    # ------------------------------------------------------------------
+
+    def _spec_disasters(self, question: str) -> QuerySpec:
+        dtype = keyword_lookup(question, climate.DISASTER_SYNONYMS)
+        # Multi-type compare: collect every synonym hit, not just the first.
+        hits = []
+        for kw, canon in climate.DISASTER_SYNONYMS.items():
+            if kw in question.lower() and canon not in hits:
+                hits.append(canon)
+        t = extract_time(question)
+        filters: dict = {}
+        if len(hits) > 1:
+            filters["disaster_type"] = hits
+        elif dtype:
+            filters["disaster_type"] = dtype
+        return QuerySpec(
+            dataset="disasters_yearly",
+            metrics=["disaster_type", "count", "cost"],
+            filters=filters,
+            year=t.year,
+            year_range=t.year_range,
+            group_by=["year"],
+            order_by=[("year", True)],
+            limit=20,  # the reference's LIMIT 20 (new_disaster_c.py:259)
+        )
+
+    def _spec_fema(self, question: str) -> QuerySpec:
+        q = question.lower()
+        t = extract_time(question)
+        filters: dict = {}
+        state = next(
+            (abbr for name, abbr in self._states.items() if name.lower() in q), None
+        )
+        if state is None:
+            m = re.search(r"\b([A-Z]{2})\b", question)
+            if m and m.group(1) in self._states.values():
+                state = m.group(1)
+        if state:
+            filters["state"] = state
+        itype = next(
+            (x for x in climate.FEMA_INCIDENT_TYPES if x.lower() in q), None
+        )
+        if itype is None:
+            # lemma-ish fallback: hurricanes -> Hurricane etc.
+            for x in climate.FEMA_INCIDENT_TYPES:
+                if x.lower().rstrip("es") in q or x.lower() + "es" in q:
+                    itype = x
+                    break
+        if itype:
+            filters["incident_type"] = itype
+        # P5 comparisons: "<metric> more than $N".
+        for phrase, op in COMPARISON_PHRASES.items():
+            m = re.search(phrase + r"\s+\$?([\d,.]+)", q)
+            if m:
+                val = float(m.group(1).replace(",", ""))
+                metric = next(
+                    (col for kw, col in FEMA_METRICS.items() if kw in q), "ihp_total"
+                )
+                filters[metric] = (op, val)
+                break
+        metric = next((col for kw, col in FEMA_METRICS.items() if kw in q), None)
+        is_metric_q = metric is not None and not any(
+            w in q for w in ("list", "show", "which")
+        )
+        if is_metric_q:
+            # Metric path: point lookup (client.py:260-299) -> the
+            # engine aggregates instead of taking row[0].
+            return QuerySpec(
+                dataset="fema_assistance",
+                metrics=[metric],
+                filters=filters,
+                year=t.year,
+                year_range=t.year_range,
+                agg="sum",
+            )
+        return QuerySpec(
+            dataset="fema_assistance",
+            metrics=["year", "event", "state", "incident_type", "ihp_total", "pa_total"],
+            filters=filters,
+            year=t.year,
+            year_range=t.year_range,
+            order_by=[("year", True), ("event", True)],
+            limit=25,  # prompt cap (client.py:248)
+        )
+
+    def _spec_era5(self, question: str) -> QuerySpec:
+        metrics = fuzzy_match_phrase(question, self._era5_metrics)
+        if not metrics:
+            raise ValueError("no ERA5 metric recognized")  # era5client returns None
+        cities = []
+        for word in re.findall(r"[A-Za-z]+", question):
+            r = _resolve_word(word, self._cities, cutoff=0.8)
+            if r and r not in cities:
+                cities.append(r)
+        t = extract_time(question, default_year=2020)  # era5client.py:210-215
+        return QuerySpec(
+            dataset="era5_monthly",
+            metrics=["value"],
+            filters={
+                "metric": metrics if len(metrics) > 1 else metrics[0],
+                **({"city": cities if len(cities) > 1 else cities[0]} if cities else {}),
+            },
+            case_insensitive=frozenset({"city"}),
+            year=t.year,
+            year_range=t.year_range,
+            months=t.months,
+            group_by=["city", "metric"],
+            agg="avg",
+            order_by=[("city", True), ("metric", True)],
+        )
+
+    def _spec_emissions(self, question: str) -> QuerySpec:
+        q = question.lower()
+        gas, substances = None, None
+        for kw, (g, subs) in GAS_KEYWORDS.items():
+            if kw in q:
+                gas, substances = g, subs
+                break
+        countries = []
+        words = re.findall(r"[A-Za-z]+", question)
+        grams = words + [" ".join(p) for p in zip(words, words[1:])]
+        for gram in grams:
+            r = _resolve_word(gram, self._countries, cutoff=0.85)
+            if r and r not in countries:
+                countries.append(r)
+        t = extract_time(question, bounds=(1970, 2023))  # EDGARclient.py:204-212
+        filters: dict = {}
+        if gas:
+            filters["gas"] = gas
+        if substances:
+            filters["substance"] = substances if len(substances) > 1 else substances[0]
+        if countries:
+            filters["country"] = countries if len(countries) > 1 else countries[0]
+        return QuerySpec(
+            dataset="emissions",
+            metrics=["value"],
+            filters=filters,
+            year=t.year,
+            year_range=t.year_range,
+            group_by=["country", "year"],
+            agg="sum",
+            order_by=[("country", True), ("year", True)],
+        )
+
+    # ------------------------------------------------------------------
+
+    def build_spec(self, question: str) -> tuple[str, QuerySpec]:
+        domain = self.route(question)
+        spec = {
+            "disasters": self._spec_disasters,
+            "fema": self._spec_fema,
+            "era5": self._spec_era5,
+            "emissions": self._spec_emissions,
+        }[domain](question)
+        return domain, spec
+
+    def ask(self, question: str) -> Answer:
+        domain, spec = self.build_spec(question)
+        # ERA5's year column lives in `date`; emissions/disasters use
+        # integer `year` — compile_spec handles both via _time_column.
+        plan, dropped = compile_spec(spec, self.tables[spec.dataset])
+        text = answer(question, plan, self.transport)
+        return Answer(question, domain, spec, plan, text, dropped)

@@ -1,0 +1,135 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media rides through the engine as opaque ``binary`` columns plus a
+typed metadata struct — the storage/shuffle layer never interprets
+the bytes. Decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` operators so the Python boundary is
+crossed per-batch, not per-row.
+
+The image/audio codec libraries are NOT in this container, so the
+codec call itself is stubbed: ``decoder="fake"`` uses a deterministic
+byte-hash featurizer (stable across runs/partitions, good enough to
+test partitioning, schema, and batch shape), ``decoder="real"``
+raises NotImplementedError at the exact seam where Pillow/ffmpeg
+would plug in. Everything around the stub — schemas, batching,
+iterator contracts, output multiplicity — is real Spark and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media rows for testing the pipeline: payload
+    bytes derived from the text, metadata derived from the id. At
+    ingest time this column would come from tar/webdataset shards."""
+    payload = F.sha2(F.col(text_col).cast("binary"), 256).cast("binary")
+    meta = F.struct(
+        F.lit("image/fake").alias("mime"),
+        (F.col(id_col) % 64 + 16).cast("int").alias("width"),
+        (F.col(id_col) % 48 + 16).cast("int").alias("height"),
+        (F.col(id_col) % 30 + 1).cast("int").alias("n_frames"),
+        F.lit(16000).alias("sample_rate"),
+    )
+    return df.select(F.col(id_col), payload.alias("media"), meta.alias("media_meta"))
+
+
+_FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a vision encoder: sha256 of the
+    payload chopped into _FEATURE_DIM floats in [0, 1)."""
+    h = hashlib.sha256(payload).digest()
+    return [int.from_bytes(h[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(_FEATURE_DIM)]
+
+
+def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode + featurize each media payload (Arrow-batched).
+
+    ``decoder="real"`` is the seam for an actual codec+encoder stack
+    (Pillow/torchvision/ffmpeg) — not available in this container.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media decode needs codec libs (Pillow/ffmpeg) "
+                    "not present in this environment; use decoder='fake'"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["media"].map(len).astype("int32"),
+                    "features": pdf["media"].map(_fake_features),
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(op, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> DataFrame:
+    """1:N frame sampling — each video row yields one row per sampled
+    frame (output multiplicity > 1 through mapInPandas). The fake
+    decoder stamps the frame index into the payload hash so frames
+    are distinct and deterministic."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real frame extraction needs ffmpeg; use decoder='fake'"
+                )
+            out_ids, out_idx, out_frames = [], [], []
+            for doc_id, media, meta in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
+                n_frames = int(meta["n_frames"])
+                for idx in range(0, n_frames, every_n):
+                    out_ids.append(doc_id)
+                    out_idx.append(idx)
+                    out_frames.append(
+                        hashlib.sha256(bytes(media) + idx.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame": out_frames,
+                }
+            )
+
+    return df.select("doc_id", "media", "media_meta").mapInPandas(op, FRAME_SCHEMA)

@@ -1,0 +1,88 @@
+"""Streaming rollup: file-source event stream -> watermark ->
+tumbling-window aggregation -> sink.
+
+This is the incremental form of the reference's A6 group-mean shape
+(ERA5 monthly city means, ``ERA5_preprocessing.ipynb:cell8``): at
+scale the monthly climate rollup runs as a continuous query with a
+watermark bounding state for late station reports, instead of a
+nightly batch over everything.
+
+Scale notes:
+- state is keyed by (window, key): bounded by watermark eviction,
+  so state size ~ #keys x #open-windows, independent of input volume;
+- the pre-shuffle partial aggregation means the shuffle carries one
+  row per (partition, window, key), not per event;
+- ``available_now`` triggers let the same query run as incremental
+  batch catch-up (kappa-style backfill).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import TABLE_SCHEMAS
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of event parquet (schema must be declared —
+    streaming sources cannot infer). In production the same DataFrame
+    comes from Kafka; every transformation downstream is source-
+    agnostic."""
+    reader = spark.readStream.schema(TABLE_SCHEMAS["events"]).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def tumbling_rollup(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Tumbling-window count/sum/avg per event_type with a watermark
+    for late data. Mirrors queries.streaming_shapes.events_tumbling_daily
+    so batch and streaming results are comparable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    source_path: str,
+    query_name: str = "rollup_out",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Drive the streaming rollup over all currently-available files
+    (availableNow trigger), synchronously, into an in-memory sink;
+    returns the result as a DataFrame. Used by tests to assert
+    streaming == batch; in production the sink is parquet/Kafka and
+    the trigger is continuous."""
+    events = read_event_stream(spark, source_path)
+    agg = tumbling_rollup(events, window, watermark)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
