@@ -1,0 +1,204 @@
+"""Advanced operator coverage: as-of join, distinct counting,
+quantiles, cube, ETL scalar functions (F1-F8), and IVF-style ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import similarity
+from ..operators.asof import asof_join_last_ts
+from . import register
+
+
+@register(
+    "asof_last_event_before_order",
+    """
+    SELECT o.o_orderkey, o.o_custkey, MAX(e.ts) AS asof_ts
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    WHERE o.o_orderkey <= 3000
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+    doc="As-of join (per order: latest event at-or-before order date "
+    "for the same user) via the union+window technique — one shuffle "
+    "on the key, no range-join blowup. The oracle states the same "
+    "semantics as a relational join+max.",
+)
+def asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    out = asof_join_last_ts(
+        orders,
+        events,
+        left_key="o_custkey",
+        right_key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        left_cols=["o_orderkey", "o_custkey"],
+    )
+    return out.select("o_orderkey", "o_custkey", "asof_ts")
+
+
+@register(
+    "count_distinct_custkeys",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact distinct counting (expand + two-phase aggregate in "
+    "Spark). The approximate twin is approx_distinct_custkeys.",
+)
+def count_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "approx_distinct_custkeys",
+    None,  # HLL++ estimates differ across engines -> rows-only
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
+    "distinct counting — no expand, fixed-size sketch per group, "
+    "mergeable map-side. Estimate differs from DuckDB's sketch by "
+    "construction, so the check is rows-only.",
+)
+def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx")
+    )
+
+
+@register(
+    "revenue_quantiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact quantiles (linear interpolation — Spark percentile == "
+    "DuckDB quantile_cont). At 100 TB use percentile_approx: "
+    "mergeable t-digest-style sketch instead of a full sort.",
+)
+def revenue_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority) — all four grouping sets in one "
+    "pass (SURVEY.md §2.4's suggested upgrade beyond the reference).",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "etl_scalar_functions",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand)                                  AS brand_upper,
+           TRIM(LOWER(p_type))                             AS type_norm,
+           REPLACE(p_name, ' ', '_')                       AS name_snake,
+           SUBSTR(p_type, 1, 8)                            AS type_prefix,
+           LENGTH(p_name)                                  AS name_len,
+           COALESCE(CAST(NULLIF(p_size, 0) AS DOUBLE), 0.0) AS size_filled,
+           CAST(FLOOR(p_retailprice) AS BIGINT)            AS price_int,
+           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR))   AS brand_size
+    FROM part
+    """,
+    doc="ETL scalar-function battery (SURVEY.md §2.8 F1/F3-F7): case "
+    "mapping, trim, replace, substring, length, null-fill via "
+    "coalesce, casts, concat — all whole-stage-codegen expressions.",
+)
+def etl_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.lower("p_type")).alias("type_norm"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_type", 1, 8).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.coalesce(F.nullif(F.col("p_size"), F.lit(0)).cast("double"), F.lit(0.0)).alias(
+            "size_filled"
+        ),
+        # floor() explicitly: bare double->int casts truncate in Spark
+        # but round in DuckDB.
+        F.floor("p_retailprice").cast("bigint").alias("price_int"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate two-stage search -> rows-only
+    doc="IVF-style ANN: coarse-quantize by per-label centroids, probe "
+    "the nprobe=2 nearest cells, brute-force only those cells. The "
+    "candidate scan shrinks ~label_count/nprobe-fold; centroid scoring "
+    "touches only centroids. 100 TB path alongside hyperplane LSH.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # Centroid vectors: long form -> array per label (sorted by dim).
+    cent = (
+        similarity.label_centroids(e)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("centroid_vec")
+        )
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            similarity.cosine(F.col("centroid_vec"), F.col("q_vec").cast("array<double>")).alias(
+                "c_sim"
+            ),
+        )
+        .orderBy(F.col("c_sim").desc())
+        .limit(2)
+        .select("label")
+    )
+    cands = e.join(F.broadcast(probe), "label", "left_semi")
+    return similarity.cosine_topk(cands, q, k=10)

@@ -52,7 +52,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        li.filter(F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -381,11 +381,14 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # Direct timestamp comparisons (not cast-to-date) so the
+    # predicates reach the parquet scan as PushedFilters and prune
+    # row groups; CAST(col AS DATE) op literal defeats pushdown.
     o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").cast("date") < F.lit("1995-03-15").cast("date")
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").cast("date") > F.lit("1995-03-15").cast("date")
+        F.col("l_shipdate") >= F.lit("1995-03-16").cast("timestamp")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
