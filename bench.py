@@ -38,6 +38,9 @@ HEADLINE = [
     "ngram_jaccard_top_pairs",  # relational n-gram similarity
     "minhash_near_dup_pairs",   # MinHash+LSH near-dup
     "embedding_cosine_topk",    # brute-force ANN baseline
+    "asof_last_event_before_order",  # as-of join (union+window)
+    "revenue_quantiles",        # exact per-group quantiles
+    "corpus_filter_pipeline",   # dedup + quality gate composition
 ]
 
 

@@ -74,6 +74,25 @@ def http_transport(url: str, model: str, timeout: float = 30.0) -> Transport:
     return call
 
 
+REFORMAT_PROMPT = (
+    "Rewrite the following answer to be clearer and better formatted. "
+    "Preserve every fact and number exactly; do not add or remove any "
+    "information."
+)
+
+
+def improve_answer(text: str, transport: Transport | None = None) -> str:
+    """The reference NOAA client's second LLM pass
+    (``new_disaster_c.py:93-127``): reformat while preserving facts.
+    No transport or failure -> return the text unchanged."""
+    if transport is None:
+        return text
+    try:
+        return transport(REFORMAT_PROMPT, text)
+    except Exception:
+        return text
+
+
 def answer(question: str, result: DataFrame, transport: Transport | None = None) -> str:
     """Grounded answer for a question given its (small) result
     DataFrame. With no transport, or on transport failure, fall back

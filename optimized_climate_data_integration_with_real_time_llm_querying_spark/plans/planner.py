@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, TimestampType
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 from .queryspec import COMPARISON_OPS, QuerySpec
 
@@ -64,8 +64,11 @@ def _filter_expr(col: Column, value, ci: bool) -> Column:
 def _time_column(df: DataFrame) -> tuple[Column, bool] | None:
     """Find the dataset's time axis: a date/timestamp column (year()/
     month() apply) or an integer 'year' column. Returns (col, is_date)."""
+    # TimestampNTZ included: Spark 4 reads parquet timestamps with
+    # isAdjustedToUTC=false as NTZ (identical semantics under the
+    # session's pinned UTC timezone).
     for f in df.schema.fields:
-        if isinstance(f.dataType, (DateType, TimestampType)):
+        if isinstance(f.dataType, (DateType, TimestampType, TimestampNTZType)):
             return F.col(f.name), True
     for f in df.schema.fields:
         if f.name.lower() == "year":

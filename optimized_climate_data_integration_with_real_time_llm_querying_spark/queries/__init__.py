@@ -41,6 +41,6 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect populates the registry.
-    from . import advanced, llm_pipeline, relational, streaming_shapes  # noqa: F401
+    from . import advanced, composed, llm_pipeline, relational, streaming_shapes  # noqa: F401
 
     return dict(_REGISTRY)
