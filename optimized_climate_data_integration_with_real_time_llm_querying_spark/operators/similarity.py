@@ -124,6 +124,45 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_lsh: bool = False,
+    dim: int | None = None,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >=
+    threshold).
+
+    ``use_lsh=False``: exact all-pairs — the correctness baseline,
+    O(n^2) dot products, fine for verification scale.
+    ``use_lsh=True``: hyperplane-LSH bucketing first — pairs are only
+    generated within a bucket (equi-join on the bucket id), then
+    verified exactly. The sub-quadratic scale path; recall < 1 for
+    pairs straddling a hyperplane (mitigate with multiple tables).
+    """
+    if use_lsh:
+        if dim is None:
+            raise ValueError("use_lsh=True requires dim")
+        b = hyperplane_lsh_buckets(df, dim, n_planes, vec_col=vec_col)
+        a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket")
+        c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket")
+        pairs = a.join(c, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        c = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        pairs = a.crossJoin(c).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """Mean vector per label via posexplode + groupBy(label, dim) —
     relational (oracle-checkable), and the shuffle carries scalars,

@@ -241,6 +241,39 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cosine_near_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs, exact all-pairs baseline "
+    "(oracle-checked). Threshold 0.45 is tuned to the synthetic "
+    "embedding distribution (max pairwise cosine ~0.51) so the check "
+    "is non-trivial; production near-dup runs ~0.95. The LSH-bucketed "
+    "sub-quadratic variant is embedding_cosine_near_dups_lsh.",
+)
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return similarity.cosine_near_dup_pairs(e, threshold=0.45)
+
+
+@register(
+    "embedding_cosine_near_dups_lsh",
+    None,  # recall < 1 by construction -> rows-only
+    doc="Embedding-cosine near-dups via hyperplane-LSH buckets: pairs "
+    "generated by equi-join on bucket id (never all-pairs), verified "
+    "exactly — the 100 TB dedup path for embedding space.",
+)
+def embedding_cosine_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return similarity.cosine_near_dup_pairs(e, threshold=0.45, use_lsh=True, dim=64, n_planes=4)
+
+
+@register(
     "embedding_label_centroids",
     """
     SELECT label,

@@ -78,6 +78,18 @@ ERA5_CITIES = {
     "afghanistan": ["Kabul", "Herat"],
 }
 
+# (lat, lon) per city — the gazetteer the reverse-geocode join uses
+# (coordinates approximate, public knowledge).
+CITY_COORDS = {
+    "Delhi": (28.61, 77.21), "Mumbai": (19.08, 72.88), "Chennai": (13.08, 80.27),
+    "Kathmandu": (27.72, 85.32), "Pokhara": (28.21, 83.99),
+    "Thimphu": (27.47, 89.64),
+    "Karachi": (24.86, 67.00), "Lahore": (31.55, 74.34),
+    "Dhaka": (23.81, 90.41), "Chittagong": (22.36, 91.78),
+    "Colombo": (6.93, 79.85), "Kandy": (7.29, 80.64),
+    "Kabul": (34.56, 69.21), "Herat": (34.35, 62.20),
+}
+
 # Metric families mirror the reference's _df0/_df1 vertical split
 # (era5client.py:33-34); family is metadata here, not a table name.
 ERA5_METRICS = {
@@ -222,10 +234,14 @@ def build_era5_monthly(spark: SparkSession, years: tuple[int, int] = (2019, 2022
     )
     base = cities.crossJoin(months).crossJoin(metrics)
     seed = F.concat_ws("|", "city", F.col("date").cast("string"), "metric")
+    lat = F.create_map(*[x for c, (la, lo) in CITY_COORDS.items() for x in (F.lit(c), F.lit(la))])
+    lon = F.create_map(*[x for c, (la, lo) in CITY_COORDS.items() for x in (F.lit(c), F.lit(lo))])
     return base.select(
         "country",
         "city",
         "date",
+        lat[F.col("city")].alias("latitude"),
+        lon[F.col("city")].alias("longitude"),
         "metric",
         "family",
         "unit",
@@ -282,6 +298,57 @@ def emissions_wide(long_df: DataFrame, years: list[int]) -> DataFrame:
         long_df.groupBy("gas", "ipcc_annex", "country_code", "country", "substance")
         .pivot("year", years)
         .agg(F.first("value"))
+    )
+
+
+def bbox_filter(
+    df: DataFrame,
+    lat_range: tuple[float, float],
+    lon_range: tuple[float, float],
+) -> DataFrame:
+    """P11 bounding-box geo filter (the ETL's South-Asia crop,
+    ``ERA5_preprocessing.ipynb:cell7`` df.query on lat/lon ranges) —
+    a 4-way between that pushes to the scan, and prunes partitions
+    outright if the sink partitioned by a geo grid."""
+    return df.filter(
+        F.col("latitude").between(*lat_range) & F.col("longitude").between(*lon_range)
+    )
+
+
+def reverse_geocode_join(points: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """U13: (lat, lon) -> nearest gazetteer city, as a broadcast join
+    + rank instead of the reference's per-row reverse_geocode call
+    (``ERA5_preprocessing.ipynb:cell6,cell8``).
+
+    Broadcast the (small) gazetteer against every point, score by
+    squared euclidean distance in degree space, keep the argmin per
+    point — a map-side join however many billions of points there
+    are. For planetary gazetteers swap in a geohash-bucketed join
+    (equi-join on cell + neighbor probe).
+    """
+    from pyspark.sql import Window as W
+
+    g = gazetteer.select(
+        F.col("name").alias("_city"),
+        F.col("lat").alias("_glat"),
+        F.col("lon").alias("_glon"),
+    )
+    d2 = (F.col("latitude") - F.col("_glat")) ** 2 + (F.col("longitude") - F.col("_glon")) ** 2
+    w = W.partitionBy("latitude", "longitude").orderBy(F.col("_d2"), F.col("_city"))
+    return (
+        points.join(F.broadcast(g))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_glat", "_glon", "_d2", "_rn")
+        .withColumnRenamed("_city", "nearest_city")
+    )
+
+
+def city_gazetteer(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(c, la, lo) for c, (la, lo) in CITY_COORDS.items()],
+        "name string, lat double, lon double",
     )
 
 

@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: the scale-critical plan shapes
+must not silently degrade (pushdown lost, broadcast dropped, top-k
+becoming a global sort). These assert on the executed plan string —
+the same checks done interactively with .explain during development.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+    all_queries,
+)
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_oracle, name: str) -> str:
+    df = QUERIES[name].builder(spark, sf_oracle)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name,pattern",
+    [
+        # Filters/projections reach the parquet scan.
+        ("eq_filter_project", r"PushedFilters: \[IsNotNull\(c_mktsegment\), EqualTo\(c_mktsegment,AUTOMOBILE\)"),
+        ("eq_filter_project", r"ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double"),
+        ("pricing_summary", r"PushedFilters: \[IsNotNull\(l_shipdate\), LessThan\(l_shipdate"),
+        # Top-k is a heap, not a global sort.
+        ("topk_orders", r"TakeOrderedAndProject"),
+        ("join_agg_topk", r"TakeOrderedAndProject"),
+        ("embedding_cosine_topk", r"TakeOrderedAndProject"),
+        # Dimension joins broadcast (fact side never shuffles).
+        ("broadcast_dim_join", r"BroadcastHashJoin"),
+        ("rollup_region_nation", r"BroadcastHashJoin"),
+        # Aggregates are two-phase (map-side partials).
+        ("pricing_summary", r"partial_sum|partial_avg|HashAggregate"),
+        # Anti/semi joins stay join-shaped (no subquery materialization).
+        ("anti_join_no_orders", r"LeftAnti"),
+        ("semi_join_active_parts", r"LeftSemi"),
+    ],
+)
+def test_plan_shape(spark, sf_oracle, name, pattern):
+    plan = plan_of(spark, sf_oracle, name)
+    assert re.search(pattern, plan), f"{name}: expected /{pattern}/ in plan"
+
+
+def test_no_cartesian_in_relational_joins(spark, sf_oracle):
+    # Cross joins are reserved for the single-row query-vector
+    # broadcast; fact-fact joins must be hash/sort-merge.
+    for name in ("broadcast_dim_join", "join_agg_topk", "anti_join_no_orders"):
+        plan = plan_of(spark, sf_oracle, name)
+        assert "CartesianProduct" not in plan, name
