@@ -59,8 +59,16 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
 # Shingling (shared by Jaccard + MinHash)
 # --------------------------------------------------------------------------
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct k-word shingles per document.
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) pairs: k-word shingles per document (distinct by
+    default — pass distinct=False for consumers where duplicates are
+    harmless, e.g. MinHash mins, to skip the dedup shuffle).
 
     Built as posexplode(tokens) + lead() windows: higher-order array
     functions (transform/slice lambdas) are evaluated interpreted in
@@ -93,7 +101,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     short_docs = df.select(F.col(id_col), F.concat_ws(" ", toks).alias("shingle")).filter(
         (F.size(toks) < k) & (F.size(toks) > 0)
     )
-    return long_docs.unionAll(short_docs).filter(F.col("shingle") != "").distinct()
+    out = long_docs.unionAll(short_docs).filter(F.col("shingle") != "")
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -163,8 +172,10 @@ def minhash_signatures(
     Hash family j is xxhash64(j, shingle) — JVM-side, deterministic,
     no Python. One explode + one hash-aggregate; the aggregate does
     map-side partial mins so the shuffle carries only signatures.
+    Duplicate shingles don't change a min, so the dedup shuffle is
+    skipped (distinct=False).
     """
-    sh = shingles(df, text_col, id_col, k)
+    sh = shingles(df, text_col, id_col, k, distinct=False)
     aggs = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
         for j in range(num_hashes)

@@ -106,6 +106,20 @@ def revenue_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_revenue_quantiles",
+    None,  # sketch-based estimates differ across engines -> rows-only
+    doc="percentile_approx (mergeable quantile sketch): the 100 TB "
+    "twin of revenue_quantiles — no per-group sort, map-side "
+    "combinable, accuracy controlled by the 10000 parameter.",
+)
+def approx_revenue_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("quantiles")
+    )
+
+
+@register(
     "cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority,

@@ -241,6 +241,23 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing",
+    None,  # greedy partition-local packing is procedural -> rows-only
+    doc="Token-budget sequence packing (2048/pack) for training-batch "
+    "prep: hash-repartition then greedy first-fit per partition via "
+    "Arrow-batched mapInPandas — embarrassingly parallel, "
+    "deterministic pack membership.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(d, budget=2048)
+
+
+@register(
     "embedding_cosine_near_dups",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

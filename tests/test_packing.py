@@ -1,0 +1,67 @@
+"""Sequence packing: budget respected, all docs packed, deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+    load_table,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.packing import (
+    pack_sequences,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.text import (
+    token_count,
+)
+
+BUDGET = 256
+
+
+def _packed(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return docs, pack_sequences(docs, budget=BUDGET, num_partitions=4)
+
+
+def test_all_docs_packed_once(spark, sf_small):
+    docs, packed = _packed(spark, sf_small)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_budget_respected(spark, sf_small):
+    _, packed = _packed(spark, sf_small)
+    over = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.first("pack_total").alias("reported"))
+        .filter((F.col("tot") > BUDGET) | (F.col("tot") != F.col("reported")))
+    )
+    # singleton packs may exceed the budget only if the doc itself does
+    singleton_over = (
+        packed.groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tot"))
+        .filter((F.col("tot") > BUDGET) & (F.col("n") > 1))
+    )
+    assert singleton_over.count() == 0
+    assert over.filter(F.col("tot") != F.col("reported")).count() == 0
+
+
+def test_packing_deterministic(spark, sf_small):
+    _, p1 = _packed(spark, sf_small)
+    _, p2 = _packed(spark, sf_small)
+    a = sorted(map(tuple, p1.collect()))
+    b = sorted(map(tuple, p2.collect()))
+    assert a == b
+
+
+def test_packs_are_reasonably_full(spark, sf_small):
+    _, packed = _packed(spark, sf_small)
+    fill = (
+        packed.select("pack_id", "pack_total")
+        .distinct()
+        .agg(F.avg("pack_total"))
+        .collect()[0][0]
+    )
+    # greedy first-fit should fill packs well past half the budget
+    assert fill > BUDGET * 0.5
