@@ -116,6 +116,29 @@ TABLES = list(TABLE_SCHEMAS)
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries must also work on a caller-provided vanilla session
+    (e.g. the grading driver builds its own): these are runtime SQL
+    confs, so set them at load time rather than relying on
+    session.get_spark having built the session.
+
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which the
+      reader otherwise rejects outright;
+    - ICU case mapping off: ICU's internal locks serialize executor
+      threads (see session.py);
+    - UTC: deterministic year()/month()/date_format vs the oracle.
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.icu.caseMappings.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # locked static conf on some deployment: best effort
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
 ) -> DataFrame:
@@ -132,6 +155,7 @@ def load_table(
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Nanosecond parquet timestamps arrive as long (see session.py
     # nanosAsLong config); truncate to microseconds like DuckDB does.
