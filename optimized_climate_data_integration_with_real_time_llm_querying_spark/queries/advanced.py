@@ -179,6 +179,89 @@ def etl_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_subquery_small_orders",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey,
+           COUNT(*)                       AS n_small,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN part_avg p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < 0.5 * p.avg_qty
+    GROUP BY l.l_partkey
+    """,
+    doc="Correlated-scalar-subquery shape (TPC-H Q17: quantity below a "
+    "fraction of the per-part average) decorrelated into an aggregate "
+    "+ self-join — the rewrite Catalyst itself applies to correlated "
+    "subqueries; expressing it directly keeps the plan obvious.",
+)
+def scalar_subquery_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    l = li.alias("l")
+    return (
+        l.join(part_avg.alias("p"), "l_partkey")
+        .filter(F.col("l.l_quantity") < 0.5 * F.col("p.avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l.l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "null_safe_equality",
+    """
+    SELECT COUNT(*) AS n_matching
+    FROM (
+      SELECT CASE WHEN p_size = 25 THEN p_brand END AS a FROM part
+    ) x
+    JOIN (
+      SELECT CASE WHEN p_size = 25 THEN p_brand END AS b FROM part
+    ) y ON x.a IS NOT DISTINCT FROM y.b
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULLs "
+    "match NULLs — the join shape needed when dedup keys contain "
+    "missing values.",
+)
+def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    key = F.when(F.col("p_size") == 25, F.col("p_brand"))
+    x = p.select(key.alias("a"))
+    y = p.select(key.alias("b"))
+    return x.join(y, x.a.eqNullSafe(y.b)).agg(F.count(F.lit(1)).alias("n_matching"))
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON property extraction from the events.props payload "
+    "(get_json_object — JVM-side JSON path, no UDF) + aggregate. At "
+    "scale prefer from_json with an explicit schema once per column.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("double")), 4
+            ).alias("avg_k"),
+        )
+    )
+
+
+@register(
     "ann_ivf_topk",
     None,  # approximate two-stage search -> rows-only
     doc="IVF-style ANN: coarse-quantize by per-label centroids, probe "
