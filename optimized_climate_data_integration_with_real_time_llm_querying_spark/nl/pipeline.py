@@ -88,16 +88,36 @@ class Answer:
 class ClimateEngine:
     """All four reference modules behind one ask()."""
 
-    def __init__(self, spark: SparkSession, transport: Transport | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        transport: Transport | None = None,
+        tables: dict[str, "DataFrame"] | None = None,
+    ):
+        """``tables`` overrides any of the domain DataFrames (e.g. the
+        REAL reference databases via sources.reference_ingest); the
+        resolution vocabularies then derive from the data instead of
+        the synthetic dimensions."""
         self.spark = spark
         self.transport = transport
         self.tables = climate.register_climate_views(spark)
+        if tables:
+            self.tables.update(tables)
+            for name, df in tables.items():
+                df.createOrReplaceTempView(name)
         # Dimension values are tiny; cache them for resolution.
         self._era5_metrics = list(climate.ERA5_METRICS)
         self._cities = sorted(
             {c for cities in climate.ERA5_CITIES.values() for c in cities}
         )
-        self._countries = list(climate.GHG_COUNTRIES)
+        if tables and "emissions" in tables:
+            self._countries = sorted(
+                r[0]
+                for r in tables["emissions"].select("country").distinct().collect()
+                if r[0]
+            )
+        else:
+            self._countries = list(climate.GHG_COUNTRIES)
         self._states = climate.US_STATES
 
     # ------------------------------------------------------------------
