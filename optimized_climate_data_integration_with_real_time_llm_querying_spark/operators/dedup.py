@@ -156,6 +156,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    test_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_common: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Test-set decontamination: drop corpus documents sharing >=
+    ``min_common`` distinct k-gram shingles with any test document.
+
+    Relational plan: shingle both sides, semi-join style overlap count
+    on the shingle key, anti-join the contaminated ids out. The
+    shuffle carries shingle strings once per side; the contaminated-id
+    set is tiny and broadcasts. Returns (clean, contaminated_ids).
+    """
+    c_sh = shingles(corpus, text_col, id_col, k)
+    t_sh = shingles(test_set, text_col, id_col, k).select("shingle").distinct()
+    contaminated = (
+        c_sh.join(t_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    clean = corpus.join(contaminated.select(id_col), id_col, "left_anti")
+    return clean, contaminated
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -241,6 +241,49 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_corpus",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, source, sh FROM (
+        SELECT doc_id, source, array_to_string(t[i:i+4], ' ') AS sh
+        FROM (
+          SELECT doc_id, source, t, unnest(range(1, len(t) - 3)) AS i
+          FROM toks WHERE len(t) >= 5
+        )
+        UNION ALL
+        SELECT doc_id, source, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 5
+      ) WHERE sh <> ''
+    ), test_sh AS (
+      SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+    ), contaminated AS (
+      SELECT s.doc_id FROM sh s JOIN test_sh t ON s.sh = t.sh
+      WHERE s.source <> 'src0'
+      GROUP BY s.doc_id
+      HAVING COUNT(*) >= 1
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.source <> 'src0'
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    doc="Test-set decontamination: remove corpus docs sharing any "
+    "5-gram shingle with the held-out slice (source='src0'). "
+    "Relational: shingle both sides, overlap-count join, anti-join "
+    "the contaminated ids out.",
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    test_set = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    clean, _ = dedup.decontaminate(corpus, test_set, k=5)
+    return clean.select("doc_id", "source")
+
+
+@register(
     "sequence_packing",
     None,  # greedy partition-local packing is procedural -> rows-only
     doc="Token-budget sequence packing (2048/pack) for training-batch "
