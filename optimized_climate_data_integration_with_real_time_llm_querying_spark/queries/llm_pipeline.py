@@ -241,6 +241,57 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY token
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * LN(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document, fully relational: token "
+    "explode -> tf/df aggregates -> idf join -> ranking window. The "
+    "df table is tiny (vocabulary-sized) and broadcasts; the shuffle "
+    "carries (doc, token) counts, not text.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df_tbl), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@register(
     "decontaminate_corpus",
     r"""
     WITH toks AS (
