@@ -241,6 +241,23 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_corpus",
+    None,  # xxhash64-based predicate has no cross-engine oracle
+    doc="Deterministic per-stratum hash-mod sampling (keep iff "
+    "xxhash64(key) mod D < D*rate): reproducible across runs and "
+    "partitionings, pushes as a plain filter, no shuffle. Rates: "
+    "src0 keep-all, src1 half, default 20%.",
+)
+def stratified_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "source", {"src0": 1.0, "src1": 0.5}, key_col="doc_id", default_rate=0.2
+    ).select("doc_id", "source")
+
+
+@register(
     "tfidf_top_terms",
     r"""
     WITH tok AS (
