@@ -41,6 +41,9 @@ HEADLINE = [
     "asof_last_event_before_order",  # as-of join (union+window)
     "revenue_quantiles",        # exact per-group quantiles
     "corpus_filter_pipeline",   # dedup + quality gate composition
+    "simhash_near_dup_pairs",   # SimHash banding near-dup
+    "tfidf_top_terms",          # relational TF-IDF ranking
+    "decontaminate_corpus",     # test-set overlap removal
 ]
 
 
