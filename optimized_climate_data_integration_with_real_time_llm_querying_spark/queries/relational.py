@@ -503,6 +503,65 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "moving_avg_frame",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(SUM(o_totalprice), 2) AS day_total
+      FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+      GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT day, day_total,
+           ROUND(AVG(day_total) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS ma7
+    FROM daily
+    """,
+    doc="Frame-based window (ROWS BETWEEN 6 PRECEDING): 7-day moving "
+    "average of daily order totals — the rolling-metric shape for "
+    "climate time series (SURVEY.md §2.5 net-new).",
+)
+def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.withColumn("ma7", F.round(F.avg("day_total").over(w), 2))
+
+
+@register(
+    "grouping_sets_status_year",
+    """
+    SELECT o_orderstatus,
+           EXTRACT(YEAR FROM o_orderdate) AS year,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (EXTRACT(YEAR FROM o_orderdate)))
+    """,
+    doc="Explicit GROUPING SETS (by-status and by-year totals in one "
+    "pass) — the general form behind rollup/cube.",
+)
+def grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               YEAR(o_orderdate) AS year,
+               COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (YEAR(o_orderdate)))
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Pivot / unpivot — the reference's wide<->long duality (SURVEY.md §7.4)
 # --------------------------------------------------------------------------
