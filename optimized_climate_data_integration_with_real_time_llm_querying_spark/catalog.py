@@ -167,9 +167,10 @@ def load_table(
         if isinstance(f.dataType, LongType) and isinstance(
             declared.get(f.name), TimestampType
         ):
-            df = df.withColumn(
-                f.name, F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long"))
-            )
+            # Integer `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds
+            # double's 53-bit mantissa, so floor(col / 1000) can land
+            # 1µs off DuckDB's integer truncation for sub-second values.
+            df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000")))
     if rebalance:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

@@ -65,13 +65,19 @@ def extract_time(
             if _valid(a, bounds) and _valid(b, bounds) and a <= b:
                 return TimeSpec(year_range=(a, b), months=months or None)
 
-    # Open ranges: "after/since X" -> (X, hi); "before X" -> (lo, X).
-    m = re.search(r"(?:after|since)\s+" + _YEAR, q)
+    # Open ranges. Conventional semantics: "since X" is inclusive,
+    # "after X" / "before X" are exclusive (clamped to bounds).
+    m = re.search(r"since\s+" + _YEAR, q)
     if m and _valid(int(m.group(1)), bounds):
         return TimeSpec(year_range=(int(m.group(1)), bounds[1]), months=months or None)
+    m = re.search(r"after\s+" + _YEAR, q)
+    if m and _valid(int(m.group(1)), bounds):
+        lo = min(int(m.group(1)) + 1, bounds[1])
+        return TimeSpec(year_range=(lo, bounds[1]), months=months or None)
     m = re.search(r"before\s+" + _YEAR, q)
     if m and _valid(int(m.group(1)), bounds):
-        return TimeSpec(year_range=(bounds[0], int(m.group(1))), months=months or None)
+        hi = max(int(m.group(1)) - 1, bounds[0])
+        return TimeSpec(year_range=(bounds[0], hi), months=months or None)
 
     # Single year.
     for y in re.findall(_YEAR, q):

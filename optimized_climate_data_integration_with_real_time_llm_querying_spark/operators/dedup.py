@@ -274,12 +274,26 @@ def minhash_near_duplicates(
     work proportional to the candidate count, never to all pairs.
     That's the sub-quadratic contract that makes LSH worth running
     at corpus scale.
+
+    Signatures AND verification sets come from ONE shingling pass:
+    a single groupBy(id) computes the per-seed mins and the
+    collect_set together (collect_set dedups internally, so the
+    non-distinct shingle frame serves both). The combined aggregate
+    is persisted (MEMORY_AND_DISK default — spills, never OOMs) so
+    the candidate branch and the verification branch share one
+    tokenize+shingle+aggregate stage instead of recomputing it;
+    column pruning would otherwise specialize the two branches into
+    different aggregates that ReuseExchange can't unify.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sh = shingles(df, text_col, id_col, k, distinct=False)
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ] + [F.collect_set("shingle").alias("shingle_set")]
+    combined = sh.groupBy(id_col).agg(*aggs).persist()
+    sigs = combined.select(F.col(id_col), *[f"mh_{j}" for j in range(num_hashes)])
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sets = shingles(df, text_col, id_col, k).groupBy(id_col).agg(
-        F.collect_set("shingle").alias("shingle_set")
-    )
+    sets = combined.select(F.col(id_col), "shingle_set")
     return (
         cands.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a")), "id_a"

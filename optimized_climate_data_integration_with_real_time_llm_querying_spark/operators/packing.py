@@ -48,8 +48,13 @@ def pack_sequences(
     """
 
     def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
-        if pdf is None or pdf.empty:
+        # An iterator is always truthy — materialize and check, else an
+        # empty partition hits pd.concat([]) -> ValueError.
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
             return
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         part = int(pdf["_part"].iloc[0])

@@ -110,12 +110,16 @@ def revenue_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # sketch-based estimates differ across engines -> rows-only
     doc="percentile_approx (mergeable quantile sketch): the 100 TB "
     "twin of revenue_quantiles — no per-group sort, map-side "
-    "combinable, accuracy controlled by the 10000 parameter.",
+    "combinable, accuracy controlled by the 10000 parameter. Output is "
+    "scalar columns (not an array) so the driver's row canonicalizer "
+    "can sort/hash the cells.",
 )
 def approx_revenue_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("quantiles")
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99_approx"),
     )
 
 

@@ -118,7 +118,9 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
            COUNT(*)  AS n_docs,
-           SUM(n_chars) AS total_chars
+           -- DuckDB SUM(BIGINT) yields HUGEINT (int128); cast back so the
+           -- cross-engine value hash canonicalizes like Spark's BIGINT.
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     """,
@@ -150,11 +152,18 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, array_to_string(t, ' ') AS sh
         FROM toks WHERE len(t) < 3
       ) WHERE sh <> ''
+    ), rare AS (
+      -- stop-shingle document-frequency cap, mirroring
+      -- ngram_jaccard_pairs(max_shingle_df=100): shingles in > 100
+      -- docs are boilerplate and would fan the join out quadratically.
+      SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) <= 100
+    ), shc AS (
+      SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -167,12 +176,13 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact n-gram (3-word shingle) Jaccard similarity, top-20 pairs. "
     "Fully relational: explode -> equi-join on shingle -> "
-    "inclusion-exclusion; the production variant adds the stop-shingle "
-    "document-frequency cap (see operators.dedup.ngram_jaccard_pairs).",
+    "inclusion-exclusion, WITH the stop-shingle document-frequency cap "
+    "active (max_shingle_df=100, mirrored in the oracle's HAVING) so "
+    "boilerplate shingles can't fan the join out quadratically at scale.",
 )
 def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.0, max_shingle_df=None)
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.0, max_shingle_df=100)
     return (
         pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
@@ -294,11 +304,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(text.tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select("doc_id").distinct().count()
-    scored = tf.join(F.broadcast(df_tbl), "token").select(
-        "doc_id",
-        "token",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    # n_docs as a lazy 1-row broadcast aggregate (NOT an eager
+    # .count(), which would run a full extra tokenize+distinct job
+    # before the real plan): the whole query stays one Spark job.
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (

@@ -697,7 +697,16 @@ def run_guarded_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """S9 read-only SQL passthrough with the statement-type guard the
     reference applies (SELECT/PRAGMA only — Billion_Dollar/server.py:37-39,
     era5server.py:46-48; emissions_mcp.py:35-48 notably lacks it).
-    DataFrame views + a prefix check replace string interpolation."""
+
+    A prefix check alone is bypassable: Spark's grammar allows CTEs
+    before DML, so ``WITH x AS (SELECT 1) INSERT OVERWRITE DIRECTORY
+    ...`` starts with WITH yet writes files. So SELECT/WITH statements
+    must additionally parse as a *pure query*: we probe-analyze
+    ``SELECT * FROM ( <stmt> )`` — legal iff the statement is a query
+    expression, a parse error for any DML/DDL — then execute the
+    original statement (the probe is analysis-only, never executed,
+    so it can't perturb ORDER BY semantics).
+    """
     from ..catalog import register_views
 
     stripped = sql.strip().rstrip(";").strip()
@@ -705,6 +714,15 @@ def run_guarded_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     if head not in {"SELECT", "WITH", "DESCRIBE", "SHOW"}:
         raise ValueError(f"only read-only queries are allowed, got: {head or '<empty>'}")
     register_views(spark, sf_dir)
+    if head in {"SELECT", "WITH"}:
+        try:
+            # Forces parse+analysis of the wrapped form; no job runs.
+            spark.sql(f"SELECT * FROM ( {stripped} ) AS __guard_probe__").schema
+        except Exception as exc:
+            raise ValueError(
+                "statement is not a pure read-only query "
+                f"(rejected by query-shape probe): {type(exc).__name__}"
+            ) from exc
     return spark.sql(stripped)
 
 

@@ -52,6 +52,14 @@ def test_timeparse_era5_default_year():
     assert t.year == 2020
 
 
+def test_timeparse_open_ranges_exclusivity():
+    # ADVICE r1: "before"/"after" are exclusive, "since" inclusive.
+    b = (1980, 2024)
+    assert extract_time("disasters before 2000", bounds=b).year_range == (1980, 1999)
+    assert extract_time("disasters after 2000", bounds=b).year_range == (2001, 2024)
+    assert extract_time("disasters since 2000", bounds=b).year_range == (2000, 2024)
+
+
 def test_timeparse_bounds():
     # 2050 out of EDGAR bounds (1970-2023) -> ignored
     t = extract_time("emissions in 2050", bounds=(1970, 2023))

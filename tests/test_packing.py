@@ -55,6 +55,19 @@ def test_packing_deterministic(spark, sf_small):
     assert a == b
 
 
+def test_empty_partitions_survive(spark, sf_small):
+    # 3 docs over 32 default partitions -> most partitions empty; the
+    # mapInPandas packer must yield nothing for them, not crash on
+    # pd.concat([]) (ADVICE r1 medium).
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .limit(3)
+    )
+    packed = pack_sequences(docs, budget=BUDGET)  # default num_partitions
+    assert packed.count() == 3
+
+
 def test_packs_are_reasonably_full(spark, sf_small):
     _, packed = _packed(spark, sf_small)
     fill = (
