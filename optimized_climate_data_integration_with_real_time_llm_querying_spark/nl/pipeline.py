@@ -119,6 +119,24 @@ class ClimateEngine:
         else:
             self._countries = list(climate.GHG_COUNTRIES)
         self._states = climate.US_STATES
+        # Longest-first word-boundary matcher over all 57 names so
+        # "West Virginia" never resolves to "Virginia" and state names
+        # embedded in other words never fire.
+        self._state_re = re.compile(
+            r"\b("
+            + "|".join(
+                re.escape(n.lower())
+                for n in sorted(self._states, key=len, reverse=True)
+            )
+            + r")\b"
+        )
+
+    def _find_state(self, q_lower: str) -> str | None:
+        m = self._state_re.search(q_lower)
+        if not m:
+            return None
+        hit = m.group(1)
+        return next(a for n, a in self._states.items() if n.lower() == hit)
 
     # ------------------------------------------------------------------
     # Routing (the four modules' implicit domains).
@@ -132,9 +150,7 @@ class ClimateEngine:
         q = question.lower()
         if any(k in q for k in GAS_KEYWORDS) or "emission" in q:
             return "emissions"
-        if any(k in q for k in FEMA_METRICS) or any(
-            s.lower() in q for s in self._states
-        ):
+        if any(k in q for k in FEMA_METRICS) or self._find_state(q):
             return "fema"
         if keyword_lookup(question, climate.DISASTER_SYNONYMS) or "disaster" in q:
             return "disasters"
@@ -178,9 +194,7 @@ class ClimateEngine:
         q = question.lower()
         t = extract_time(question)
         filters: dict = {}
-        state = next(
-            (abbr for name, abbr in self._states.items() if name.lower() in q), None
-        )
+        state = self._find_state(q)
         if state is None:
             m = re.search(r"\b([A-Z]{2})\b", question)
             if m and m.group(1) in self._states.values():

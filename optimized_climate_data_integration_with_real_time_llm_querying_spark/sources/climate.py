@@ -60,11 +60,11 @@ FEMA_INCIDENT_TYPES = [
     "Winter Storm", "Other",
 ]
 
-US_STATES = {
-    "Texas": "TX", "Florida": "FL", "California": "CA", "Louisiana": "LA",
-    "North Carolina": "NC", "New York": "NY", "Oklahoma": "OK",
-    "Missouri": "MO", "Alabama": "AL", "Georgia": "GA",
-}
+# Full dimension breadth (57 states/territories, 223 EDGAR
+# countries) lives in .vocab; re-exported here so every consumer
+# (NL resolution, synthetic builders, dimension tables) sees the
+# complete vocabularies, matching the real databases.
+from .vocab import GHG_COUNTRIES, US_STATES  # noqa: F401
 
 ERA5_COUNTRIES = ["india", "nepal", "bhutan", "pakistan", "bangladesh", "srilanka", "afghanistan"]
 
@@ -106,12 +106,6 @@ ERA5_METRICS = {
     "mean_evaporation_rate": ("df1", "kg/m2/s"),
     "mean_moisture_divergence": ("df1", "kg/m2/s"),
     "mean_precipitation_rate": ("df1", "kg/m2/s"),
-}
-
-GHG_COUNTRIES = {
-    "Brazil": "BRA", "India": "IND", "China": "CHN", "United States": "USA",
-    "Germany": "DEU", "Australia": "AUS", "Japan": "JPN", "Nigeria": "NGA",
-    "Mexico": "MEX", "Canada": "CAN",
 }
 
 FGAS_SUBSTANCES = [
@@ -184,7 +178,7 @@ def melt_disasters(wide_df: DataFrame) -> DataFrame:
     )
 
 
-def build_fema_assistance(spark: SparkSession, n_rows: int = 1200) -> DataFrame:
+def build_fema_assistance(spark: SparkSession, n_rows: int = 6000) -> DataFrame:
     """FEMA/HUD `disaster_dollar_db` shape: one row per disaster event
     (year, event, incident_number, dates, state, incident_type, ihp/pa
     dollar columns). Dates are real DateType — the reference stores

@@ -122,3 +122,49 @@ def test_reference_demo_questions_over_real_data(spark, noaa, emissions):
     a = eng.ask("Methane emissions in Brazil from 2015 to 2020")
     ys = [r["year"] for r in a.result.collect()]
     assert ys == list(range(2015, 2021))
+
+
+def test_full_dimension_breadth_over_real_data(spark, noaa, emissions):
+    """U4/U8 breadth: a non-top-10 state (Ohio) and a non-top-10
+    country (Indonesia) resolve and return the real DB's values,
+    mirroring Disaster dollar/client.py:89-100 and
+    EDGARclient.py:71-167."""
+    import sqlite3
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.nl.pipeline import (
+        ClimateEngine,
+    )
+
+    fema = ri.load_fema_assistance(spark)
+    eng = ClimateEngine(
+        spark,
+        tables={
+            "disasters_yearly": noaa,
+            "fema_assistance": fema,
+            "emissions": emissions,
+        },
+    )
+    a = eng.ask("List flood incidents in Ohio")
+    rows = a.result.collect()
+    assert rows and all(r["state"] == "OH" for r in rows)
+    truth_n = fema.filter(
+        (F.col("state") == "OH") & (F.col("incident_type") == "Flood")
+    ).count()
+    assert len(rows) == min(truth_n, 25)  # prompt cap
+
+    a = eng.ask("What were the CO2 emissions in Indonesia in 2020?")
+    got = a.result.collect()
+    con = sqlite3.connect(f"{ri.REFERENCE_ROOT}/GHG_Emissions/co2_emissions.db")
+    truth = con.execute(
+        "SELECT \"2020\" FROM emissions WHERE Name = 'Indonesia'"
+    ).fetchone()[0]
+    con.close()
+    assert len(got) == 1 and got[0]["value"] == pytest.approx(truth)
+
+    # And the synthetic default (no injected tables) carries the same
+    # breadth: West Virginia must not resolve to Virginia.
+    eng2 = ClimateEngine(spark)
+    _, spec = eng2.build_spec("List severe storm incidents in West Virginia")
+    assert spec.filters.get("state") == "WV"
+    _, spec = eng2.build_spec("ihp total in Ohio in 2010")
+    assert spec.filters.get("state") == "OH"
