@@ -27,12 +27,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
+# The driver hash-checks the FIRST 50 registry entries in insertion
+# order. Rounds 1-2 never sampled positions 51-60, so rotate: promote
+# the ten never-driver-checked queries to the front and demote ten
+# trivially-shaped filters that earned green driver rows in BOTH
+# rounds 1 and 2 (they stay covered by tests/test_oracle_parity.py).
+_PROMOTE = [
+    "window_topk_per_group",
+    "moving_avg_frame",
+    "grouping_sets_status_year",
+    "pivot_wide_by_priority",
+    "unpivot_long_measures",
+    "rollup_region_nation",
+    "union_accounts",
+    "guarded_sql_passthrough",
+    "events_tumbling_daily",
+    "user_sessionization",
+]
+_DEMOTE = [
+    "count_with_filter",
+    "scalar_sum_year",
+    "eq_filter_project",
+    "case_insensitive_eq",
+    "comparison_predicates",
+    "year_range_between",
+    "in_list_filter",
+    "month_bucket_prefix",
+    "distinct_single_column",
+    "distinct_pairs",
+]
+
+
+def _ordered_queries():
+    qs = all_queries()
+    head = [qs[n] for n in _PROMOTE if n in qs]
+    tail = [qs[n] for n in _DEMOTE if n in qs]
+    rotated = {n for n in _PROMOTE + _DEMOTE}
+    mid = [q for n, q in qs.items() if n not in rotated]
+    return {q.name: q for q in head + mid + tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.builder for name, q in all_queries().items()}
+    return {name: q.builder for name, q in _ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible query; hash-based
     LSH internals are omitted (driver records rows-only checks)."""
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in _ordered_queries().items() if q.oracle is not None
+    }

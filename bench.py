@@ -53,8 +53,14 @@ def main() -> None:
     spark = get_spark("ocdi-bench")
     registry = all_queries()
 
-    # Warm the JVM/codegen paths outside the timed region.
+    # Warm the JVM/codegen paths AND first-touch of the big fact
+    # tables outside the timed region: pricing_summary scans lineitem
+    # (the largest table), so pass-1 numbers no longer carry parquet
+    # footer/OS-cache cold-read costs.
     registry["first_n_preview"].builder(spark, sf_dir).collect()
+    registry["pricing_summary"].builder(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     # Two passes, per-query minimum: the sandbox host shows heavy
     # transient noise (identical runs vary 5-10x), and min-of-2 is the

@@ -34,6 +34,16 @@ class TimeSpec:
     year_range: tuple[int, int] | None = None
     months: list[int] | None = None
 
+    @property
+    def empty(self) -> bool:
+        """True iff the spec denotes a provably-empty time window
+        ("after <last year in bounds>" / "before <first year>"): the
+        range is kept exclusive and unclamped, so lo > hi. Downstream
+        the planner compiles it to ``year BETWEEN lo AND hi`` which is
+        vacuously false — the honest empty result, not a silently
+        clamped single-year one."""
+        return self.year_range is not None and self.year_range[0] > self.year_range[1]
+
 
 def _valid(y: int, bounds: tuple[int, int]) -> bool:
     return bounds[0] <= y <= bounds[1]
@@ -70,14 +80,19 @@ def extract_time(
     m = re.search(r"since\s+" + _YEAR, q)
     if m and _valid(int(m.group(1)), bounds):
         return TimeSpec(year_range=(int(m.group(1)), bounds[1]), months=months or None)
+    # "after <bounds[1]>" / "before <bounds[0]>" are exclusive of the
+    # only remaining year, so the range is left unclamped (lo > hi ->
+    # TimeSpec.empty); clamping would wrongly include the excluded year.
     m = re.search(r"after\s+" + _YEAR, q)
     if m and _valid(int(m.group(1)), bounds):
-        lo = min(int(m.group(1)) + 1, bounds[1])
-        return TimeSpec(year_range=(lo, bounds[1]), months=months or None)
+        return TimeSpec(
+            year_range=(int(m.group(1)) + 1, bounds[1]), months=months or None
+        )
     m = re.search(r"before\s+" + _YEAR, q)
     if m and _valid(int(m.group(1)), bounds):
-        hi = max(int(m.group(1)) - 1, bounds[0])
-        return TimeSpec(year_range=(bounds[0], hi), months=months or None)
+        return TimeSpec(
+            year_range=(bounds[0], int(m.group(1)) - 1), months=months or None
+        )
 
     # Single year.
     for y in re.findall(_YEAR, q):

@@ -284,6 +284,12 @@ def minhash_near_duplicates(
     tokenize+shingle+aggregate stage instead of recomputing it;
     column pruning would otherwise specialize the two branches into
     different aggregates that ReuseExchange can't unify.
+
+    Cache contract: the persisted frame stays pinned until released —
+    the returned DataFrame carries it as ``result.cache_handle``;
+    long-lived callers should ``result.cache_handle.unpersist()``
+    after materializing the result (one-shot batch jobs can let the
+    app teardown reclaim it).
     """
     sh = shingles(df, text_col, id_col, k, distinct=False)
     aggs = [
@@ -294,7 +300,7 @@ def minhash_near_duplicates(
     sigs = combined.select(F.col(id_col), *[f"mh_{j}" for j in range(num_hashes)])
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sets = combined.select(F.col(id_col), "shingle_set")
-    return (
+    result = (
         cands.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a")), "id_a"
         )
@@ -313,6 +319,8 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+    result.cache_handle = combined
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -467,6 +467,9 @@ def window_yoy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.year("o_orderdate").alias("year"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"))
     )
+    # Unpartitioned window is safe ONLY because the input is already
+    # aggregated to year grain (~tens of rows at any SF); on raw data
+    # this would serialize on one task — partitionBy a coarse key first.
     w = W.orderBy("year")
     return yearly.withColumn(
         "yoy_delta",
@@ -532,6 +535,9 @@ def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
     )
+    # Unpartitioned window is safe ONLY because the input is one
+    # year's daily aggregate (<=366 rows at any SF); rolling frames
+    # over raw data need partitionBy (e.g. by year) or a range join.
     w = W.orderBy("day").rowsBetween(-6, 0)
     return daily.withColumn("ma7", F.round(F.avg("day_total").over(w), 2))
 
@@ -717,12 +723,41 @@ def run_guarded_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     if head in {"SELECT", "WITH"}:
         try:
             # Forces parse+analysis of the wrapped form; no job runs.
-            spark.sql(f"SELECT * FROM ( {stripped} ) AS __guard_probe__").schema
+            # Newlines around the statement so a trailing `-- comment`
+            # terminates before the closing paren instead of eating it.
+            probe = spark.sql(f"SELECT * FROM (\n{stripped}\n) AS __guard_probe__")
+            probe.schema
         except Exception as exc:
             raise ValueError(
                 "statement is not a pure read-only query "
                 f"(rejected by query-shape probe): {type(exc).__name__}"
             ) from exc
+        # A pure query shape can still smuggle side effects through
+        # expressions callable from SELECT: reflect()/java_method()
+        # (both lower to CallMethodViaReflection) invoke arbitrary
+        # static JVM methods. Walk the analyzed plan's expression-node
+        # classes — NOT its rendered text, where a string literal
+        # containing "reflect(" would false-positive.
+        import json as _json
+
+        def _classes(node):
+            if isinstance(node, dict):
+                cls = node.get("class")
+                if isinstance(cls, str):
+                    yield cls
+                for v in node.values():
+                    yield from _classes(v)
+            elif isinstance(node, list):
+                for v in node:
+                    yield from _classes(v)
+
+        plan_tree = _json.loads(probe._jdf.queryExecution().analyzed().toJSON())
+        for cls in _classes(plan_tree):
+            if cls.endswith("CallMethodViaReflection"):
+                raise ValueError(
+                    "read-only guard: reflect()/java_method() can invoke "
+                    "arbitrary JVM methods and is not allowed"
+                )
     return spark.sql(stripped)
 
 

@@ -50,3 +50,38 @@ def test_cte_dml_bypass_rejected(spark, sf_small, tmp_path):
 def test_multi_statement_rejected(spark, sf_small):
     with pytest.raises(ValueError):
         run_guarded_sql(spark, sf_small, "SELECT 1; DROP TABLE nation")
+
+
+def test_trailing_line_comment_allowed(spark, sf_small):
+    # ADVICE r2 medium: a trailing `--` comment must not swallow the
+    # probe's closing paren and reject a legitimate query.
+    out = run_guarded_sql(
+        spark, sf_small, "SELECT COUNT(*) AS n FROM nation -- note"
+    )
+    assert out.collect()[0]["n"] == 25
+
+
+def test_reflect_rejected(spark, sf_small):
+    # ADVICE r2 low: reflect()/java_method() invoke arbitrary static
+    # JVM methods from inside a pure-query shape.
+    with pytest.raises(ValueError, match="reflect"):
+        run_guarded_sql(
+            spark,
+            sf_small,
+            "SELECT reflect('java.lang.System', 'getProperty', 'user.dir')",
+        )
+    with pytest.raises(ValueError, match="java_method"):
+        run_guarded_sql(
+            spark,
+            sf_small,
+            "SELECT java_method('java.lang.Thread', 'currentThread')",
+        )
+
+
+def test_reflect_in_string_literal_allowed(spark, sf_small):
+    # The ban scans the analyzed plan, not raw text: the word
+    # "reflect(" inside a string literal is data, not an expression.
+    out = run_guarded_sql(
+        spark, sf_small, "SELECT 'uses reflect( in prose' AS s"
+    )
+    assert out.count() == 1

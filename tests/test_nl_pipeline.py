@@ -60,6 +60,19 @@ def test_timeparse_open_ranges_exclusivity():
     assert extract_time("disasters since 2000", bounds=b).year_range == (2000, 2024)
 
 
+def test_timeparse_exclusive_edge_is_empty():
+    # ADVICE r2: "after <last bounded year>" excludes every year in
+    # bounds — must yield an explicitly-empty spec, never clamp back
+    # into an inclusive single-year range.
+    b = (1980, 2024)
+    t = extract_time("disasters after 2024", bounds=b)
+    assert t.empty and t.year_range == (2025, 2024)
+    t = extract_time("disasters before 1980", bounds=b)
+    assert t.empty and t.year_range == (1980, 1979)
+    # Non-edge ranges stay non-empty.
+    assert not extract_time("disasters after 2000", bounds=b).empty
+
+
 def test_timeparse_bounds():
     # 2050 out of EDGAR bounds (1970-2023) -> ignored
     t = extract_time("emissions in 2050", bounds=(1970, 2023))
