@@ -74,6 +74,20 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
+def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id for one hash table: bit i = sign of
+    <v, plane_i> — fully codegen'd bit arithmetic."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(
+            dot(F.col(vec_col), plane_col) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -88,15 +102,38 @@ def hyperplane_lsh_buckets(
     candidate generation is an equi-join/groupBy on it (hash shuffle on
     a 4-byte key — the 100 TB-friendly shape).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(bit)
-    return df.withColumn("lsh_bucket", bucket)
+    return df.withColumn(
+        "lsh_bucket", _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed))
+    )
+
+
+def hyperplane_lsh_multi(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH: one row per (input row, table) with
+    (lsh_table, lsh_bucket). A single sign-pattern table misses any
+    pair straddling one of its hyperplanes (per-pair hit probability
+    p^n_planes, p = 1 - theta/pi); unioning candidates across
+    ``n_tables`` independent tables lifts recall to
+    1 - (1 - p^n_planes)^n_tables — the standard LSH recall knob.
+    The explode multiplies rows by n_tables, but each row is (id,
+    8-byte table+bucket key), so the shuffle stays tiny relative to
+    the vectors themselves.
+    """
+    buckets = F.array(
+        *[
+            _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + 7919 * t))
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(
+        "*", F.posexplode(buckets).alias("lsh_table", "lsh_bucket")
+    )
 
 
 def lsh_topk(
@@ -105,18 +142,26 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: restrict the brute-force scan to the query's
-    LSH bucket. Recall < 1 by construction; pair with multi-probe or
-    more tables when recall matters."""
-    bucketed = hyperplane_lsh_buckets(df, dim, n_planes, seed, vec_col)
-    q_bucketed = hyperplane_lsh_buckets(
-        query_df.withColumnRenamed("q_vec", vec_col), dim, n_planes, seed, vec_col
-    ).select(F.col("lsh_bucket"), F.col(vec_col).alias("q_vec"), "q_id")
-    cands = bucketed.join(F.broadcast(q_bucketed), "lsh_bucket")
+    """Approximate top-k: score only vectors sharing an LSH bucket
+    with the query in at least one of ``n_tables`` hash tables
+    (candidate union via distinct ids), then exact-rank the
+    candidates. Recall grows as 1-(1-p^n_planes)^n_tables; measured
+    floors live in tests/test_lsh_recall.py."""
+    bucketed = hyperplane_lsh_multi(df, dim, n_planes, n_tables, seed, vec_col)
+    q_bucketed = hyperplane_lsh_multi(
+        query_df.withColumnRenamed("q_vec", vec_col), dim, n_planes, n_tables, seed, vec_col
+    ).select("lsh_table", "lsh_bucket")
+    cand_ids = (
+        bucketed.join(F.broadcast(q_bucketed), ["lsh_table", "lsh_bucket"])
+        .select(id_col)
+        .distinct()
+    )
+    cands = df.join(cand_ids, id_col, "left_semi").crossJoin(F.broadcast(query_df))
     scored = cands.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cosine_sim"),
@@ -132,24 +177,33 @@ def cosine_near_dup_pairs(
     use_lsh: bool = False,
     dim: int | None = None,
     n_planes: int = 8,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >=
     threshold).
 
     ``use_lsh=False``: exact all-pairs — the correctness baseline,
     O(n^2) dot products, fine for verification scale.
-    ``use_lsh=True``: hyperplane-LSH bucketing first — pairs are only
-    generated within a bucket (equi-join on the bucket id), then
-    verified exactly. The sub-quadratic scale path; recall < 1 for
-    pairs straddling a hyperplane (mitigate with multiple tables).
+    ``use_lsh=True``: multi-table hyperplane-LSH first — pairs are
+    generated only within a (table, bucket) cell, deduped on the id
+    pair across tables, then verified exactly. Sub-quadratic; recall
+    1-(1-p^n_planes)^n_tables, measured in tests/test_lsh_recall.py.
     """
     if use_lsh:
         if dim is None:
             raise ValueError("use_lsh=True requires dim")
-        b = hyperplane_lsh_buckets(df, dim, n_planes, vec_col=vec_col)
-        a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket")
-        c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket")
-        pairs = a.join(c, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+        b = hyperplane_lsh_multi(df, dim, n_planes, n_tables, vec_col=vec_col)
+        a = b.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
+        c = b.select(F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket")
+        cand = (
+            a.join(c, ["lsh_table", "lsh_bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     else:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
         c = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))

@@ -270,7 +270,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # approximate two-stage search -> rows-only
     doc="IVF-style ANN: coarse-quantize by per-label centroids, probe "
     "the nprobe=2 nearest cells, brute-force only those cells. The "
-    "candidate scan shrinks ~label_count/nprobe-fold; centroid scoring "
+    "candidate scan shrinks ~label_count/nprobe-fold (recall floor measured in tests/test_lsh_recall.py); centroid scoring "
     "touches only centroids. 100 TB path alongside hyperplane LSH.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,7 +298,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.col("c_sim").desc())
-        .limit(2)
+        .limit(3)
         .select("label")
     )
     cands = e.join(F.broadcast(probe), "label", "left_semi")

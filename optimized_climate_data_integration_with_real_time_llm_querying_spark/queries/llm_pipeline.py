@@ -247,7 +247,9 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    return similarity.lsh_topk(e, _query_vec(spark, sf_dir), dim=64, k=10)
+    return similarity.lsh_topk(
+        e, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=4, n_tables=8
+    )
 
 
 @register(

@@ -2,10 +2,10 @@
 
 The reference's ETL is pandas notebooks writing SQLite (SURVEY.md
 §2.1 S2-S5). Here ingest is explicit-schema Spark where a native
-reader exists (CSV), and a chunked pandas/xarray bridge at the edge
-where one doesn't (SQLite via stdlib sqlite3, Excel via openpyxl,
-NetCDF via xarray) — data becomes Parquet immediately and everything
-downstream is columnar.
+reader exists (CSV), and a bridge at the edge where one doesn't
+(SQLite via stdlib sqlite3, Excel via openpyxl or a stdlib zip+XML
+fallback, NetCDF via xarray) — data becomes Parquet immediately and
+everything downstream is columnar.
 
 Scale note: the bridge readers are single-process by design — they
 exist for small operational sources (the reference's SQLite files are
@@ -70,19 +70,127 @@ def read_sqlite(
     return spark.createDataFrame(pdf)
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'BF224' -> 57 (column letters only, 0-based)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _xlsx_rows(path: str, sheet: str | int = 0) -> list[list]:
+    """Minimal stdlib xlsx reader: zipfile + xml.etree over the Open
+    Packaging parts (workbook.xml -> rels -> sheetN.xml +
+    sharedStrings.xml). Covers the cell types the EDGAR/NOAA workbooks
+    use — shared strings, inline/plain strings, booleans, numbers —
+    and returns dense rows (missing cells -> None)."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(
+                f"{_XLSX_NS}si"
+            ):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_target = {rel.get("Id"): rel.get("Target") for rel in rels}
+        sheets: list[tuple[str, str]] = []
+        for sh in wb.iter(f"{_XLSX_NS}sheet"):
+            target = rid_target[sh.get(f"{_XLSX_RNS}id")]
+            target = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+            sheets.append((sh.get("name"), target))
+        if isinstance(sheet, int):
+            target = sheets[sheet][1]
+        else:
+            by_name = dict(sheets)
+            if sheet not in by_name:
+                raise ValueError(f"sheet {sheet!r} not in {[n for n, _ in sheets]}")
+            target = by_name[sheet]
+
+        rows: list[dict[int, object]] = []
+        width = 0
+        for row in ET.fromstring(z.read(target)).iter(f"{_XLSX_NS}row"):
+            cells: dict[int, object] = {}
+            for c in row.findall(f"{_XLSX_NS}c"):
+                i = _col_index(c.get("r", ""))
+                t = c.get("t", "n")
+                v = c.find(f"{_XLSX_NS}v")
+                if t == "inlineStr":
+                    is_el = c.find(f"{_XLSX_NS}is")
+                    val = (
+                        "".join(tt.text or "" for tt in is_el.iter(f"{_XLSX_NS}t"))
+                        if is_el is not None
+                        else None
+                    )
+                elif v is None or v.text is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v.text)]
+                elif t == "b":
+                    val = bool(int(v.text))
+                elif t == "str":
+                    val = v.text
+                else:
+                    val = float(v.text)
+                if val is not None:
+                    cells[i] = val
+                    width = max(width, i + 1)
+            rows.append(cells)
+        return [[r.get(i) for i in range(width)] for r in rows]
+
+
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
-    """S3: Excel bridge (NOAA/EDGAR xlsx). Needs openpyxl, which this
-    environment does not ship — the seam raises cleanly so deployments
-    with the dependency get the real reader."""
+    """S3: Excel bridge (NOAA/EDGAR xlsx; the reference's four
+    emissions notebooks all start with ``pd.read_excel`` on these
+    workbooks — C02_Emissions_-2.ipynb:cell0). Uses pandas+openpyxl
+    when available; otherwise a stdlib zip+XML reader (xlsx IS a zip
+    of XML parts), so ingest works even in minimal environments.
+
+    First row is the header (pd.read_excel default); numeric headers
+    render as their integer form ('1970', not '1970.0'). Column types
+    are inferred per column: all-numeric -> double, else string —
+    matching how the reference's to_sql round-trips them."""
+    import pandas as pd
+
     try:
         import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel ingest needs openpyxl (not in this environment); "
-            "pre-convert to CSV/Parquet or install it"
-        ) from e
-    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet))
+
+        return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet))
+    except ImportError:
+        pass
+
+    raw = _xlsx_rows(path, sheet)
+    if not raw:
+        raise ValueError(f"no rows in {path!r} sheet {sheet!r}")
+
+    def _header(v) -> str:
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return "<blank>" if v is None else str(v)
+
+    header = [_header(v) for v in raw[0]]
+    body = raw[1:]
+    cols: dict[str, list] = {}
+    for j, name in enumerate(header):
+        vals = [r[j] if j < len(r) else None for r in body]
+        non_null = [v for v in vals if v is not None]
+        if non_null and all(isinstance(v, float) for v in non_null):
+            cols[name] = [float(v) if v is not None else None for v in vals]
+        elif non_null and all(isinstance(v, bool) for v in non_null):
+            cols[name] = vals
+        else:
+            cols[name] = [None if v is None else str(v) for v in vals]
+    return spark.createDataFrame(pd.DataFrame(cols))
 
 
 def read_netcdf(spark: SparkSession, path: str) -> DataFrame:

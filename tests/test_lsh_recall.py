@@ -1,0 +1,122 @@
+"""Empirical recall floors for every approximate similarity path
+(VERDICT r2 missing #4): each rows-only LSH/IVF query is measured
+against its exact twin on sf0.001 and must clear a stated floor, so
+"returns rows" becomes a falsifiable quality claim. Floors sit below
+the measured values (minhash 1.0, cosine-LSH 0.857, lsh_topk 0.7,
+IVF 0.5 at the registered parameters) to absorb testdata-seed drift;
+the measured number is printed for the record on every run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+    load_table,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+    dedup,
+    similarity,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+    all_queries,
+)
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    # Same shingle grain (k=3), same threshold, no stop-shingle cap on
+    # the exact side so it is the full ground truth.
+    exact = _pairs(
+        dedup.ngram_jaccard_pairs(docs, min_jaccard=0.5, max_shingle_df=None)
+    )
+    approx = _pairs(dedup.minhash_near_duplicates(docs, min_jaccard=0.5))
+    assert exact, "testdata must contain planted near-duplicates"
+    # Candidate verification computes exact Jaccard, so no false
+    # positives are possible — approx must be a subset of exact.
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    print(f"minhash recall@j>=0.5: {recall:.3f} ({len(approx)}/{len(exact)})")
+    assert recall >= 0.9
+
+
+def test_cosine_lsh_near_dup_recall(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    # Registered parameters (embedding_cosine_near_dups_lsh).
+    exact = _pairs(
+        similarity.cosine_near_dup_pairs(emb, threshold=0.45, id_col="vec_id")
+    )
+    approx = _pairs(
+        similarity.cosine_near_dup_pairs(
+            emb, threshold=0.45, id_col="vec_id", use_lsh=True, dim=64, n_planes=4
+        )
+    )
+    assert exact
+    assert approx <= exact  # exact verification after bucketing
+    recall = len(approx & exact) / len(exact)
+    print(f"cosine-LSH near-dup recall: {recall:.3f} ({len(approx)}/{len(exact)})")
+    assert recall >= 0.7
+
+
+def test_lsh_topk_recall(spark, sf_small):
+    qs = all_queries()
+    exact = {r["vec_id"] for r in qs["embedding_cosine_topk"].builder(spark, sf_small).collect()}
+    approx = {r["vec_id"] for r in qs["embedding_lsh_topk"].builder(spark, sf_small).collect()}
+    recall = len(exact & approx) / len(exact)
+    print(f"lsh_topk recall@10: {recall:.3f}")
+    assert recall >= 0.5
+
+
+def test_ivf_topk_recall(spark, sf_small):
+    qs = all_queries()
+    exact = {r["vec_id"] for r in qs["embedding_cosine_topk"].builder(spark, sf_small).collect()}
+    approx = {r["vec_id"] for r in qs["ann_ivf_topk"].builder(spark, sf_small).collect()}
+    recall = len(exact & approx) / len(exact)
+    print(f"ivf_topk recall@10 (nprobe=3/10 cells): {recall:.3f}")
+    assert recall >= 0.3
+
+
+def test_multi_table_lsh_beats_single_table(spark, sf_small):
+    # The recall knob works in the right direction: unioning candidates
+    # over more tables can only add pairs (monotone), and on this data
+    # it strictly improves over one table.
+    emb = load_table(spark, sf_small, "embeddings")
+    one = _pairs(
+        similarity.cosine_near_dup_pairs(
+            emb, threshold=0.45, id_col="vec_id", use_lsh=True,
+            dim=64, n_planes=4, n_tables=1,
+        )
+    )
+    eight = _pairs(
+        similarity.cosine_near_dup_pairs(
+            emb, threshold=0.45, id_col="vec_id", use_lsh=True,
+            dim=64, n_planes=4, n_tables=8,
+        )
+    )
+    assert one <= eight
+    assert len(eight) > len(one)
+
+
+def test_lsh_candidate_set_is_subquadratic(spark, sf_small):
+    # Scale guard: the candidate pair count must stay far below the
+    # all-pairs count — the whole point of bucketing.
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    b = similarity.hyperplane_lsh_multi(emb, dim=64, n_planes=8, n_tables=8)
+    a = b.select(F.col("vec_id").alias("id_a"), "lsh_table", "lsh_bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), "lsh_table", "lsh_bucket")
+    n_cand = (
+        a.join(c, ["lsh_table", "lsh_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) / 2
+    frac = n_cand / all_pairs
+    print(f"candidate fraction: {frac:.4f} ({n_cand}/{int(all_pairs)})")
+    assert frac < 0.2
