@@ -22,7 +22,7 @@ from ..sources import climate
 import difflib
 
 from .answer import Transport, answer
-from .resolve import fuzzy_match_phrase, keyword_lookup
+from .resolve import fuzzy_match_phrase, geocode_fallback, keyword_lookup
 from .timeparse import extract_time
 
 
@@ -252,10 +252,24 @@ class ClimateEngine:
         if not metrics:
             raise ValueError("no ERA5 metric recognized")  # era5client returns None
         cities = []
+        unresolved_proper: list[str] = []
         for word in re.findall(r"[A-Za-z]+", question):
             r = _resolve_word(word, self._cities, cutoff=0.8)
             if r and r not in cities:
                 cities.append(r)
+            elif not r and word[:1].isupper() and word.lower() not in (
+                m for metric in self._era5_metrics for m in metric.split("_")
+            ):
+                unresolved_proper.append(word)
+        # U7 rung 3: unresolved proper nouns go through the offline
+        # geocode ladder (alias table + relaxed fuzzy against the
+        # gazetteer, era5client.py:146-160) — only title-case words, so
+        # ordinary vocabulary never geocodes to a spurious city.
+        if not cities:
+            for word in unresolved_proper:
+                g = geocode_fallback(word, climate.ERA5_COUNTRIES)
+                if g and g[0] not in cities:
+                    cities.append(g[0])
         t = extract_time(question, default_year=2020)  # era5client.py:210-215
         return QuerySpec(
             dataset="era5_monthly",

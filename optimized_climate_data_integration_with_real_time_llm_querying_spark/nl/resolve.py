@@ -119,12 +119,57 @@ def resolve_one(raw_value: str, dim: DataFrame, name_col: str = "name", cutoff: 
     return next(n for n in names if n.lower() == matches[0])
 
 
+# Historical / alternate city names -> gazetteer canonical form
+# (public knowledge; the offline stand-in for what Nominatim's alias
+# database would resolve).
+CITY_ALIASES = {
+    "bombay": "Mumbai",
+    "madras": "Chennai",
+    "new delhi": "Delhi",
+    "old delhi": "Delhi",
+    "dacca": "Dhaka",
+    "chattogram": "Chittagong",
+}
+
+# Relaxed cutoff for the last rung only: strings the 0.8 fuzzy rung
+# already rejected, so a looser match is the graceful-degradation
+# behavior (mirrors the reference accepting whatever Nominatim returns).
+GEOCODE_CUTOFF = 0.6
+
+
 def geocode_fallback(city: str, allowed_countries: list[str]) -> tuple[str, str] | None:
-    """U7's last rung: Nominatim geocoding restricted to the ERA5
-    country codes (era5client.py:146-160). External network service —
-    not available here; the seam exists so a deployment can plug a
-    cached geocoder in."""
-    raise NotImplementedError(
-        "geocoding requires an external service (reference uses geopy/"
-        "Nominatim); inject a cached geocoder in deployment"
-    )
+    """U7's last rung, offline (era5client.py:146-160 uses Nominatim
+    restricted to the ERA5 country codes; no network here, so the
+    'geocoder' is the local gazetteer): alias lookup first (Bombay ->
+    Mumbai), then a relaxed fuzzy match (cutoff 0.6) against the
+    gazetteer cities of ``allowed_countries``. Returns (canonical_city,
+    country) or None — unknown spellings degrade to nearest-match
+    instead of silently dropping the city filter.
+    """
+    from ..sources import climate
+
+    candidates: dict[str, str] = {}  # lower name -> country
+    for country, cities in climate.ERA5_CITIES.items():
+        if country in allowed_countries:
+            for c in cities:
+                candidates[c.lower()] = country
+    if not candidates:
+        return None
+
+    def _canonical(lower_name: str) -> tuple[str, str]:
+        country = candidates[lower_name]
+        name = next(
+            c for c in climate.ERA5_CITIES[country] if c.lower() == lower_name
+        )
+        return name, country
+
+    key = city.strip().lower()
+    alias = CITY_ALIASES.get(key)
+    if alias and alias.lower() in candidates:
+        return _canonical(alias.lower())
+    if key in candidates:
+        return _canonical(key)
+    m = difflib.get_close_matches(key, list(candidates), n=1, cutoff=GEOCODE_CUTOFF)
+    if m:
+        return _canonical(m[0])
+    return None

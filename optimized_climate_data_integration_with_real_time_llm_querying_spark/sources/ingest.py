@@ -193,11 +193,36 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFram
     return spark.createDataFrame(pd.DataFrame(cols))
 
 
+def netcdf_table_to_df(spark: SparkSession, pdf) -> DataFrame:
+    """S4's conversion contract, separated from the xarray seam so it
+    is testable without the lib: takes the frame
+    ``xr.open_dataset(path).to_dataframe().reset_index()`` produces
+    (one row per (time, latitude, longitude) grid point, one column
+    per variable — ERA5_preprocessing.ipynb:cell2-4) and normalizes it
+    for Spark: coordinate names lower-cased, float32 variables widened
+    to double (Spark has no float32 parquet statistics worth keeping
+    at this width), exact grid coordinates preserved.
+
+    Scale path: this pandas bridge is for operational single-file
+    ingest only. A 100 TB NetCDF archive would be converted by a
+    distributed fleet (one task per file via ``spark.read.format
+    ("binaryFile")`` + a mapInPandas decode using this same contract)
+    or a DataSource V2 reader — the *output schema* is identical, so
+    downstream plans don't care which path produced it.
+    """
+    pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
+    for c in pdf.columns:
+        if str(pdf[c].dtype) == "float32":
+            pdf[c] = pdf[c].astype("float64")
+    return spark.createDataFrame(pdf)
+
+
 def read_netcdf(spark: SparkSession, path: str) -> DataFrame:
     """S4: NetCDF bridge (ERA5 .nc). Needs xarray+netcdf4 — same
-    explicit seam as read_excel. The reference's equivalent is
-    xarray.open_dataset(...).to_dataframe() (ERA5_preprocessing
-    notebook cell2-4)."""
+    explicit seam as read_excel's openpyxl path. The reference's
+    equivalent is xarray.open_dataset(...).to_dataframe()
+    (ERA5_preprocessing notebook cell2-4); the conversion contract
+    itself is :func:`netcdf_table_to_df`."""
     try:
         import xarray as xr
     except ImportError as e:
@@ -205,8 +230,7 @@ def read_netcdf(spark: SparkSession, path: str) -> DataFrame:
             "NetCDF ingest needs xarray/netcdf4 (not in this environment); "
             "pre-convert to Parquet or install them"
         ) from e
-    pdf = xr.open_dataset(path).to_dataframe().reset_index()
-    return spark.createDataFrame(pdf)
+    return netcdf_table_to_df(spark, xr.open_dataset(path).to_dataframe().reset_index())
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

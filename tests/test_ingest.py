@@ -58,6 +58,35 @@ def test_netcdf_seam(spark):
         ingest.read_netcdf(spark, "/nonexistent.nc")
 
 
+def test_netcdf_conversion_contract(spark):
+    # The xarray seam only opens the file; the conversion contract is
+    # testable without the lib. Build exactly the frame
+    # xr.open_dataset(...).to_dataframe().reset_index() yields for a
+    # 2-time x 2-lat x 2-lon ERA5 grid (float32 variables, mixed-case
+    # coordinate names) and assert the normalized Spark output.
+    import numpy as np
+    import pandas as pd
+
+    times = pd.to_datetime(["2020-01-01", "2020-02-01"]).repeat(4)
+    pdf = pd.DataFrame(
+        {
+            "time": times,
+            "Latitude": np.tile([28.5, 29.0], 4),
+            "Longitude": np.tile([77.0, 77.0, 77.5, 77.5], 2),
+            "t2m": np.arange(8, dtype="float32") + 290.0,
+        }
+    )
+    df = ingest.netcdf_table_to_df(spark, pdf)
+    assert df.columns == ["time", "latitude", "longitude", "t2m"]
+    assert dict(df.dtypes)["t2m"] == "double"
+    rows = df.orderBy("time", "latitude", "longitude").collect()
+    assert len(rows) == 8
+    assert rows[0]["t2m"] == pytest.approx(290.0)
+    # Grid coordinates survive exactly (no lossy float32 rounding of
+    # the coordinate axes).
+    assert {r["latitude"] for r in rows} == {28.5, 29.0}
+
+
 _CO2_XLSX = (
     "/root/reference/GHG_Emissions/Data Preprocessing/"
     "CO2 EMISSIONS_COUNTRY 1970-2023.xlsx"
