@@ -33,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # trivially-shaped filters that earned green driver rows in BOTH
 # rounds 1 and 2 (they stay covered by tests/test_oracle_parity.py).
 _PROMOTE = [
+    "document_chunks",  # new in round 3 — needs its first driver row
     "window_topk_per_group",
     "moving_avg_frame",
     "grouping_sets_status_year",
@@ -45,6 +46,7 @@ _PROMOTE = [
     "user_sessionization",
 ]
 _DEMOTE = [
+    "first_n_preview",
     "count_with_filter",
     "scalar_sum_year",
     "eq_filter_project",

@@ -121,8 +121,15 @@ def ngram_jaccard_pairs(
     documents before the join — the standard stop-shingle guard that
     keeps the join from going quadratic on boilerplate at corpus scale
     (a shingle in f docs yields f^2 join rows).
+
+    Shingles are xxhash64'd to 8-byte keys before any shuffle: the
+    equi-join and both aggregates move longs instead of ~3-word
+    strings (a 64-bit collision merging two shingles needs ~2^32
+    distinct shingles per doc pair to matter — negligible).
     """
-    sh = shingles(df, text_col, id_col, k)
+    sh = shingles(df, text_col, id_col, k).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -168,12 +175,19 @@ def decontaminate(
     ``min_common`` distinct k-gram shingles with any test document.
 
     Relational plan: shingle both sides, semi-join style overlap count
-    on the shingle key, anti-join the contaminated ids out. The
-    shuffle carries shingle strings once per side; the contaminated-id
-    set is tiny and broadcasts. Returns (clean, contaminated_ids).
+    on the shingle key, anti-join the contaminated ids out. Shingles
+    are xxhash64'd so the join/shuffle keys are 8-byte longs, not
+    5-word strings; the contaminated-id set is tiny and broadcasts.
+    Returns (clean, contaminated_ids).
     """
-    c_sh = shingles(corpus, text_col, id_col, k)
-    t_sh = shingles(test_set, text_col, id_col, k).select("shingle").distinct()
+    c_sh = shingles(corpus, text_col, id_col, k).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
+    t_sh = (
+        shingles(test_set, text_col, id_col, k)
+        .select(F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     contaminated = (
         c_sh.join(t_sh, "shingle")
         .groupBy(id_col)
@@ -201,9 +215,12 @@ def minhash_signatures(
     no Python. One explode + one hash-aggregate; the aggregate does
     map-side partial mins so the shuffle carries only signatures.
     Duplicate shingles don't change a min, so the dedup shuffle is
-    skipped (distinct=False).
+    skipped (distinct=False). Shingles are pre-hashed to longs so the
+    per-seed hashing and partial mins run over 8-byte keys.
     """
-    sh = shingles(df, text_col, id_col, k, distinct=False)
+    sh = shingles(df, text_col, id_col, k, distinct=False).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
         for j in range(num_hashes)
@@ -290,8 +307,15 @@ def minhash_near_duplicates(
     long-lived callers should ``result.cache_handle.unpersist()``
     after materializing the result (one-shot batch jobs can let the
     app teardown reclaim it).
+
+    Shingles are pre-hashed to 8-byte longs, so the signature mins,
+    the persisted collect_set, and the array_intersect verify all
+    operate on longs — the persisted frame holds ~8 bytes per
+    distinct shingle instead of a multi-word string.
     """
-    sh = shingles(df, text_col, id_col, k, distinct=False)
+    sh = shingles(df, text_col, id_col, k, distinct=False).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
         for j in range(num_hashes)

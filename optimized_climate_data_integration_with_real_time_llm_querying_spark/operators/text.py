@@ -122,6 +122,49 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col).cast("binary"))
 
 
+def chunk_spans(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window fitting step of a pretraining pipeline (long docs
+    become ``chunk_tokens``-sized spans striding ``chunk_tokens -
+    overlap``; the reference has no equivalent, net-new for LLM prep).
+
+    Emits (doc_id, chunk_idx, start_tok, end_tok, chunk_len) spans
+    over the whitespace-token sequence; the text itself is not
+    re-materialized (callers slice lazily, keeping the shuffle to 5
+    scalars/row). Fully relational: sequence() + explode, no UDFs, so
+    it's codegen'd and oracle-checkable. Docs with zero tokens yield
+    no chunks; docs shorter than one window yield exactly one.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    n_chunks = F.when(F.col("n_tokens") <= chunk_tokens, F.lit(1).cast("long")).otherwise(
+        F.ceil((F.col("n_tokens") - chunk_tokens) / F.lit(float(stride))).cast("long")
+        + 1
+    )
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + chunk_tokens, F.col("n_tokens"))
+    return (
+        base.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            start.alias("start_tok"),
+            end.alias("end_tok"),
+            (end - start).alias("chunk_len"),
+        )
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document analysis column set (map-only)."""
     feats = quality_features(text_col)

@@ -114,6 +114,35 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "document_chunks",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 64 THEN 1
+                  ELSE CAST(CEIL((n_tokens - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+      FROM d WHERE n_tokens > 0
+    ), e AS (
+      SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_idx FROM c
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 48 AS start_tok,
+           LEAST(chunk_idx * 48 + 64, n_tokens) AS end_tok,
+           LEAST(chunk_idx * 48 + 64, n_tokens) - chunk_idx * 48 AS chunk_len
+    FROM e
+    """,
+    doc="Overlapping token-window chunking (64-token windows, stride "
+    "48) — the context-window fitting step for pretraining; "
+    "sequence()+explode, no UDFs.",
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return text.chunk_spans(d, chunk_tokens=64, overlap=16)
+
+
+@register(
     "doc_length_buckets",
     """
     SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
