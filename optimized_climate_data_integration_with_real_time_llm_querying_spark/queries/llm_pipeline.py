@@ -283,18 +283,31 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stratified_sample_corpus",
-    None,  # xxhash64-based predicate has no cross-engine oracle
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000
+        < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                ELSE 0.2 END) * 1000000 AS BIGINT)
+    """,
     doc="Deterministic per-stratum hash-mod sampling (keep iff "
-    "xxhash64(key) mod D < D*rate): reproducible across runs and "
-    "partitionings, pushes as a plain filter, no shuffle. Rates: "
-    "src0 keep-all, src1 half, default 20%.",
+    "bucket(key) mod D < D*rate): reproducible across runs, "
+    "partitionings AND engines (md5 bucket — the DuckDB oracle "
+    "reproduces the exact keep-set), pushes as a plain filter, no "
+    "shuffle. Rates: src0 keep-all, src1 half, default 20%.",
 )
 def stratified_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import stratified_sample
 
     d = load_table(spark, sf_dir, "documents")
     return stratified_sample(
-        d, "source", {"src0": 1.0, "src1": 0.5}, key_col="doc_id", default_rate=0.2
+        d,
+        "source",
+        {"src0": 1.0, "src1": 0.5},
+        key_col="doc_id",
+        default_rate=0.2,
+        method="md5",
     ).select("doc_id", "source")
 
 
