@@ -105,6 +105,46 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+def hashed_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle: long) — k-word shingles hashed to 64 bits at the
+    source: xxhash64 over the k lead columns directly, so the shingle
+    string is never materialized, the optional distinct dedups 8-byte
+    longs instead of strings, and every downstream join/aggregate
+    shuffles longs. Same window shape (and shuffle reuse) as
+    :func:`shingles`; equal word-k-grams hash equal, so Jaccard
+    arithmetic is unchanged (modulo negligible 64-bit collisions).
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(text_col)
+    tok_rows = df.select(
+        F.col(id_col), F.size(toks).alias("n_tok"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    long_docs = (
+        tok_rows.filter(F.col("n_tok") >= k)
+        .select(
+            F.col(id_col),
+            F.xxhash64(*leads).alias("shingle"),
+            leads[-1].alias("_guard"),
+        )
+        .filter(F.col("_guard").isNotNull())
+        .drop("_guard")
+    )
+    short_docs = df.select(
+        F.col(id_col), F.xxhash64(F.concat_ws(" ", toks)).alias("shingle")
+    ).filter((F.size(toks) < k) & (F.size(toks) > 0))
+    out = long_docs.unionAll(short_docs)
+    return out.distinct() if distinct else out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -127,9 +167,7 @@ def ngram_jaccard_pairs(
     strings (a 64-bit collision merging two shingles needs ~2^32
     distinct shingles per doc pair to matter — negligible).
     """
-    sh = shingles(df, text_col, id_col, k).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
-    )
+    sh = hashed_shingles(df, text_col, id_col, k)
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -180,14 +218,8 @@ def decontaminate(
     5-word strings; the contaminated-id set is tiny and broadcasts.
     Returns (clean, contaminated_ids).
     """
-    c_sh = shingles(corpus, text_col, id_col, k).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
-    )
-    t_sh = (
-        shingles(test_set, text_col, id_col, k)
-        .select(F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-    )
+    c_sh = hashed_shingles(corpus, text_col, id_col, k)
+    t_sh = hashed_shingles(test_set, text_col, id_col, k).select("shingle").distinct()
     contaminated = (
         c_sh.join(t_sh, "shingle")
         .groupBy(id_col)
@@ -218,9 +250,7 @@ def minhash_signatures(
     skipped (distinct=False). Shingles are pre-hashed to longs so the
     per-seed hashing and partial mins run over 8-byte keys.
     """
-    sh = shingles(df, text_col, id_col, k, distinct=False).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
-    )
+    sh = hashed_shingles(df, text_col, id_col, k, distinct=False)
     aggs = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
         for j in range(num_hashes)
@@ -313,9 +343,7 @@ def minhash_near_duplicates(
     operate on longs — the persisted frame holds ~8 bytes per
     distinct shingle instead of a multi-word string.
     """
-    sh = shingles(df, text_col, id_col, k, distinct=False).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
-    )
+    sh = hashed_shingles(df, text_col, id_col, k, distinct=False)
     aggs = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
         for j in range(num_hashes)
