@@ -383,23 +383,25 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """64-bit SimHash per document from token xxhash64s.
 
     bit_i(sig) = 1 iff sum over tokens of (+1 if bit_i(hash)=1 else -1)
-    is positive. Implemented as 64 conditional sums in one hash
-    aggregate — wide but fully codegen'd, no UDF.
+    is positive — computed branchlessly as 2*sum(bit_i) > n_tokens.
+    The token hash is projected ONCE before the aggregate (not inlined
+    into all 64 sums, which would lean on codegen CSE), and each sum
+    is plain shift/mask arithmetic — wide but fully codegen'd, no UDF.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    h = F.xxhash64(F.col("token"))
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token")).select(
+        F.col(id_col), F.xxhash64("token").alias("h")
+    )
     bit_sums = [
-        F.sum(
-            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"bs_{i}")
+        F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"bs_{i}")
         for i in range(64)
     ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
+    agg = tok.groupBy(id_col).agg(*bit_sums, F.count(F.lit(1)).alias("n_tok"))
     sig = None
     for i in range(64):
-        bit = F.when(F.col(f"bs_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"bs_{i}") * 2 > F.col("n_tok"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
