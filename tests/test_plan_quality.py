@@ -48,6 +48,38 @@ def test_plan_shape(spark, sf_oracle, name, pattern):
     assert re.search(pattern, plan), f"{name}: expected /{pattern}/ in plan"
 
 
+def test_ngram_jaccard_guard_and_key_shape(spark, sf_oracle):
+    # The stop-shingle DF cap must stay a semi-join ahead of the
+    # self-join, and shingle shuffle keys must be source-hashed longs:
+    # every hashpartitioning key is an id or a long-typed shingle
+    # hash, never the multi-word shingle string.
+    plan = plan_of(spark, sf_oracle, "ngram_jaccard_top_pairs")
+    assert "LeftSemi" in plan
+    assert "xxhash64" in plan
+    for m in re.finditer(r"hashpartitioning\(([^)#]*)#\d+([a-zA-Z]*)", plan):
+        assert m.group(2) != "", f"untyped partition key: {m.group(0)}"
+        assert m.group(2) == "L", f"non-long shuffle key: {m.group(0)}"
+
+
+def test_document_chunks_stays_map_side(spark, sf_oracle):
+    # Chunking is explode over a generated sequence: one scan, no
+    # operator-induced shuffle (only the test-fixture round-robin
+    # rebalance), no Python.
+    plan = plan_of(spark, sf_oracle, "document_chunks")
+    assert "Generate explode" in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_stratified_sample_pushes_as_filter(spark, sf_oracle):
+    # Sampling must stay a map-side filter: no shuffle, no aggregate.
+    plan = plan_of(spark, sf_oracle, "stratified_sample_corpus")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
 def test_no_cartesian_in_relational_joins(spark, sf_oracle):
     # Cross joins are reserved for the single-row query-vector
     # broadcast; fact-fact joins must be hash/sort-merge.
