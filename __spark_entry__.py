@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rounds 1 and 2 (they stay covered by tests/test_oracle_parity.py).
 _PROMOTE = [
     "document_chunks",  # new in round 3 — needs its first driver row
+    "embedding_quantize_int8",  # new in round 3
     "window_topk_per_group",
     "moving_avg_frame",
     "grouping_sets_status_year",
@@ -46,6 +47,7 @@ _PROMOTE = [
     "user_sessionization",
 ]
 _DEMOTE = [
+    "topk_orders",
     "first_n_preview",
     "count_with_filter",
     "scalar_sum_year",

@@ -143,6 +143,30 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(CASE WHEN maxabs = 0 THEN 0
+               ELSE ROUND(CAST(x AS DOUBLE) * 127.0 / maxabs) END AS TINYINT)) AS q,
+           ROUND(maxabs / 127.0, 6) AS scale
+    FROM m
+    """,
+    doc="Symmetric per-vector int8 quantization (scale = max|x|/127): "
+    "4x smaller vectors for billion-scale similarity corpora; pure "
+    "array expressions, cosine error bounded in tests/"
+    "test_quantization.py.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return similarity.quantize_int8(e)
+
+
+@register(
     "doc_length_buckets",
     """
     SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
