@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PROMOTE = [
     "document_chunks",  # new in round 3 — needs its first driver row
     "embedding_quantize_int8",  # new in round 3
+    "embedding_cosine_topk_int8",  # new in round 3
     "window_topk_per_group",
     "moving_avg_frame",
     "grouping_sets_status_year",
@@ -47,6 +48,7 @@ _PROMOTE = [
     "user_sessionization",
 ]
 _DEMOTE = [
+    "group_mean_monthly",
     "topk_orders",
     "first_n_preview",
     "count_with_filter",

@@ -167,6 +167,24 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cosine_topk_int8",
+    None,  # quantized scores differ in low decimals -> rows-only; recall
+    # floor vs the exact float twin pinned in tests/test_quantization.py
+    doc="Exact top-k over int8-quantized vectors: cosine is scale-"
+    "invariant, so ranking quantized vectors equals ranking "
+    "dequantized ones — the search-over-compressed-storage path. "
+    "Same TakeOrderedAndProject shape as the float twin.",
+)
+def embedding_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q8 = similarity.quantize_int8(e)
+    query = q8.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("q_vec")
+    )
+    return similarity.cosine_topk(q8, query, k=10, vec_col="q")
+
+
+@register(
     "doc_length_buckets",
     """
     SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,

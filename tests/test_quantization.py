@@ -47,6 +47,22 @@ def test_cosine_distortion_bounded(spark, sf_small):
     assert stats["avg"] > 0.999
 
 
+def test_int8_topk_recall_vs_float(spark, sf_small):
+    # Cosine is scale-invariant, so ranking over quantized vectors
+    # differs from the float ranking only by quantization error —
+    # recall@10 must be near-perfect.
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    exact = {r["vec_id"] for r in qs["embedding_cosine_topk"].builder(spark, sf_small).collect()}
+    quant = {r["vec_id"] for r in qs["embedding_cosine_topk_int8"].builder(spark, sf_small).collect()}
+    recall = len(exact & quant) / len(exact)
+    print(f"int8 topk recall@10: {recall:.3f}")
+    assert recall >= 0.9
+
+
 def test_zero_vector_safe(spark):
     df = spark.createDataFrame(
         [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 0.0])],
