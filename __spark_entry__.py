@@ -36,6 +36,7 @@ _PROMOTE = [
     "document_chunks",  # new in round 3 — needs its first driver row
     "embedding_quantize_int8",  # new in round 3
     "embedding_cosine_topk_int8",  # new in round 3
+    "curation_end_to_end",  # new in round 3
     "window_topk_per_group",
     "moving_avg_frame",
     "grouping_sets_status_year",
@@ -48,6 +49,7 @@ _PROMOTE = [
     "user_sessionization",
 ]
 _DEMOTE = [
+    "null_safe_equality",
     "group_mean_monthly",
     "topk_orders",
     "first_n_preview",

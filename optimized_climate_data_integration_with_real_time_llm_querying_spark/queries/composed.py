@@ -108,6 +108,39 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_end_to_end",
+    None,  # MinHash stage is hash-randomized -> rows-only; each stage
+    # has its own oracle/bound elsewhere (corpus_filter_pipeline,
+    # decontaminate_corpus, minhash recall floor, document_chunks)
+    doc="The full pretraining-curation DAG as ONE lazy plan: held-out "
+    "split -> quality gate -> exact dedup -> MinHash near-dup removal "
+    "(keep min id per pair) -> decontamination against the held-out "
+    "set -> token-window chunking. Demonstrates that every operator "
+    "composes without materialization barriers (the MinHash persist "
+    "is the single deliberate reuse point).",
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..operators.text import chunk_spans, quality_features
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    # Held-out "eval" split by stable key arithmetic (not random).
+    heldout = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+
+    gated = corpus.filter(quality_features("text")["alpha_ratio"] >= 0.5)
+    uniq = dedup.drop_exact_duplicates(gated)
+
+    near = dedup.minhash_near_duplicates(uniq, min_jaccard=0.5)
+    # Keep the lexicographically-first member of each near-dup pair.
+    drop_ids = near.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = uniq.join(drop_ids, "doc_id", "left_anti")
+
+    clean, _ = dedup.decontaminate(deduped, heldout)
+    return chunk_spans(clean, chunk_tokens=64, overlap=16)
+
+
+@register(
     "salted_agg_equivalence",
     """
     SELECT l_returnflag,
