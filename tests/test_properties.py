@@ -112,3 +112,38 @@ def test_sample_is_partitioning_invariant(docs):
         .collect()
     )
     assert base == shuffled
+
+
+# ---------------------------------------------------------------- chunk spans
+
+
+def _expected_spans(n_tokens: int, chunk: int, overlap: int) -> list[tuple[int, int]]:
+    """Pure-Python mirror of chunk_spans' arithmetic."""
+    import math as m
+
+    if n_tokens <= 0:
+        return []
+    stride = chunk - overlap
+    n_chunks = 1 if n_tokens <= chunk else m.ceil((n_tokens - chunk) / stride) + 1
+    return [(i * stride, min(i * stride + chunk, n_tokens)) for i in range(n_chunks)]
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=5000),
+    chunk=st.integers(min_value=2, max_value=512),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_span_arithmetic_invariants(n_tokens, chunk, data):
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    spans = _expected_spans(n_tokens, chunk, overlap)
+    if n_tokens == 0:
+        assert spans == []
+        return
+    # Full coverage, in order, within bounds, budget respected.
+    assert spans[0][0] == 0 and spans[-1][1] == n_tokens
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert s1 == e0 - overlap  # exact stride (== e0 when overlap=0)
+        assert s1 <= e0  # never a gap
+    for s, e in spans:
+        assert 0 < e - s <= chunk
