@@ -57,7 +57,10 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        # double, not float32: the featurizer's dyadic rationals
+        # (uint32/2^32) are exact in double, which lets an external
+        # oracle reproduce them bit-for-bit (media_feature_extract).
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 

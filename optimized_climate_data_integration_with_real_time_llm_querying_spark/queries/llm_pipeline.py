@@ -185,6 +185,31 @@ def embedding_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_feature_extract",
+    """
+    WITH h AS (SELECT doc_id, sha256(sha256(text)) AS fh FROM documents)
+    SELECT doc_id, 64 AS n_bytes,
+           list_transform(range(0, 8),
+               i -> CAST(('0x' || substr(fh, CAST(i*8+1 AS INT), 8)) AS BIGINT)
+                    / 4294967296.0) AS features
+    FROM h
+    """,
+    doc="Multimodal plumbing under the correctness gate: synthesize "
+    "binary media payloads from documents, run the Arrow-batched "
+    "mapInPandas featurizer (deterministic sha256 stand-in for a "
+    "vision encoder), and hash-compare the Python-boundary output "
+    "against DuckDB recomputing the same bytes — the mapInPandas "
+    "batch/schema contract itself is what's being checked.",
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    media = multimodal.synthesize_media(d)
+    return multimodal.extract_features(media)
+
+
+@register(
     "doc_length_buckets",
     """
     SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
