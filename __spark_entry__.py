@@ -38,6 +38,7 @@ _PROMOTE = [
     "embedding_cosine_topk_int8",  # new in round 3
     "curation_end_to_end",  # new in round 3
     "media_feature_extract",  # new in round 3
+    "corpus_train_val_test",  # new in round 3
     "window_topk_per_group",
     "moving_avg_frame",
     "grouping_sets_status_year",
@@ -50,6 +51,7 @@ _PROMOTE = [
     "user_sessionization",
 ]
 _DEMOTE = [
+    "queryspec_group_agg",
     "json_extract_props",
     "null_safe_equality",
     "group_mean_monthly",

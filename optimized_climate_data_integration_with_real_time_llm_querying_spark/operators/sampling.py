@@ -37,6 +37,33 @@ def md5_bucket(key: Column, seed: int = 0) -> Column:
     return F.pmod(F.conv(hexpart, 16, 10).cast("long"), F.lit(_DENOM))
 
 
+def split_corpus(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 bucket of the
+    key falls into consecutive ranges sized by ``weights`` (must sum
+    to <= 1; any remainder is unassigned and dropped). Engine-
+    reproducible (see :func:`md5_bucket`), stable under repartitioning
+    and incremental arrival — a late-arriving document always lands in
+    the same split, the property random splits lose on reruns.
+    Adds a ``split`` column; one map-side expression, no shuffle."""
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    bucket = md5_bucket(F.col(key_col), seed)
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        hi = lo + int(w * _DENOM)
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr).filter(F.col("split").isNotNull())
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -379,6 +379,35 @@ def stratified_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_train_val_test",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 900000 THEN 'train'
+                WHEN bucket < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Deterministic 90/5/5 train/val/test split via md5-bucket "
+    "ranges: engine-reproducible (oracle recomputes the exact "
+    "assignment), stable under repartitioning and incremental "
+    "arrival; map-side only.",
+)
+def corpus_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import split_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return split_corpus(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "source", "split")
+
+
+@register(
     "tfidf_top_terms",
     r"""
     WITH tok AS (

@@ -147,3 +147,34 @@ def test_chunk_span_arithmetic_invariants(n_tokens, chunk, data):
         assert s1 <= e0  # never a gap
     for s, e in spans:
         assert 0 < e - s <= chunk
+
+
+# ---------------------------------------------------------------- corpus split
+
+
+def test_split_corpus_partitions_and_proportions(spark, sf_small):
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+        load_table,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.sampling import (
+        split_corpus,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    n = d.count()
+    out = split_corpus(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    # Weights sum to 1 -> a full partition: every doc in exactly one split.
+    assert out.count() == n
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / n > 0.8  # 90% nominal, hash noise at n=500
+    # Deterministic: a second evaluation assigns identically.
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_corpus(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}).collect()
+    )
+    assert a == b
+    # Remainder is dropped when weights sum below 1.
+    half = split_corpus(d, "doc_id", {"train": 0.5})
+    assert 0 < half.count() < n
