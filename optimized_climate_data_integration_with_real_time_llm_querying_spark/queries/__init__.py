@@ -8,6 +8,44 @@ driver hash-compares builder output against the oracle at sf=0.01
 (order-insensitive, column-name-sorted), so builders alias every
 computed column to exactly the oracle's alias and keep float outputs
 rounded.
+
+ORACLE-HYGIENE RULES (cross-engine canonicalization)
+====================================================
+Every red driver row so far has been a violation of one of these, not
+an engine bug. Check ALL of them before registering a query:
+
+1. **Integer aggregates: cast DuckDB sums back to BIGINT.** DuckDB
+   ``SUM(int)`` returns HUGEINT (int128), which pandas canonicalizes
+   to float64 — ``1.0`` vs Spark's ``1`` hash-mismatches even though
+   the values are equal. Always ``CAST(SUM(x) AS BIGINT)`` in the
+   oracle. (Bit r3: user_sessionization.)
+2. **FLOOR before double→int casts.** Spark ``CAST(double AS INT)``
+   truncates toward zero; DuckDB rounds. Apply ``FLOOR`` (or
+   ``ROUND``) explicitly on BOTH sides so the semantics are pinned.
+3. **Timestamps leave as DATE or epoch-µs BIGINT.** Raw timestamp
+   stringification differs between engines (tz suffix, ns precision);
+   ``CAST(x AS DATE)`` or ``epoch_us(x)`` / ``unix_micros(x)`` are
+   stable.
+4. **Doubles are ROUNDed identically on both sides** — 2 dp for
+   money, 4–6 dp for ratios/similarities — and any ORDER BY ...
+   LIMIT carries a unique-key tie-break so the kept rows are
+   deterministic.
+5. **No array/struct/map columns in registered output.** The driver
+   canonicalizer sorts via pandas ``sort_values`` over all columns,
+   which factorizes cell values — ``list`` cells raise ``TypeError:
+   unhashable type``. Explode to scalar rows (Spark ``posexplode`` /
+   DuckDB ``unnest(range(...))`` + subscript) or hash the array to a
+   string on both sides. (Bit r3: embedding_quantize_int8,
+   media_feature_extract.)
+6. **Hash/bucket logic uses the md5 trick, not xxhash64.** DuckDB
+   ``CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)`` equals Spark
+   ``conv(substring(md5(x), 1, 8), 16, 10)`` (md5 needs
+   ``.cast("binary")`` on the Spark side). xxhash64 has no DuckDB
+   twin — queries built on it are rows-only forever.
+7. **DuckDB ``range()`` cannot lateral-reference columns** in the
+   FROM clause — use ``unnest(range(0, col))`` in the SELECT list of
+   a subquery instead; constant-bound ``FROM t, range(a, b) i`` is
+   fine.
 """
 
 from __future__ import annotations
@@ -30,7 +68,12 @@ _REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: add a builder to the global registry."""
+    """Decorator: add a builder to the global registry.
+
+    Before writing an ``oracle`` string, read the ORACLE-HYGIENE
+    RULES in this module's docstring — every driver red row to date
+    was a violation of one of the seven rules, not an engine bug.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         _REGISTRY[name] = Query(name, fn, oracle, doc)

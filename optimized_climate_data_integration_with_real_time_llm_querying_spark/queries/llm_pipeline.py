@@ -149,21 +149,34 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
       FROM embeddings
+    ), e AS (
+      SELECT vec_id, embedding, maxabs,
+             unnest(range(0, len(embedding))) AS idx
+      FROM m
     )
     SELECT vec_id,
-           list_transform(embedding, x -> CAST(CASE WHEN maxabs = 0 THEN 0
-               ELSE ROUND(CAST(x AS DOUBLE) * 127.0 / maxabs) END AS TINYINT)) AS q,
+           CAST(idx AS INTEGER) AS idx,
+           CAST(CASE WHEN maxabs = 0 THEN 0
+                ELSE ROUND(CAST(embedding[CAST(idx + 1 AS BIGINT)] AS DOUBLE)
+                           * 127.0 / maxabs) END AS TINYINT) AS q_val,
            ROUND(maxabs / 127.0, 6) AS scale
-    FROM m
+    FROM e
     """,
     doc="Symmetric per-vector int8 quantization (scale = max|x|/127): "
     "4x smaller vectors for billion-scale similarity corpora; pure "
     "array expressions, cosine error bounded in tests/"
-    "test_quantization.py.",
+    "test_quantization.py. Registered output is the EXPLODED scalar "
+    "form (vec_id, idx, q_val, scale) — the driver canonicalizer "
+    "cannot hash array cells (oracle-hygiene rule 5, queries/"
+    "__init__.py); engine callers get the array form from "
+    "operators.similarity.quantize_int8.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    return similarity.quantize_int8(e)
+    q8 = similarity.quantize_int8(e)
+    return q8.select(
+        "vec_id", F.posexplode("q").alias("idx", "q_val"), "scale"
+    )
 
 
 @register(
@@ -189,24 +202,31 @@ def embedding_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (SELECT doc_id, sha256(sha256(text)) AS fh FROM documents)
     SELECT doc_id, 64 AS n_bytes,
-           list_transform(range(0, 8),
-               i -> CAST(('0x' || substr(fh, CAST(i*8+1 AS INT), 8)) AS BIGINT)
-                    / 4294967296.0) AS features
-    FROM h
+           CAST(i.range AS INTEGER) AS i,
+           CAST(('0x' || substr(fh, CAST(i.range * 8 + 1 AS INT), 8)) AS BIGINT)
+               / 4294967296.0 AS feature
+    FROM h, range(0, 8) i
     """,
     doc="Multimodal plumbing under the correctness gate: synthesize "
     "binary media payloads from documents, run the Arrow-batched "
     "mapInPandas featurizer (deterministic sha256 stand-in for a "
     "vision encoder), and hash-compare the Python-boundary output "
     "against DuckDB recomputing the same bytes — the mapInPandas "
-    "batch/schema contract itself is what's being checked.",
+    "batch/schema contract itself is what's being checked. Registered "
+    "output is the EXPLODED scalar form (doc_id, n_bytes, i, feature) "
+    "— no array columns reach the driver (oracle-hygiene rule 5, "
+    "queries/__init__.py); engine callers get array features from "
+    "operators.multimodal.extract_features.",
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
     d = load_table(spark, sf_dir, "documents", rebalance=True)
     media = multimodal.synthesize_media(d)
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("features").alias("i", "feature")
+    )
 
 
 @register(

@@ -60,7 +60,7 @@ def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id,
-           SUM(new_session) AS n_sessions,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
            COUNT(*)         AS n_events
     FROM gaps
     GROUP BY user_id
