@@ -49,19 +49,40 @@ def split_corpus(
     reproducible (see :func:`md5_bucket`), stable under repartitioning
     and incremental arrival — a late-arriving document always lands in
     the same split, the property random splits lose on reruns.
-    Adds a ``split`` column; one map-side expression, no shuffle."""
+    Adds a ``split`` column; one map-side expression, no shuffle.
+
+    Interior boundaries use ``round(w * _DENOM)`` and, when the
+    weights sum to 1, the last split's upper bound is pinned to
+    ``_DENOM`` — so inexact weights (e.g. three 1/3 splits, whose
+    truncated ranges would end at 999_999) cannot silently drop the
+    top bucket: every row lands in exactly one split."""
+    bucket = md5_bucket(F.col(key_col), seed)
+    expr = None
+    for name, lo, hi in split_bounds(weights):
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr).filter(F.col("split").isNotNull())
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int, int]]:
+    """Consecutive half-open bucket ranges [lo, hi) for each split.
+    Interior boundaries round (not truncate), and when the weights sum
+    to 1 the final range's upper bound is pinned to ``_DENOM`` so
+    inexact weights can't leave an uncovered top bucket."""
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"weights sum to {total} > 1")
-    bucket = md5_bucket(F.col(key_col), seed)
-    expr = None
+    bounds = []
     lo = 0
-    for name, w in weights.items():
-        hi = lo + int(w * _DENOM)
-        cond = (bucket >= lo) & (bucket < hi)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        if i == len(items) - 1 and abs(total - 1.0) <= 1e-9:
+            hi = _DENOM
+        else:
+            hi = lo + round(w * _DENOM)
+        bounds.append((name, lo, hi))
         lo = hi
-    return df.withColumn("split", expr).filter(F.col("split").isNotNull())
+    return bounds
 
 
 def stratified_sample(

@@ -269,7 +269,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     None,  # approximate two-stage search -> rows-only
     doc="IVF-style ANN: coarse-quantize by per-label centroids, probe "
-    "the nprobe=2 nearest cells, brute-force only those cells. The "
+    "the nprobe=3 nearest cells, brute-force only those cells. The "
     "candidate scan shrinks ~label_count/nprobe-fold (recall floor measured in tests/test_lsh_recall.py); centroid scoring "
     "touches only centroids. 100 TB path alongside hyperplane LSH.",
 )

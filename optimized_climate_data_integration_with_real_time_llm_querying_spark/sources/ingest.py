@@ -121,8 +121,14 @@ def _xlsx_rows(path: str, sheet: str | int = 0) -> list[list]:
         width = 0
         for row in ET.fromstring(z.read(target)).iter(f"{_XLSX_NS}row"):
             cells: dict[int, object] = {}
+            # The r= cell reference is OPTIONAL in OOXML: writers may
+            # emit bare <c> elements meaning "next column". Track a
+            # running index so such cells aren't dropped at key -1.
+            next_i = 0
             for c in row.findall(f"{_XLSX_NS}c"):
-                i = _col_index(c.get("r", ""))
+                ref = c.get("r")
+                i = _col_index(ref) if ref else next_i
+                next_i = i + 1
                 t = c.get("t", "n")
                 v = c.find(f"{_XLSX_NS}v")
                 if t == "inlineStr":

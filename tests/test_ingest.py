@@ -130,6 +130,43 @@ def test_excel_matches_sqlite_side(spark):
         assert xl[a3]["Y_2023"] == pytest.approx(y2023)
 
 
+def test_xlsx_cells_without_references(tmp_path):
+    """The r= cell reference is optional in OOXML — writers may emit
+    bare <c> elements meaning "next column". The stdlib reader must
+    place those at the running column index, not drop them at -1."""
+    import zipfile
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.ingest import (
+        _xlsx_rows,
+    )
+
+    path = str(tmp_path / "bare_cells.xlsx")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{rns}">'
+            f'<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            # Row 1: no references at all -> columns 0, 1, 2.
+            '<row><c><v>1</v></c><c><v>2</v></c><c><v>3</v></c></row>'
+            # Row 2: explicit B2, then a bare cell -> column C (index 2).
+            '<row r="2"><c r="B2"><v>20</v></c><c><v>30</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    rows = _xlsx_rows(path)
+    assert rows == [[1.0, 2.0, 3.0], [None, 20.0, 30.0]]
+
+
 def test_partitioned_sink_prunes(spark, tmp_path):
     from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources import (
         climate,

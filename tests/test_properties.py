@@ -178,3 +178,35 @@ def test_split_corpus_partitions_and_proportions(spark, sf_small):
     # Remainder is dropped when weights sum below 1.
     half = split_corpus(d, "doc_id", {"train": 0.5})
     assert 0 < half.count() < n
+
+
+def test_split_bounds_inexact_weights_cover_every_bucket():
+    """Three 1/3 weights don't multiply to an exact bucket count:
+    truncation would end the last range at 999_999 and silently drop
+    any doc hashing into the top bucket. The last split's upper bound
+    is pinned to the denominator when weights sum to 1."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.sampling import (
+        _DENOM,
+        split_bounds,
+    )
+
+    for weights in (
+        {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3},
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        {"x": 0.7, "y": 0.2, "z": 0.1},
+    ):
+        bounds = split_bounds(weights)
+        # Contiguous from 0 and covering the full bucket space.
+        assert bounds[0][1] == 0 and bounds[-1][2] == _DENOM
+        for (_, _, hi_prev), (_, lo, _) in zip(bounds, bounds[1:]):
+            assert hi_prev == lo
+    # The registered 90/5/5 oracle hard-codes 900000/950000 boundaries;
+    # keep the engine's arithmetic pinned to them.
+    assert split_bounds({"train": 0.9, "val": 0.05, "test": 0.05}) == [
+        ("train", 0, 900000),
+        ("val", 900000, 950000),
+        ("test", 950000, 1000000),
+    ]
+    # Sub-1 totals keep a genuine remainder gap.
+    partial = split_bounds({"train": 0.5})
+    assert partial == [("train", 0, 500000)]
