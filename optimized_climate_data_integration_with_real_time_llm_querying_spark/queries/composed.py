@@ -111,7 +111,9 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_end_to_end",
     None,  # MinHash stage is hash-randomized -> rows-only; each stage
     # has its own oracle/bound elsewhere (corpus_filter_pipeline,
-    # decontaminate_corpus, minhash recall floor, document_chunks)
+    # decontaminate_corpus, minhash recall floor, document_chunks),
+    # and curation_end_to_end_exact runs the same DAG with the
+    # MinHash stage swapped for exact dedup under a full oracle
     doc="The full pretraining-curation DAG as ONE lazy plan: held-out "
     "split -> quality gate -> exact dedup -> MinHash near-dup removal "
     "(keep min id per pair) -> decontamination against the held-out "
@@ -137,6 +139,97 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = uniq.join(drop_ids, "doc_id", "left_anti")
 
     clean, _ = dedup.decontaminate(deduped, heldout)
+    return chunk_spans(clean, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "curation_end_to_end_exact",
+    r"""
+    WITH heldout AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    ), gated AS (
+      SELECT doc_id, text FROM corpus
+      WHERE ROUND(len(regexp_extract_all(text, '[A-Za-z]'))
+            / CAST(GREATEST(length(text), 1) AS DOUBLE), 4) >= 0.5
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM gated
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ), uniq AS (
+      SELECT g.doc_id, g.text FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+    ), ctoks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM uniq WHERE trim(text) <> ''
+    ), csh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+          FROM ctoks WHERE len(t) >= 5
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM ctoks WHERE len(t) < 5
+      ) WHERE sh <> ''
+    ), htoks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM heldout WHERE trim(text) <> ''
+    ), hsh AS (
+      SELECT DISTINCT sh FROM (
+        SELECT array_to_string(t[i:i+4], ' ') AS sh
+        FROM (
+          SELECT t, unnest(range(1, len(t) - 3)) AS i
+          FROM htoks WHERE len(t) >= 5
+        )
+        UNION ALL
+        SELECT array_to_string(t, ' ') AS sh FROM htoks WHERE len(t) < 5
+      ) WHERE sh <> ''
+    ), contaminated AS (
+      SELECT DISTINCT c.doc_id FROM csh c JOIN hsh h ON c.sh = h.sh
+    ), clean AS (
+      SELECT u.doc_id, u.text FROM uniq u
+      WHERE u.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), dtok AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens
+      FROM clean
+    ), chunked AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 64 THEN 1
+                  ELSE CAST(CEIL((n_tokens - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+      FROM dtok WHERE n_tokens > 0
+    ), e AS (
+      SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_idx FROM chunked
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 48 AS start_tok,
+           LEAST(chunk_idx * 48 + 64, n_tokens) AS end_tok,
+           LEAST(chunk_idx * 48 + 64, n_tokens) - chunk_idx * 48 AS chunk_len
+    FROM e
+    """,
+    doc="The curation DAG made falsifiable end-to-end (VERDICT r3 next "
+    "#3): the same composition as curation_end_to_end with the "
+    "hash-randomized MinHash stage swapped for exact dedup — "
+    "held-out split -> quality gate -> exact dedup -> decontaminate "
+    "-> chunk — so the WHOLE pipeline is deterministic and the "
+    "oracle recomputes every stage in SQL. The MinHash variant stays "
+    "registered alongside (rows-only, each stage bounded "
+    "separately).",
+)
+def curation_end_to_end_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..operators.text import chunk_spans, quality_features
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    heldout = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    gated = corpus.filter(quality_features("text")["alpha_ratio"] >= 0.5)
+    uniq = dedup.drop_exact_duplicates(gated)
+    clean, _ = dedup.decontaminate(uniq, heldout)
     return chunk_spans(clean, chunk_tokens=64, overlap=16)
 
 
