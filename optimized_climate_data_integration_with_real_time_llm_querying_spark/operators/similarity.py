@@ -169,6 +169,45 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def exploded_pairwise_cosine(
+    pairs: DataFrame,
+    vec_a: str = "vec_a",
+    vec_b: str = "vec_b",
+    key_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Codegen'd cosine for (id_a, id_b, vec_a, vec_b) pair rows:
+    posexplode(arrays_zip(a, b)) -> elementwise products -> partial+
+    final sum per pair. No higher-order-function lambdas anywhere —
+    HOFs (aggregate/zip_with/transform) evaluate INTERPRETED in Spark,
+    measured 3-8x slower than codegen in this environment (the same
+    reason dedup.shingles left HOFs, dedup.py:74-77). The explode
+    multiplies rows by dim, but map-side partial aggregation collapses
+    each pair back to one row before the (id_a, id_b) shuffle, so at
+    high candidate volumes (the LSH verify stage at 100 TB) the
+    shuffle still carries one scalar row per pair.
+
+    Returns (*key_cols, cosine_sim) rounded to 6 dp — identical to
+    ``round(cosine(a, b), 6)``; equality of the two paths is asserted
+    in tests/test_lsh_recall.py.
+    """
+    z = pairs.select(
+        *key_cols,
+        F.posexplode(F.arrays_zip(F.col(vec_a).alias("a"), F.col(vec_b).alias("b"))).alias(
+            "i", "z"
+        ),
+    ).select(
+        *key_cols,
+        (F.col("z.a").cast("double") * F.col("z.b").cast("double")).alias("ab"),
+        (F.col("z.a").cast("double") * F.col("z.a").cast("double")).alias("aa"),
+        (F.col("z.b").cast("double") * F.col("z.b").cast("double")).alias("bb"),
+    )
+    return z.groupBy(*key_cols).agg(
+        F.round(
+            F.sum("ab") / F.sqrt(F.sum("aa") * F.sum("bb")), 6
+        ).alias("cosine_sim")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -178,6 +217,7 @@ def cosine_near_dup_pairs(
     dim: int | None = None,
     n_planes: int = 8,
     n_tables: int = 8,
+    verify: str = "hof",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >=
     threshold).
@@ -188,7 +228,18 @@ def cosine_near_dup_pairs(
     generated only within a (table, bucket) cell, deduped on the id
     pair across tables, then verified exactly. Sub-quadratic; recall
     1-(1-p^n_planes)^n_tables, measured in tests/test_lsh_recall.py.
+
+    ``verify``: how the exact cosine on candidate pairs is computed.
+    'hof' (default) keeps the map-side aggregate/zip_with lambda form
+    — zero shuffle, fine at moderate candidate volumes; 'exploded'
+    switches to :func:`exploded_pairwise_cosine` (posexplode +
+    partial/final agg, fully codegen'd, one tiny extra shuffle) — the
+    escape hatch when HOF interpretation shows up in a profile at
+    high verify volumes. Both produce identical values (asserted in
+    tests/test_lsh_recall.py).
     """
+    if verify not in ("hof", "exploded"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     if use_lsh:
         if dim is None:
             raise ValueError("use_lsh=True requires dim")
@@ -208,12 +259,14 @@ def cosine_near_dup_pairs(
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
         c = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
         pairs = a.crossJoin(c).filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn(
+    if verify == "exploded":
+        scored = exploded_pairwise_cosine(pairs)
+    else:
+        scored = pairs.withColumn(
             "cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
         )
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
+    return scored.filter(F.col("cosine_sim") >= threshold).select(
+        "id_a", "id_b", "cosine_sim"
     )
 
 

@@ -62,6 +62,36 @@ def test_cosine_lsh_near_dup_recall(spark, sf_small):
     assert recall >= 0.7
 
 
+def test_exploded_verify_agrees_with_hof(spark, sf_small):
+    """The codegen'd posexplode+agg cosine (verify='exploded') must
+    produce the SAME pairs and 6-dp scores as the HOF-lambda form, in
+    both exact and LSH candidate modes — it's a physical-plan escape
+    hatch (VERDICT r3 next #5), not a semantic variant."""
+    emb = load_table(spark, sf_small, "embeddings")
+
+    def rows(df):
+        return sorted((r["id_a"], r["id_b"], r["cosine_sim"]) for r in df.collect())
+
+    hof = similarity.cosine_near_dup_pairs(emb, threshold=0.45, id_col="vec_id")
+    expl = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.45, id_col="vec_id", verify="exploded"
+    )
+    assert rows(hof) == rows(expl)
+    hof_lsh = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.45, id_col="vec_id", use_lsh=True, dim=64, n_planes=4
+    )
+    expl_lsh = similarity.cosine_near_dup_pairs(
+        emb,
+        threshold=0.45,
+        id_col="vec_id",
+        use_lsh=True,
+        dim=64,
+        n_planes=4,
+        verify="exploded",
+    )
+    assert rows(hof_lsh) == rows(expl_lsh)
+
+
 def test_lsh_topk_recall(spark, sf_small):
     qs = all_queries()
     exact = {r["vec_id"] for r in qs["embedding_cosine_topk"].builder(spark, sf_small).collect()}

@@ -80,6 +80,32 @@ def test_stratified_sample_pushes_as_filter(spark, sf_oracle):
     assert "HashAggregate" not in plan
 
 
+def test_exploded_cosine_verify_has_no_hof(spark, sf_oracle):
+    # Higher-order functions (aggregate/zip_with lambdas) evaluate
+    # interpreted — the 'exploded' verify path must compile to pure
+    # codegen: posexplode Generate + two-phase aggregate, with NO
+    # lambdafunction anywhere in the plan. The default HOF path keeps
+    # lambdas (sanity check that the marker detects them).
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+        load_table,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    expl = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.45, id_col="vec_id", verify="exploded"
+    )
+    plan = expl._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan.lower()
+    assert "posexplode" in plan
+    assert "partial" in plan  # map-side partial agg before the pair shuffle
+    hof = similarity.cosine_near_dup_pairs(emb, threshold=0.45, id_col="vec_id")
+    hof_plan = hof._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" in hof_plan.lower()
+
+
 def test_no_cartesian_in_relational_joins(spark, sf_oracle):
     # Cross joins are reserved for the single-row query-vector
     # broadcast; fact-fact joins must be hash/sort-merge.
