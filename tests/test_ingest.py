@@ -87,6 +87,49 @@ def test_netcdf_conversion_contract(spark):
     assert {r["latitude"] for r in rows} == {28.5, 29.0}
 
 
+def test_netcdf_golden_era5_schema(spark):
+    """Golden fixture for the S4 seam (VERDICT r3 next #7): the exact
+    column/dtype contract of xr.open_dataset(...).to_dataframe()
+    .reset_index() for the reference's two real ERA5 monthly-means
+    grids (ERA5_preprocessing.ipynb cell2 prints the data_vars: data_0
+    = cvh/sp/tco3/si10/skt, data_1 = uvb/sf/ttr/tp/crr/avg_ie/
+    avg_vimdf/avg_tprate, all float32 over (valid_time, latitude,
+    longitude); cell8 drops the 'number' ensemble coord afterwards).
+    The real .nc files are git-LFS pointers, so the fixture recreates
+    the exact frame shape; this test fails if the conversion contract
+    (name lower-casing, float32->double widening, timestamp/coord
+    preservation) ever drifts."""
+    import numpy as np
+    import pandas as pd
+
+    golden = {
+        "data_0": ["cvh", "sp", "tco3", "si10", "skt"],
+        "data_1": ["uvb", "sf", "ttr", "tp", "crr", "avg_ie", "avg_vimdf", "avg_tprate"],
+    }
+    for ds_name, variables in golden.items():
+        n = 8  # 2 times x 2 lats x 2 lons
+        pdf = pd.DataFrame(
+            {
+                "valid_time": pd.to_datetime(["2020-01-01", "2020-02-01"]).repeat(4),
+                "latitude": np.tile(np.array([28.5, 29.0]), 4),
+                "longitude": np.tile(np.array([77.0, 77.0, 77.5, 77.5]), 2),
+                "number": np.zeros(n, dtype="int64"),
+                "expver": ["0001"] * n,
+                **{v: np.arange(n, dtype="float32") for v in variables},
+            }
+        )
+        df = ingest.netcdf_table_to_df(spark, pdf)
+        expected = [
+            ("valid_time", "timestamp"),
+            ("latitude", "double"),
+            ("longitude", "double"),
+            ("number", "bigint"),
+            ("expver", "string"),
+        ] + [(v, "double") for v in variables]
+        assert df.dtypes == expected, f"{ds_name}: schema drift: {df.dtypes}"
+        assert df.count() == n
+
+
 _CO2_XLSX = (
     "/root/reference/GHG_Emissions/Data Preprocessing/"
     "CO2 EMISSIONS_COUNTRY 1970-2023.xlsx"
