@@ -44,6 +44,14 @@ HEADLINE = [
     "simhash_near_dup_pairs",   # SimHash banding near-dup
     "tfidf_top_terms",          # relational TF-IDF ranking
     "decontaminate_corpus",     # test-set overlap removal
+    # Round-3/4 operators (VERDICT r3 next #2): benched so BENCH_r04+
+    # can diff them round-over-round.
+    "document_chunks",          # token-window chunking (map-side)
+    "embedding_quantize_int8",  # int8 quantization (scalar shape)
+    "corpus_train_val_test",    # md5-bucket train/val/test split
+    "media_feature_extract",    # mapInPandas multimodal featurizer
+    "curation_end_to_end",      # full curation DAG (MinHash variant)
+    "curation_end_to_end_exact",  # deterministic DAG under oracle
 ]
 
 
