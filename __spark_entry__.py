@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order (67 registered -> 17 sit past-window each round). Round-4
+# order (71 registered -> 21 sit past-window each round). Round-4
 # rotation (VERDICT r3 next #4): the three round-3 reds (now fixed)
-# and the new exact curation DAG lead, the 16 entries that sat out
-# round 3 return, and 17 of round 3's driver-green rows sit out one
+# and the five round-4 additions lead, the 16 entries that sat out
+# round 3 return, and 21 of round 3's driver-green rows sit out one
 # round — every entry gets a driver row at least every other round,
 # and all entries stay green in tests/test_oracle_parity.py always.
 _PROMOTE = [
@@ -39,6 +39,10 @@ _PROMOTE = [
     "embedding_quantize_int8",  # r3 red (array canon crash) — rescalared
     "media_feature_extract",  # r3 red (array canon crash) — rescalared
     "curation_end_to_end_exact",  # new in round 4 — first driver row
+    "pii_redact",  # new in round 4
+    "repetition_stats",  # new in round 4
+    "vocab_top_terms",  # new in round 4
+    "decontaminate_embeddings",  # new in round 4
     # The 16 that sat out round 3, returning on rotation:
     "queryspec_group_agg",
     "json_extract_props",
@@ -75,6 +79,10 @@ _DEMOTE = [  # all green in CORRECTNESS_r03; sit out exactly one round
     "scalar_subquery_small_orders",
     "queryspec_filter_topk",
     "broadcast_dim_join",
+    "join_agg_topk",
+    "anti_join_no_orders",
+    "semi_join_active_parts",
+    "window_yoy_delta",
 ]
 
 

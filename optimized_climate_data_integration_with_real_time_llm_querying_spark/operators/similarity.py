@@ -270,6 +270,57 @@ def cosine_near_dup_pairs(
     )
 
 
+def decontaminate_by_embedding(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_lsh: bool = False,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic decontamination: drop corpus rows whose embedding is
+    cosine-similar (>= threshold) to ANY held-out/eval embedding — the
+    embedding-space twin of n-gram :func:`~..operators.dedup
+    .decontaminate` (catches paraphrased eval leakage that exact
+    shingle overlap misses). Returns (clean, contaminated_ids).
+
+    ``use_lsh=False``: the eval set is broadcast (eval sets are small
+    by construction — thousands of rows against a 100 TB corpus), so
+    scoring is map-side over the corpus scan and only contaminated
+    ids shuffle. ``use_lsh=True``: both sides bucket via multi-table
+    hyperplane LSH and only same-bucket pairs are scored — the path
+    when the held-out side is itself large.
+    """
+    h = heldout.select(
+        F.col(id_col).alias("h_id"), F.col(vec_col).alias("h_vec")
+    )
+    if use_lsh:
+        if dim is None:
+            raise ValueError("use_lsh=True requires dim")
+        cb = hyperplane_lsh_multi(corpus, dim, n_planes, n_tables, vec_col=vec_col).select(
+            F.col(id_col), F.col(vec_col), "lsh_table", "lsh_bucket"
+        )
+        hb = hyperplane_lsh_multi(
+            h.withColumnRenamed("h_vec", vec_col), dim, n_planes, n_tables, vec_col=vec_col
+        ).select(F.col(vec_col).alias("h_vec"), "lsh_table", "lsh_bucket")
+        pairs = cb.join(hb, ["lsh_table", "lsh_bucket"])
+    else:
+        pairs = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(h))
+    contaminated = (
+        pairs.withColumn(
+            "cosine_sim", F.round(cosine(F.col(vec_col), F.col("h_vec")), 6)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    clean = corpus.join(contaminated, id_col, "left_anti")
+    return clean, contaminated
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -165,6 +165,64 @@ def chunk_spans(
     )
 
 
+# PII scrubbing: the pre-training hygiene step every corpus pass runs.
+# Patterns are deliberately RE2-compatible (no lookaround, no
+# backtracking subtleties) so an external engine (DuckDB/RE2) computes
+# the identical redaction — and they are structurally disjoint (email
+# needs '@', phone is dash-separated, IPv4 dot-separated) so
+# application order can't change the result.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-document match counts for each PII class (map-only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its class token ([EMAIL]/[PHONE]/
+    [IP]). Pure regexp_replace chain — codegen'd, no UDFs, no
+    shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
+) -> DataFrame:
+    """Gopher-style repetition features: total k-gram occurrences, the
+    most frequent k-gram's count, and its fraction of all k-grams —
+    the standard signal for filtering degenerate/boilerplate documents
+    from pretraining corpora (a doc whose top 2-gram is >20% of all
+    2-grams is template spam, not prose).
+
+    Relational: non-distinct hashed shingles -> count per (doc,
+    shingle) -> max/sum per doc. Both aggregates are two-phase with
+    8-byte shuffle keys; nothing touches raw text after the shingling
+    map. Docs shorter than k tokens count their whole token string as
+    one k-gram (frac 1.0), matching :func:`~..operators.dedup.shingles`.
+    """
+    from .dedup import hashed_shingles
+
+    sh = hashed_shingles(df, text_col, id_col, k, distinct=False)
+    counts = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_kgrams"),
+        F.max("c").alias("top_kgram_count"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_kgram_frac"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document analysis column set (map-only)."""
     feats = quality_features(text_col)

@@ -581,6 +581,161 @@ def embedding_cosine_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "pii_redact",
+    r"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'))
+             AS redacted_fp
+    FROM salted
+    """,
+    doc="PII scrubbing under the correctness gate: the synthetic corpus "
+    "carries no natural PII, so the query deterministically salts "
+    "each document with an email, phone, and IPv4 derived from its "
+    "doc_id (both engines compute the same salt), then redacts with "
+    "the RE2-compatible pattern set (operators.text.PII_PATTERNS) and "
+    "hash-compares counts + the md5 of the fully redacted text. "
+    "Map-only regexp_replace chain — codegen'd, no shuffle.",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            F.pmod(F.col("doc_id"), 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("text"),
+    )
+    counts = text.pii_counts("text")
+    return salted.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ips"),
+        F.md5(text.redact_pii("text").cast("binary")).alias("redacted_fp"),
+    )
+
+
+@register(
+    "repetition_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+      FROM (
+        SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2
+      )
+      UNION ALL
+      SELECT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 2
+    ), counts AS (
+      SELECT doc_id, sh, COUNT(*) AS c FROM sh WHERE sh <> ''
+      GROUP BY doc_id, sh
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_kgrams,
+           CAST(MAX(c) AS BIGINT) AS top_kgram_count,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_kgram_frac
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition features (top-2-gram fraction) for "
+    "filtering degenerate/templated documents. Spark side counts "
+    "xxhash64'd 2-grams (8-byte shuffle keys); the oracle counts the "
+    "string 2-grams — equal counts modulo negligible 64-bit "
+    "collisions.",
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return text.repetition_stats(d, k=2)
+
+
+@register(
+    "vocab_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM tok GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 30
+    """,
+    doc="Tokenizer-vocabulary induction, step 1: corpus-wide token "
+    "frequencies, top-30 with deterministic tie-break — explode -> "
+    "two-phase count -> TakeOrderedAndProject (per-partition heaps, "
+    "no global sort; the full-corpus scan never shuffles text).",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = d.select(F.explode(text.tokens("text")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(30)
+    )
+
+
+@register(
+    "decontaminate_embeddings",
+    """
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id % 10 <> 0
+      AND NOT EXISTS (
+        SELECT 1 FROM embeddings h
+        WHERE h.vec_id % 10 = 0
+          AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(h.embedding AS DOUBLE[])), 6)
+              >= 0.4
+      )
+    """,
+    doc="Semantic decontamination: drop corpus embeddings cosine-"
+    "similar (>= 0.4, tuned to the synthetic distribution) to any "
+    "held-out vector — catches paraphrased eval leakage that n-gram "
+    "decontamination misses. The held-out side broadcasts (eval sets "
+    "are small against a 100 TB corpus) so scoring is map-side and "
+    "only contaminated ids shuffle; the LSH-bucketed variant covers "
+    "the large-held-out case (recall floor in tests/"
+    "test_lsh_recall.py).",
+)
+def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    heldout = e.filter(F.col("vec_id") % 10 == 0)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    clean, _ = similarity.decontaminate_by_embedding(corpus, heldout, threshold=0.4)
+    return clean.select("vec_id", "label")
+
+
+@register(
     "embedding_label_centroids",
     """
     SELECT label,

@@ -92,6 +92,27 @@ def test_exploded_verify_agrees_with_hof(spark, sf_small):
     assert rows(hof_lsh) == rows(expl_lsh)
 
 
+def test_embedding_decontamination_lsh_recall(spark, sf_small):
+    """The LSH-bucketed decontaminate_by_embedding must (a) never flag
+    a vector the exact path wouldn't (verification is exact), and (b)
+    catch most of what the exact path catches."""
+    emb = load_table(spark, sf_small, "embeddings")
+    heldout = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    _, exact_c = similarity.decontaminate_by_embedding(corpus, heldout, threshold=0.4)
+    _, lsh_c = similarity.decontaminate_by_embedding(
+        corpus, heldout, threshold=0.4, use_lsh=True, dim=64, n_planes=4
+    )
+    exact_ids = {r["vec_id"] for r in exact_c.collect()}
+    lsh_ids = {r["vec_id"] for r in lsh_c.collect()}
+    assert exact_ids, "threshold must flag some contamination at sf0.001"
+    assert lsh_ids <= exact_ids  # exact verify -> no false positives
+    recall = len(lsh_ids & exact_ids) / len(exact_ids)
+    print(f"embedding-decontamination LSH recall: {recall:.3f} "
+          f"({len(lsh_ids)}/{len(exact_ids)})")
+    assert recall >= 0.6
+
+
 def test_lsh_topk_recall(spark, sf_small):
     qs = all_queries()
     exact = {r["vec_id"] for r in qs["embedding_cosine_topk"].builder(spark, sf_small).collect()}

@@ -72,6 +72,15 @@ def test_document_chunks_stays_map_side(spark, sf_oracle):
     assert "Python" not in plan
 
 
+def test_pii_redact_stays_map_side(spark, sf_oracle):
+    # PII scrubbing is a regexp_replace chain: one scan, no shuffle,
+    # no Python boundary.
+    plan = plan_of(spark, sf_oracle, "pii_redact")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Python" not in plan
+
+
 def test_stratified_sample_pushes_as_filter(spark, sf_oracle):
     # Sampling must stay a map-side filter: no shuffle, no aggregate.
     plan = plan_of(spark, sf_oracle, "stratified_sample_corpus")
