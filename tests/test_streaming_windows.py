@@ -14,6 +14,30 @@ from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalo
 )
 
 
+def test_sessionize_module_matches_batch_query(spark, sf_small):
+    """The packaged streaming sessionizer (streaming/sessionize.py)
+    must reproduce the registered batch user_sessionization query
+    exactly: same per-user session and event counts."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.streaming.sessionize import (
+        run_sessions_available_now,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="ev_sess_mod_")
+    try:
+        load_table(spark, sf_small, "events").write.mode("overwrite").parquet(stream_dir)
+        streamed = run_sessions_available_now(spark, stream_dir, query_name="sess_mod")
+        batch = all_queries()["user_sessionization"].builder(spark, sf_small)
+        s = sorted(tuple(r) for r in streamed.collect())
+        b = sorted(tuple(r) for r in batch.collect())
+        assert len(s) > 0
+        assert s == b
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+
 def test_session_window_stream_matches_lag_batch(spark, sf_small):
     """session_window(ts, 30 min) row counts per user must equal the
     batch lag-gap sessionization (queries.streaming_shapes)."""
