@@ -28,40 +28,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order (71 registered -> 21 sit past-window each round). Round-4
-# rotation (VERDICT r3 next #4): the three round-3 reds (now fixed)
-# and the five round-4 additions lead, the 16 entries that sat out
-# round 3 return, and 21 of round 3's driver-green rows sit out one
-# round — every entry gets a driver row at least every other round,
-# and all entries stay green in tests/test_oracle_parity.py always.
+# order (75 registered -> 25 sit past-window each round). Round-5
+# rotation, continuing the every-other-round cadence: the four
+# round-5 additions lead (first driver rows), the 21 entries that sat
+# out round 4 return, and 25 of round 4's driver-green rows (16
+# twice-green trivial filters + 9 thrice-green pipeline queries) sit
+# out one round — no entry goes 2+ rounds without a driver row, and
+# all entries stay green in tests/test_oracle_parity.py always.
 _PROMOTE = [
-    "user_sessionization",  # r3 red (oracle HUGEINT dtype) — fixed
-    "embedding_quantize_int8",  # r3 red (array canon crash) — rescalared
-    "media_feature_extract",  # r3 red (array canon crash) — rescalared
-    "curation_end_to_end_exact",  # new in round 4 — first driver row
-    "pii_redact",  # new in round 4
-    "repetition_stats",  # new in round 4
-    "vocab_top_terms",  # new in round 4
-    "decontaminate_embeddings",  # new in round 4
-    # The 16 that sat out round 3, returning on rotation:
-    "queryspec_group_agg",
-    "json_extract_props",
-    "null_safe_equality",
-    "group_mean_monthly",
-    "topk_orders",
-    "first_n_preview",
-    "count_with_filter",
-    "scalar_sum_year",
-    "eq_filter_project",
-    "case_insensitive_eq",
-    "comparison_predicates",
-    "year_range_between",
-    "in_list_filter",
-    "month_bucket_prefix",
-    "distinct_single_column",
-    "distinct_pairs",
-]
-_DEMOTE = [  # all green in CORRECTNESS_r03; sit out exactly one round
+    "dedup_clusters",  # new in round 5 — connected components
+    "unigram_logprob_scores",  # new in round 5 — unigram-LM scoring
+    "bpe_pair_counts",  # new in round 5 — BPE induction step
+    "source_mix_sample",  # new in round 5 — deterministic mixing
+    # The 21 that sat out round 4, returning on rotation:
     "window_topk_per_group",
     "moving_avg_frame",
     "grouping_sets_status_year",
@@ -83,6 +62,33 @@ _DEMOTE = [  # all green in CORRECTNESS_r03; sit out exactly one round
     "anti_join_no_orders",
     "semi_join_active_parts",
     "window_yoy_delta",
+]
+_DEMOTE = [  # all green in CORRECTNESS_r04; sit out exactly one round
+    "queryspec_group_agg",
+    "json_extract_props",
+    "null_safe_equality",
+    "group_mean_monthly",
+    "topk_orders",
+    "first_n_preview",
+    "count_with_filter",
+    "scalar_sum_year",
+    "eq_filter_project",
+    "case_insensitive_eq",
+    "comparison_predicates",
+    "year_range_between",
+    "in_list_filter",
+    "month_bucket_prefix",
+    "distinct_single_column",
+    "distinct_pairs",
+    "pricing_summary",
+    "exact_dedup_docs",
+    "token_stats",
+    "quality_scores",
+    "document_chunks",
+    "doc_length_buckets",
+    "embedding_cosine_topk",
+    "stratified_sample_corpus",
+    "corpus_train_val_test",
 ]
 
 

@@ -52,6 +52,11 @@ HEADLINE = [
     "media_feature_extract",    # mapInPandas multimodal featurizer
     "curation_end_to_end",      # full curation DAG (MinHash variant)
     "curation_end_to_end_exact",  # deterministic DAG under oracle
+    # Round-5 operators:
+    "dedup_clusters",           # connected components over near-dup pairs
+    "unigram_logprob_scores",   # corpus unigram-LM quality scoring
+    "bpe_pair_counts",          # BPE char-pair induction step
+    "source_mix_sample",        # deterministic source mixing
 ]
 
 
@@ -77,9 +82,17 @@ def main() -> None:
 
     def run_once(name: str) -> None:
         t0 = time.perf_counter()
-        registry[name].builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        df = registry[name].builder(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = min(timings.get(name, dt), dt)
+        # Release per-run persisted frames (curation DAGs, MinHash) so
+        # repeated passes don't stack stale cache entries.
+        for handle in getattr(df, "cache_handles", []):
+            handle.unpersist()
+        single = getattr(df, "cache_handle", None)
+        if single is not None:
+            single.unpersist()
 
     for _pass in range(2):
         for name in HEADLINE:

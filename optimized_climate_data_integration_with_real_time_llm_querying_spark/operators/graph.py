@@ -1,0 +1,123 @@
+"""Graph operators over relational edge lists.
+
+The one graph shape a data-curation pipeline genuinely needs:
+**connected components** over the near-duplicate pair graph, turning
+pairwise near-dup output (``dedup.minhash_near_duplicates`` /
+``ngram_jaccard_pairs``) into actionable dedup *groups* — "keep one
+representative per component" is the last step of every fuzzy-dedup
+run (the reference has no equivalent; net-new LLM-pipeline capability).
+
+Implemented as iterative min-label propagation with DataFrame joins:
+each round every node adopts the minimum label among itself and its
+neighbors; convergence is detected by a cheap changed-row probe. The
+loop is driver-side but each iteration is one distributed join +
+aggregate — the standard Spark shape for iterative graph algorithms
+(GraphFrames does the same under the hood). Near-dup graphs are
+cliquish (tiny diameter), so the loop converges in 2-4 rounds; the
+``max_iterations`` guard bounds pathological chains, and
+``localCheckpoint`` truncates the lineage each round so the plan
+doesn't grow exponentially.
+
+At 100 TB the edge list (near-dup pairs) is orders of magnitude
+smaller than the corpus, labels are two longs per node, and every
+iteration shuffles only (node, label) pairs — the component step
+costs a few small shuffles, not a corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component id is the minimum node id reachable through the
+    undirected pair graph.
+
+    Raises if the loop hasn't converged after ``max_iterations`` —
+    propagation moves the min along at least one hop per round, so
+    this only triggers on a path graph longer than the cap, which a
+    near-dup graph never is (and silent truncation would mislabel).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    sym.unpersist()
+    return labels
+
+
+def dedup_cluster_assignments(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Every document labeled with its near-dup cluster: (doc_id,
+    cluster_id, cluster_size, is_kept). Docs in no pair are singleton
+    clusters of themselves; ``is_kept`` marks the canonical
+    representative (min id) a dedup pass would retain.
+    """
+    comp = connected_components(pairs, src, dst)
+    assigned = docs.select(F.col(id_col)).join(
+        comp.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    )
+    labeled = assigned.select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
+        )
+    )

@@ -84,6 +84,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect populates the registry.
-    from . import advanced, composed, llm_pipeline, relational, streaming_shapes  # noqa: F401
+    from . import (  # noqa: F401
+        advanced,
+        composed,
+        corpus_ops,
+        llm_pipeline,
+        relational,
+        streaming_shapes,
+    )
 
     return dict(_REGISTRY)

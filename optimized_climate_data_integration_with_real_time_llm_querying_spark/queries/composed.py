@@ -131,7 +131,12 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 97 != 0)
 
     gated = corpus.filter(quality_features("text")["alpha_ratio"] >= 0.5)
-    uniq = dedup.drop_exact_duplicates(gated)
+    # The dedup survivor set feeds three downstream consumers (MinHash
+    # shingling, the near-dup anti-join, decontamination shingling);
+    # persist it once so the scan->gate->fingerprint-dedup prefix runs
+    # a single time instead of three (measured 15.5s -> 6.3s cold at
+    # sf0.1). MEMORY_AND_DISK default: spills, never OOMs.
+    uniq = dedup.drop_exact_duplicates(gated).persist()
 
     near = dedup.minhash_near_duplicates(uniq, min_jaccard=0.5)
     # Keep the lexicographically-first member of each near-dup pair.
@@ -139,7 +144,11 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = uniq.join(drop_ids, "doc_id", "left_anti")
 
     clean, _ = dedup.decontaminate(deduped, heldout)
-    return chunk_spans(clean, chunk_tokens=64, overlap=16)
+    out = chunk_spans(clean, chunk_tokens=64, overlap=16)
+    # Cache contract (same as minhash_near_duplicates): long-lived
+    # callers unpersist these after materializing the result.
+    out.cache_handles = [uniq, near.cache_handle]
+    return out
 
 
 @register(
@@ -228,9 +237,14 @@ def curation_end_to_end_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     heldout = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     gated = corpus.filter(quality_features("text")["alpha_ratio"] >= 0.5)
-    uniq = dedup.drop_exact_duplicates(gated)
+    # uniq feeds both the decontamination shingling and the final
+    # anti-join; persist to run the dedup prefix once (see
+    # curation_end_to_end for the cache contract).
+    uniq = dedup.drop_exact_duplicates(gated).persist()
     clean, _ = dedup.decontaminate(uniq, heldout)
-    return chunk_spans(clean, chunk_tokens=64, overlap=16)
+    out = chunk_spans(clean, chunk_tokens=64, overlap=16)
+    out.cache_handles = [uniq]
+    return out
 
 
 @register(

@@ -1,0 +1,226 @@
+r"""Corpus-construction operators (round 5): near-dup clustering,
+unigram-LM quality scoring, BPE pair statistics, and deterministic
+source mixing — the post-dedup steps of a pretraining-data pipeline.
+
+Every query here carries a full DuckDB oracle (see the ORACLE-HYGIENE
+RULES in ``queries/__init__``): the cluster query reconstructs the
+iterative component computation with a recursive CTE, and the mixing
+query uses the md5/conv cross-engine hash trick (rule 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup
+from ..operators.graph import dedup_cluster_assignments
+from ..operators.text import tokens
+from . import register
+
+
+@register(
+    "dedup_clusters",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 3
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), rare AS (
+      SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) <= 100
+    ), shc AS (
+      SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6)
+            >= 0.6
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    ), assigned AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ), csize AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM assigned GROUP BY cluster_id
+    )
+    SELECT a.doc_id, a.cluster_id, c.cluster_size,
+           CAST(a.doc_id = a.cluster_id AS INT) AS is_kept
+    FROM assigned a JOIN csize c ON a.cluster_id = c.cluster_id
+    """,
+    doc="Near-dup CLUSTERING: connected components over the exact-"
+    "Jaccard >= 0.6 pair graph (3-word shingles, df-capped), assigning "
+    "every document a cluster id (min reachable doc_id), the cluster "
+    "size, and the keep/drop verdict a dedup pass would apply. Spark "
+    "side is iterative min-label propagation (operators/graph.py) — "
+    "one distributed join+agg per round, lineage truncated per "
+    "iteration; the oracle recomputes the fixpoint with a recursive "
+    "CTE, so the iterative algorithm is fully falsifiable.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.6, max_shingle_df=100)
+    out = dedup_cluster_assignments(d, pairs)
+    return out.select(
+        "doc_id", "cluster_id", "cluster_size", F.col("is_kept").cast("int").alias("is_kept")
+    )
+
+
+@register(
+    "unigram_logprob_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM vocab
+    ), vp AS (
+      SELECT token, ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+      FROM vocab, tot
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-AVG(v.logp), 4) AS avg_neg_logp
+    FROM toks t JOIN vp v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    doc="CCNet-style LM quality scoring with a corpus-trained unigram "
+    "model: P(token) = count/total over the whole corpus, each doc "
+    "scored by its mean negative log-probability (high = surprising/"
+    "junk, low = fluent boilerplate). Two aggregates + one broadcast "
+    "join on the (small, zipfian) vocab; at 100 TB the vocab fits in "
+    "a broadcast and the scoring pass stays map-side.",
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    vp = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.log(F.col("n").cast("double") / F.col("total").cast("double")).alias("logp"),
+    )
+    return (
+        tok.join(F.broadcast(vp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("avg_neg_logp"),
+        )
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ), pos AS (
+      SELECT w, unnest(range(1, length(w))) AS i
+      FROM toks WHERE length(w) >= 2
+    )
+    SELECT substr(w, i, 2) AS pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pos
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 30
+    """,
+    doc="The first step of BPE vocabulary induction: corpus-wide "
+    "frequencies of adjacent character pairs inside words (with word "
+    "multiplicity, as real BPE counts), top-30 by count. Explode + "
+    "substring + two-phase count — no UDFs, map-side partial "
+    "aggregation, shuffle carries (2-char pair, count) only.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    words = d.select(F.explode(tokens("text")).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )
+
+
+@register(
+    "source_mix_sample",
+    r"""
+    WITH totals AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+      FROM documents GROUP BY source
+    ), m AS (
+      SELECT MIN(src_chars) AS min_chars FROM totals
+    ), rates AS (
+      SELECT source,
+             CAST(FLOOR(10000 * CAST(min_chars AS DOUBLE) / src_chars) AS BIGINT)
+               AS keep_per_10k
+      FROM totals, m
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < r.keep_per_10k
+    """,
+    doc="Corpus MIXING: downsample every source to the smallest "
+    "source's character budget so the mixture is balanced — the "
+    "source-reweighting step of pretraining-data assembly. Sampling "
+    "is deterministic md5-bucket arithmetic per doc_id (rule 6: the "
+    "md5/conv trick), so the selection is engine-independent, stable "
+    "under repartitioning, and pushable: the per-source keep rate is "
+    "a broadcast join and the gate is one map-side predicate.",
+)
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    totals = d.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    m = totals.agg(F.min("src_chars").alias("min_chars"))
+    rates = totals.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.floor(
+            F.lit(10000) * F.col("min_chars").cast("double") / F.col("src_chars")
+        ).alias("keep_per_10k"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("keep_per_10k"))
+        .select("doc_id", "source", "n_chars")
+    )

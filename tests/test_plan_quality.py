@@ -121,3 +121,33 @@ def test_no_cartesian_in_relational_joins(spark, sf_oracle):
     for name in ("broadcast_dim_join", "join_agg_topk", "anti_join_no_orders"):
         plan = plan_of(spark, sf_oracle, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_source_mix_sample_broadcasts_rates(spark, sf_oracle):
+    # The per-source rate table is tiny: it must broadcast to the fact
+    # side (no fact shuffle for the join), the only nested-loop join
+    # is the 1-row scalar-min broadcast, and no Python appears.
+    plan = plan_of(spark, sf_oracle, "source_mix_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_unigram_scores_broadcast_vocab_join(spark, sf_oracle):
+    # The vocab join must broadcast (zipfian vocab is small relative
+    # to the token stream) and both aggregates must be two-phase.
+    plan = plan_of(spark, sf_oracle, "unigram_logprob_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial" in plan
+
+
+def test_bpe_pair_counts_shape(spark, sf_oracle):
+    # Double explode -> two-phase count -> top-k heap; no join, no
+    # interpreted lambdas (sequence+substring, not transform()).
+    plan = plan_of(spark, sf_oracle, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "Join" not in plan
