@@ -101,9 +101,35 @@ def _ordered_queries():
     return {q.name: q for q in head + mid + tail}
 
 
+# The driver materializes each query then moves to the next; it never
+# releases the persisted/checkpointed frames some pipelines attach as
+# cache_handles (curation DAGs, MinHash, connected components). Wrap
+# every builder so invoking the NEXT one releases the PREVIOUS
+# result's handles — accumulation across a 50-query sweep is bounded
+# to a single query's caches (mirrors bench.run_once's release).
+_LIVE_HANDLES: list = []
+
+
+def _releasing(builder: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        while _LIVE_HANDLES:
+            try:
+                _LIVE_HANDLES.pop().unpersist()
+            except Exception:
+                pass
+        df = builder(spark, sf_dir)
+        _LIVE_HANDLES.extend(getattr(df, "cache_handles", []))
+        single = getattr(df, "cache_handle", None)
+        if single is not None:
+            _LIVE_HANDLES.append(single)
+        return df
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.builder for name, q in _ordered_queries().items()}
+    return {name: _releasing(q.builder) for name, q in _ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

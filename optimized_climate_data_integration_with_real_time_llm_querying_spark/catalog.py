@@ -157,20 +157,26 @@ def load_table(
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Nanosecond parquet timestamps arrive as long (see session.py
-    # nanosAsLong config); truncate to microseconds like DuckDB does.
+    # Timestamp columns arrive in whichever physical shape the parquet
+    # writer chose: TIMESTAMP(NANOS) reads as long (see session.py
+    # nanosAsLong config), and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # reads as TIMESTAMP_NTZ. Normalize both to the declared
+    # TimestampType — with the session timezone pinned to UTC the NTZ
+    # cast is instant-preserving.
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     declared = {f.name: f.dataType for f in TABLE_SCHEMAS[name].fields}
     for f in df.schema.fields:
-        if isinstance(f.dataType, LongType) and isinstance(
-            declared.get(f.name), TimestampType
-        ):
+        if not isinstance(declared.get(f.name), TimestampType):
+            continue
+        if isinstance(f.dataType, LongType):
             # Integer `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds
             # double's 53-bit mantissa, so floor(col / 1000) can land
             # 1µs off DuckDB's integer truncation for sub-second values.
             df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000")))
+        elif isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(TimestampType()))
     if rebalance:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

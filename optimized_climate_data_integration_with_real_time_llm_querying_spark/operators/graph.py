@@ -18,6 +18,14 @@ cliquish (tiny diameter), so the loop converges in 2-4 rounds; the
 ``localCheckpoint`` truncates the lineage each round so the plan
 doesn't grow exponentially.
 
+Resource hygiene: the edge frame persist is released in a
+``finally``, each superseded label checkpoint is freed as soon as the
+next one supersedes it, and the *final* labels checkpoint travels as
+a ``cache_handles``-style release handle so long-lived callers (the
+bench loop, the parity fixture) can free it after materializing —
+without it, repeated invocations would accumulate checkpointed RDD
+blocks until context GC.
+
 At 100 TB the edge list (near-dup pairs) is orders of magnitude
 smaller than the corpus, labels are two longs per node, and every
 iteration shuffles only (node, label) pairs — the component step
@@ -30,6 +38,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _CheckpointHandle:
+    """Release handle for a localCheckpoint'ed DataFrame, shaped like
+    a persisted frame (``.unpersist()``) so it can ride the existing
+    ``cache_handles`` contract that bench.run_once / the parity
+    fixture already release after materialization."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        _release_local_checkpoint(self._df)
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks behind ``df.localCheckpoint()``.
+
+    There is no public DataFrame API for this; the checkpointed RDD
+    sits in the LogicalRDD root of the analyzed plan. Best-effort —
+    if the internals move, the blocks are reclaimed by context GC as
+    before, just not promptly.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -40,6 +75,10 @@ def connected_components(
     component id is the minimum node id reachable through the
     undirected pair graph.
 
+    The returned frame is localCheckpoint-backed; it carries a
+    ``cache_handles`` list whose entries' ``unpersist()`` frees the
+    checkpoint blocks once the caller has materialized its result.
+
     Raises if the loop hasn't converged after ``max_iterations`` —
     propagation moves the min along at least one hop per round, so
     this only triggers on a path graph longer than the cap, which a
@@ -49,45 +88,57 @@ def connected_components(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     sym = sym.persist()
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iterations):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
+    labels = None
+    try:
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
+        for _ in range(max_iterations):
+            nbr_min = (
+                sym.join(labels, sym.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.a, "left")
+                .select(
+                    F.col("node"),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            # The changed-probe above was the last reader of the old
+            # labels checkpoint; free its blocks before looping.
+            _release_local_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} iterations"
+            )
+    except BaseException:
+        # Failed runs return nothing, so nothing may stay resident:
+        # free the in-flight checkpoint too (persist released below).
+        if labels is not None:
+            _release_local_checkpoint(labels)
+        raise
+    finally:
         sym.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} iterations"
-        )
-    sym.unpersist()
+    labels.cache_handles = [_CheckpointHandle(labels)]
     return labels
 
 
@@ -102,9 +153,21 @@ def dedup_cluster_assignments(
     cluster_id, cluster_size, is_kept). Docs in no pair are singleton
     clusters of themselves; ``is_kept`` marks the canonical
     representative (min id) a dedup pass would retain.
+
+    ``pairs`` endpoints are constrained to ids present in ``docs``
+    (semi-joined before the component step), so a stray edge to an
+    unknown id can never become a cluster representative — without
+    the guard, a component min falling outside ``docs`` would yield a
+    cluster where no row has ``is_kept`` and a size that counts docs
+    only. The returned frame forwards the component checkpoint's
+    ``cache_handles`` for post-materialization release.
     """
-    comp = connected_components(pairs, src, dst)
-    assigned = docs.select(F.col(id_col)).join(
+    doc_ids = docs.select(F.col(id_col))
+    bounded = pairs.join(
+        doc_ids.withColumnRenamed(id_col, src), src, "left_semi"
+    ).join(doc_ids.withColumnRenamed(id_col, dst), dst, "left_semi")
+    comp = connected_components(bounded, src, dst)
+    assigned = doc_ids.join(
         comp.select(F.col("node").alias(id_col), "component"), id_col, "left"
     )
     labeled = assigned.select(
@@ -112,7 +175,7 @@ def dedup_cluster_assignments(
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
     )
     sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
+    out = (
         labeled.join(sizes, "cluster_id")
         .select(
             id_col,
@@ -121,3 +184,5 @@ def dedup_cluster_assignments(
             (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
         )
     )
+    out.cache_handles = list(getattr(comp, "cache_handles", []))
+    return out

@@ -87,9 +87,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True)
     pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.6, max_shingle_df=100)
     out = dedup_cluster_assignments(d, pairs)
-    return out.select(
+    sel = out.select(
         "doc_id", "cluster_id", "cluster_size", F.col("is_kept").cast("int").alias("is_kept")
     )
+    # Forward the component checkpoint's release handles so callers
+    # (bench.run_once, the parity fixture, the driver adapter) free
+    # the checkpointed blocks after materializing.
+    sel.cache_handles = list(getattr(out, "cache_handles", []))
+    return sel
 
 
 @register(

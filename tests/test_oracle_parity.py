@@ -52,12 +52,24 @@ def _canon_rows(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def _release_handles(df):
+    """Mirror bench.run_once: drop per-run persisted/checkpointed
+    frames (curation DAGs, MinHash, components) so a full registry
+    sweep doesn't stack cache entries."""
+    for handle in getattr(df, "cache_handles", []):
+        handle.unpersist()
+    single = getattr(df, "cache_handle", None)
+    if single is not None:
+        single.unpersist()
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_matches_duckdb_oracle(name, spark, sf_oracle):
     q = QUERIES[name]
     sdf = q.builder(spark, sf_oracle)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    _release_handles(sdf)
 
     con = _duck_connection(sf_oracle)
     rel = con.sql(q.oracle)
@@ -82,5 +94,6 @@ def test_rows_only_queries_run(name, spark, sf_oracle):
     q = QUERIES[name]
     sdf = q.builder(spark, sf_oracle)
     n = sdf.count()
+    _release_handles(sdf)
     assert n >= 0
     assert len(sdf.columns) > 0
