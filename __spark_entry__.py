@@ -28,42 +28,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order (75 registered -> 25 sit past-window each round). Round-5
+# order (79 registered -> 29 sit past-window each round). Round-6
 # rotation, continuing the every-other-round cadence: the four
-# round-5 additions lead (first driver rows), the 21 entries that sat
-# out round 4 return, and 25 of round 4's driver-green rows (16
-# twice-green trivial filters + 9 thrice-green pipeline queries) sit
-# out one round — no entry goes 2+ rounds without a driver row, and
-# all entries stay green in tests/test_oracle_parity.py always.
+# round-6 additions lead (first driver rows), the 25 entries that sat
+# out round 5 return, and 29 of round 5's driver-green rows sit out
+# one round — no entry goes 2+ rounds without a driver row, and all
+# entries stay green in tests/test_oracle_parity.py always.
 _PROMOTE = [
-    "dedup_clusters",  # new in round 5 — connected components
-    "unigram_logprob_scores",  # new in round 5 — unigram-LM scoring
-    "bpe_pair_counts",  # new in round 5 — BPE induction step
-    "source_mix_sample",  # new in round 5 — deterministic mixing
-    # The 21 that sat out round 4, returning on rotation:
-    "window_topk_per_group",
-    "moving_avg_frame",
-    "grouping_sets_status_year",
-    "pivot_wide_by_priority",
-    "unpivot_long_measures",
-    "rollup_region_nation",
-    "union_accounts",
-    "guarded_sql_passthrough",
-    "events_tumbling_daily",
-    "asof_last_event_before_order",
-    "count_distinct_custkeys",
-    "revenue_quantiles",
-    "cube_status_priority",
-    "etl_scalar_functions",
-    "scalar_subquery_small_orders",
-    "queryspec_filter_topk",
-    "broadcast_dim_join",
-    "join_agg_topk",
-    "anti_join_no_orders",
-    "semi_join_active_parts",
-    "window_yoy_delta",
-]
-_DEMOTE = [  # all green in CORRECTNESS_r04; sit out exactly one round
+    "kmeans_embedding_clusters",  # new in round 6 — deterministic Lloyd's
+    "semantic_dedup_prune",  # new in round 6 — SemDeDup under oracle
+    "bm25_topk",  # new in round 6 — query-conditioned retrieval
+    "contamination_rate",  # new in round 6 — eval-overlap rate
+    # The 25 that sat out round 5, returning on rotation:
     "queryspec_group_agg",
     "json_extract_props",
     "null_safe_equality",
@@ -89,6 +65,37 @@ _DEMOTE = [  # all green in CORRECTNESS_r04; sit out exactly one round
     "embedding_cosine_topk",
     "stratified_sample_corpus",
     "corpus_train_val_test",
+]
+_DEMOTE = [  # all green in CORRECTNESS_r05; sit out exactly one round
+    "dedup_clusters",
+    "unigram_logprob_scores",
+    "bpe_pair_counts",
+    "source_mix_sample",
+    "window_topk_per_group",
+    "moving_avg_frame",
+    "grouping_sets_status_year",
+    "pivot_wide_by_priority",
+    "unpivot_long_measures",
+    "rollup_region_nation",
+    "union_accounts",
+    "guarded_sql_passthrough",
+    "events_tumbling_daily",
+    "asof_last_event_before_order",
+    "count_distinct_custkeys",
+    "revenue_quantiles",
+    "cube_status_priority",
+    "etl_scalar_functions",
+    "scalar_subquery_small_orders",
+    "queryspec_filter_topk",
+    "broadcast_dim_join",
+    "join_agg_topk",
+    "anti_join_no_orders",
+    "semi_join_active_parts",
+    "window_yoy_delta",
+    "ngram_jaccard_top_pairs",
+    "tfidf_top_terms",
+    "decontaminate_corpus",
+    "corpus_filter_pipeline",
 ]
 
 

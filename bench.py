@@ -57,6 +57,11 @@ HEADLINE = [
     "unigram_logprob_scores",   # corpus unigram-LM quality scoring
     "bpe_pair_counts",          # BPE char-pair induction step
     "source_mix_sample",        # deterministic source mixing
+    # Round-6 operators:
+    "kmeans_embedding_clusters",  # deterministic distributed k-means
+    "semantic_dedup_prune",     # SemDeDup within-cluster pruning
+    "bm25_topk",                # BM25 retrieval top-k
+    "contamination_rate",       # per-doc eval-overlap rate
 ]
 
 

@@ -86,10 +86,12 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect populates the registry.
     from . import (  # noqa: F401
         advanced,
+        clustering,
         composed,
         corpus_ops,
         llm_pipeline,
         relational,
+        retrieval,
         streaming_shapes,
     )
 

@@ -1,0 +1,136 @@
+"""Embedding-clustering queries (round 6): deterministic k-means and
+SemDeDup semantic dedup, both under full DuckDB oracles.
+
+The iterative Lloyd loop is made falsifiable the same way round 5's
+connected components were: the algorithm is pinned deterministic (no
+RNG — lowest-id seeds, 6-dp rounding grid, lowest-cluster tie-break)
+and the oracle UNROLLS the iterations as a CTE chain, so DuckDB
+recomputes the exact fixpoint trajectory. See the ORACLE-HYGIENE
+RULES in ``queries/__init__`` (rules 2/4/7 apply here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.clustering import kmeans_assign, semantic_dedup
+from . import register
+
+K = 8
+N_ITER = 2
+# Tuned to the synthetic embedding distribution (max pairwise cosine
+# ~0.51, same rationale as embedding_cosine_near_dups) so the drop
+# set is non-empty and the check non-trivial; production ~0.95.
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def _kmeans_cte(k: int, n_iter: int) -> str:
+    """The WITH-chain computing ``n_iter`` deterministic Lloyd
+    iterations over the embeddings table, ending at ``bfinal`` =
+    (vec_id, cluster, dist2), the assignment under the final
+    centroids. Mirrors operators/clustering.kmeans_assign exactly:
+    same seeds, same 6-dp rounding, same tie-break."""
+    parts = [
+        f"""e0 AS (
+      SELECT vec_id, embedding, UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
+    ), seeds AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ), c0 AS (
+      SELECT s.cluster, e.dim, ROUND(e.val, 6) AS cval
+      FROM seeds s JOIN e ON e.vec_id = s.vec_id
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", a{i} AS (
+      SELECT e.vec_id, c.cluster,
+             ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist2
+      FROM e JOIN c{i - 1} c ON e.dim = c.dim
+      GROUP BY e.vec_id, c.cluster
+    ), b{i} AS (
+      SELECT vec_id, cluster, dist2 FROM a{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) = 1
+    ), c{i} AS (
+      SELECT b.cluster, e.dim, ROUND(AVG(e.val), 6) AS cval
+      FROM b{i} b JOIN e ON e.vec_id = b.vec_id
+      GROUP BY b.cluster, e.dim
+    )"""
+        )
+    parts.append(
+        f""", afinal AS (
+      SELECT e.vec_id, c.cluster,
+             ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist2
+      FROM e JOIN c{n_iter} c ON e.dim = c.dim
+      GROUP BY e.vec_id, c.cluster
+    ), bfinal AS (
+      SELECT vec_id, cluster, dist2 FROM afinal
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) = 1
+    )"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@register(
+    "kmeans_embedding_clusters",
+    _kmeans_cte(K, N_ITER)
+    + """
+    SELECT vec_id, cluster, dist2 FROM bfinal
+    """,
+    doc=f"Distributed k-means over the embedding table (k={K}, "
+    f"{N_ITER} Lloyd iterations), pinned deterministic: lowest-id "
+    "seeds, 6-dp centroid/distance grid, lowest-cluster tie-break. "
+    "Spark runs the MLlib shape — driver-held k x dim centroids "
+    "broadcast into a join against the exploded vectors, one "
+    "(vec_id, cluster) scalar shuffle per iteration after map-side "
+    "partial aggregation; the oracle unrolls the same iterations as "
+    "a CTE chain, so the iterative trajectory itself is "
+    "hash-checked, not just the final shape.",
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return kmeans_assign(emb, k=K, n_iter=N_ITER)
+
+
+@register(
+    "semantic_dedup_prune",
+    _kmeans_cte(K, N_ITER)
+    + f"""
+    , p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bfinal x JOIN bfinal y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ), d AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(SUM(ea.val * eb.val)
+                   / SQRT(SUM(ea.val * ea.val) * SUM(eb.val * eb.val)), 6) AS cos
+      FROM p
+      JOIN e ea ON ea.vec_id = p.id_a
+      JOIN e eb ON eb.vec_id = p.id_b AND eb.dim = ea.dim
+      GROUP BY p.id_a, p.id_b
+    ), drops AS (
+      SELECT DISTINCT id_b FROM d WHERE cos >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT m.vec_id, m.cluster,
+           CAST(m.vec_id NOT IN (SELECT id_b FROM drops) AS INT) AS is_kept
+    FROM bfinal m
+    """,
+    doc="SemDeDup (arXiv:2303.09540) under a full oracle: k-means "
+    "partition, exact pairwise cosine WITHIN clusters only, drop the "
+    "higher id of any pair >= "
+    f"{SEMDEDUP_THRESHOLD} (threshold tuned to the synthetic "
+    "distribution so drops are non-empty; production ~0.95). "
+    "The clustering bounds the quadratic pair "
+    "stage to sum(cluster_size^2) — the scale path for semantic "
+    "dedup at corpus size, with the all-pairs cosine twin "
+    "(embedding_cosine_near_dups) as the labeled exact baseline. "
+    "Cosines run the codegen'd posexplode shape (no HOF lambdas).",
+)
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return semantic_dedup(emb, k=K, n_iter=N_ITER, threshold=SEMDEDUP_THRESHOLD)

@@ -1,0 +1,157 @@
+r"""Retrieval + contamination-measurement queries (round 6).
+
+- ``bm25_topk``: query-conditioned document ranking (BM25) — the
+  quality-mining primitive for assembling topical training subsets.
+- ``contamination_rate``: a per-document eval-overlap RATE — the
+  measurement twin of the binary ``decontaminate_corpus`` gate
+  (thresholdable, auditable: "how contaminated is this doc"
+  rather than "is it contaminated at >=1 shingle").
+
+Oracle notes (see ORACLE-HYGIENE RULES in ``queries/__init__``):
+BM25 sums <= |terms| doubles (round 4); the contamination oracle
+recomputes 5-token shingles as strings (DuckDB list slicing is
+inclusive: ``t[i:i+4]`` is 5 tokens) while Spark shingles through
+xxhash64 longs — counts agree because equal k-grams hash equal and
+64-bit collisions are negligible at any realistic scale (same
+contract as decontaminate_corpus / curation_end_to_end_exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import hashed_shingles
+from ..operators.retrieval import bm25_scores
+from . import register
+
+BM25_TERMS = ["spark", "window", "join", "vector"]
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "bm25_topk",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({_TERMS_SQL})
+      GROUP BY doc_id, token
+    ), dfq AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfc
+      FROM toks WHERE token IN ({_TERMS_SQL})
+      GROUP BY token
+    ), scored AS (
+      SELECT t.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5))
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ), 4) AS bm25
+      FROM tf t
+      JOIN dfq d ON t.token = d.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 top-20 documents for a fixed seed-term query (k1=1.2, "
+    "b=0.75, Lucene idf). One explode + two aggregates; idf and "
+    "corpus stats broadcast; the ranking is a TakeOrderedAndProject "
+    "top-k with a doc_id tie-break over the 4-dp-rounded score.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return (
+        bm25_scores(d, BM25_TERMS)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "contamination_rate",
+    r"""
+    WITH heldout AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    ), ctoks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM corpus WHERE trim(text) <> ''
+    ), csh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+          FROM ctoks WHERE len(t) >= 5
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM ctoks WHERE len(t) < 5
+      ) WHERE sh <> ''
+    ), htoks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM heldout WHERE trim(text) <> ''
+    ), hsh AS (
+      SELECT DISTINCT sh FROM (
+        SELECT array_to_string(t[i:i+4], ' ') AS sh
+        FROM (
+          SELECT t, unnest(range(1, len(t) - 3)) AS i
+          FROM htoks WHERE len(t) >= 5
+        )
+        UNION ALL
+        SELECT array_to_string(t, ' ') AS sh FROM htoks WHERE len(t) < 5
+      ) WHERE sh <> ''
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           ROUND(SUM(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS hit_rate
+    FROM csh c LEFT JOIN hsh h ON c.sh = h.sh
+    GROUP BY c.doc_id
+    """,
+    doc="Per-document eval-contamination RATE: the fraction of a "
+    "doc's distinct 5-token shingles that appear anywhere in the "
+    "held-out split (doc_id % 97). Generalizes the binary "
+    "decontaminate gate into a thresholdable audit metric. Spark "
+    "joins xxhash64'd shingle longs against the broadcast held-out "
+    "shingle set — one map-side-partial groupBy(doc_id); the oracle "
+    "recomputes with string shingles.",
+)
+def contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    heldout = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    c_sh = hashed_shingles(corpus, k=5)
+    t_sh = (
+        hashed_shingles(heldout, k=5)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        c_sh.join(F.broadcast(t_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("hit_rate"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Invariant + plan-shape tests for the round-6 operators: k-means,
+SemDeDup, BM25, contamination rate. Cross-engine value equality is
+covered by tests/test_oracle_parity.py (all four carry full DuckDB
+oracles); these tests pin the algorithmic contracts the oracle can't
+express and the physical plan shapes that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+    load_table,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+    kmeans_assign,
+    semantic_dedup,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.retrieval import (
+    bm25_scores,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+    all_queries,
+)
+
+
+def _release(df):
+    for h in getattr(df, "cache_handles", []):
+        h.unpersist()
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    out = kmeans_assign(emb, k=4, n_iter=2)
+    rows = out.collect()
+    _release(out)
+    assert len(rows) == n  # every vector assigned exactly once
+    assert len({r["vec_id"] for r in rows}) == n
+    assert all(0 <= r["cluster"] < 4 for r in rows)
+    assert all(r["dist2"] >= 0.0 for r in rows)
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark, sf_small):
+    """Lloyd's is monotone: total within-cluster distance after 2
+    iterations can't exceed the 1-iteration total (on the same seeds,
+    up to the 6-dp rounding grid)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    one = kmeans_assign(emb, k=4, n_iter=1)
+    i1 = one.agg(F.sum("dist2")).collect()[0][0]
+    _release(one)
+    two = kmeans_assign(emb, k=4, n_iter=2)
+    i2 = two.agg(F.sum("dist2")).collect()[0][0]
+    _release(two)
+    assert i2 <= i1 + 1e-3
+
+
+def test_semantic_dedup_keeps_min_id_and_cluster_consistency(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    out = semantic_dedup(emb, k=4, n_iter=2, threshold=0.45)
+    rows = out.collect()
+    _release(out)
+    assert len(rows) == emb.count()
+    # The globally-lowest id can never be dropped (drops are always
+    # the higher id of a pair).
+    min_id = min(r["vec_id"] for r in rows)
+    assert next(r for r in rows if r["vec_id"] == min_id)["is_kept"] == 1
+    assert all(r["is_kept"] in (0, 1) for r in rows)
+
+
+def test_bm25_scores_match_single_doc_hand_computation(spark, sf_small):
+    """One-term query over a tiny frame: BM25 reduces to
+    idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) — hand-check it."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z"), (3, "z z z z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["x"]).collect()}
+    assert set(out) == {1}
+    n_docs, dfc, tf, dl, avgdl = 3, 1, 2, 3, 3.0
+    idf = math.log(1 + (n_docs - dfc + 0.5) / (dfc + 0.5))
+    expected = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert abs(out[1] - round(expected, 4)) < 1e-9
+
+
+def test_contamination_rate_bounds(spark, sf_small):
+    q = all_queries()["contamination_rate"]
+    rows = q.builder(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_shingles"]
+        assert 0.0 <= r["hit_rate"] <= 1.0
+
+
+def test_plan_shapes(spark, sf_small):
+    """No CartesianProduct anywhere; the BM25 stats/idf joins
+    broadcast; the SemDeDup pair join is an equi-join on cluster."""
+    qs = all_queries()
+    for name in ["bm25_topk", "contamination_rate"]:
+        plan = qs[name].builder(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+    sd = qs["semantic_dedup_prune"].builder(spark, sf_small)
+    plan = sd._jdf.queryExecution().executedPlan().toString()
+    _release(sd)
+    assert "CartesianProduct" not in plan
