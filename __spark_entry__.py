@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order (79 registered -> 29 sit past-window each round). Round-6
-# rotation, continuing the every-other-round cadence: the four
+# order (82 registered -> 32 sit past-window each round). Round-6
+# rotation, continuing the every-other-round cadence: the seven
 # round-6 additions lead (first driver rows), the 25 entries that sat
-# out round 5 return, and 29 of round 5's driver-green rows sit out
+# out round 5 return, and 32 of round 5's driver-green rows sit out
 # one round — no entry goes 2+ rounds without a driver row, and all
 # entries stay green in tests/test_oracle_parity.py always.
 _PROMOTE = [
@@ -39,6 +39,9 @@ _PROMOTE = [
     "semantic_dedup_prune",  # new in round 6 — SemDeDup under oracle
     "bm25_topk",  # new in round 6 — query-conditioned retrieval
     "contamination_rate",  # new in round 6 — eval-overlap rate
+    "length_curriculum_stages",  # new in round 6 — percentile curriculum
+    "quality_budget_select",  # new in round 6 — token-budget mixing
+    "winsorized_source_stats",  # new in round 6 — robust source stats
     # The 25 that sat out round 5, returning on rotation:
     "queryspec_group_agg",
     "json_extract_props",
@@ -96,6 +99,9 @@ _DEMOTE = [  # all green in CORRECTNESS_r05; sit out exactly one round
     "tfidf_top_terms",
     "decontaminate_corpus",
     "corpus_filter_pipeline",
+    "salted_agg_equivalence",
+    "user_sessionization",
+    "embedding_label_centroids",
 ]
 
 

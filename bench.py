@@ -62,6 +62,9 @@ HEADLINE = [
     "semantic_dedup_prune",     # SemDeDup within-cluster pruning
     "bm25_topk",                # BM25 retrieval top-k
     "contamination_rate",       # per-doc eval-overlap rate
+    "length_curriculum_stages", # percentile curriculum buckets
+    "quality_budget_select",    # two-phase token-budget selection
+    "winsorized_source_stats",  # robust per-source stats
 ]
 
 

@@ -111,3 +111,76 @@ def stratified_sample(
     else:
         raise ValueError(f"unknown sampling method {method!r}")
     return df.filter(bucket < (rate_expr * _DENOM).cast("long"))
+
+
+def select_by_quality_budget(
+    scored: DataFrame,
+    budget: int,
+    quality_col: str = "quality",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-bounded selection: walk documents best-quality-first
+    (ties by ascending id) and keep every document whose running
+    token total still fits within ``budget`` — the data-mixing step
+    that assembles "the best N tokens" from a scored corpus.
+
+    Semantically identical to the naive
+    ``SUM(w) OVER (ORDER BY quality DESC, id) <= budget`` filter, but
+    WITHOUT the single-partition global window that rule implies. Two
+    phases instead:
+
+    1. aggregate total weight per quality value (quality is a rounded
+       grade, so this is a small groupBy); the driver orders the
+       grades, prefix-sums them, and finds the cutoff grade where the
+       budget is crossed — everything strictly better is kept whole,
+       everything strictly worse is dropped whole;
+    2. only documents AT the cutoff grade run a window — partitioned
+       BY the grade, so the sort is one grade's documents, not the
+       corpus.
+
+    Because weights are positive the running total is monotone, so
+    keep-while-it-fits is a prefix and the two phases compose exactly
+    to the naive rule (asserted against the one-window form in
+    tests). Returns (id, quality, weight, cum_weight) for kept rows.
+    """
+    from pyspark.sql import Window as W
+
+    per_grade = (
+        scored.groupBy(quality_col)
+        .agg(F.sum(weight_col).alias("grade_weight"))
+        .collect()
+    )
+    grades = sorted(per_grade, key=lambda r: -r[quality_col])
+    running = 0
+    offsets: list[tuple[float, int]] = []  # (grade, weight already spent)
+    for g in grades:
+        if running > budget:
+            break  # monotone: nothing at or past this grade can fit
+        offsets.append((float(g[quality_col]), int(running)))
+        running += int(g["grade_weight"])
+    if not offsets:
+        return scored.select(
+            F.col(id_col),
+            F.col(quality_col),
+            F.col(weight_col),
+            F.lit(0).cast("long").alias("cum_weight"),
+        ).limit(0)
+    spark = scored.sparkSession
+    off = spark.createDataFrame(
+        offsets, f"{quality_col} double, grade_offset long"
+    )
+    w = (
+        W.partitionBy(quality_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.join(F.broadcast(off), quality_col)
+        .withColumn(
+            "cum_weight",
+            (F.col("grade_offset") + F.sum(weight_col).over(w)).cast("long"),
+        )
+        .filter(F.col("cum_weight") <= budget)
+        .select(id_col, quality_col, weight_col, "cum_weight")
+    )

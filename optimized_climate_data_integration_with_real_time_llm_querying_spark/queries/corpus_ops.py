@@ -229,3 +229,156 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("keep_per_10k"))
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "length_curriculum_stages",
+    r"""
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents
+    )
+    SELECT 1 + CASE WHEN n_chars > q1 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars > q2 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars > q3 THEN 1 ELSE 0 END AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 2)   AS avg_chars,
+           MIN(n_chars)             AS min_chars,
+           MAX(n_chars)             AS max_chars
+    FROM documents, b
+    GROUP BY stage
+    """,
+    doc="Curriculum staging by document length: quartile boundaries "
+    "via EXACT distributed percentiles (partial+final aggregate — "
+    "deliberately NOT a global-sort NTILE, which would be one task "
+    "at corpus scale), broadcast as three scalars into a map-side "
+    "bucket expression, then a per-stage rollup. Ties land in the "
+    "lower stage (n_chars > boundary).",
+)
+def length_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    b = d.agg(
+        F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("b")
+    ).select(
+        F.element_at("b", 1).alias("q1"),
+        F.element_at("b", 2).alias("q2"),
+        F.element_at("b", 3).alias("q3"),
+    )
+    stage = (
+        F.lit(1)
+        + (F.col("n_chars") > F.col("q1")).cast("int")
+        + (F.col("n_chars") > F.col("q2")).cast("int")
+        + (F.col("n_chars") > F.col("q3")).cast("int")
+    )
+    return (
+        d.crossJoin(F.broadcast(b))
+        .withColumn("stage", stage)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "quality_budget_select",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             ROUND(ROUND(len(regexp_extract_all(text, '[A-Za-z]'))
+                   / CAST(GREATEST(length(text), 1) AS DOUBLE), 4), 3) AS quality,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents WHERE trim(text) <> ''
+    ), budget AS (
+      SELECT CAST(FLOOR(0.25 * SUM(n_tokens)) AS BIGINT) AS budget FROM scored
+    ), cum AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT c.doc_id, c.quality, c.n_tokens, c.cum_tokens
+    FROM cum c, budget b
+    WHERE c.cum_tokens <= b.budget
+    """,
+    doc="Token-budget data mixing: keep the best-quality documents "
+    "(alpha-ratio grade at 3 dp, ties by doc_id) until 25% of the "
+    "corpus token total is spent. The ORACLE is the naive global "
+    "running-sum window; the ENGINE runs the two-phase scale shape "
+    "(operators/sampling.select_by_quality_budget): per-grade "
+    "histogram -> driver prefix-sum finds the cutoff grade -> only "
+    "the cutoff grade's documents run a window, partitioned by "
+    "grade. Positive weights make the running total monotone, so "
+    "the phases compose exactly to the naive rule.",
+)
+def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import select_by_quality_budget
+    from ..operators.text import quality_features, token_count
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    scored = d.select(
+        "doc_id",
+        F.round(quality_features("text")["alpha_ratio"], 3).alias("quality"),
+        token_count("text").cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(0.25 * total)
+    out = select_by_quality_budget(scored, budget)
+    return out.select(
+        "doc_id", "quality", "n_tokens", F.col("cum_weight").alias("cum_tokens")
+    )
+
+
+@register(
+    "winsorized_source_stats",
+    r"""
+    WITH p AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), p.lo), p.hi)), 2)
+             AS winsorized_mean,
+           ROUND(MIN(p.lo), 2) AS lo_p05,
+           ROUND(MIN(p.hi), 2) AS hi_p95
+    FROM documents d JOIN p ON d.source = p.source
+    GROUP BY d.source
+    """,
+    doc="Robust per-source length statistics: winsorized mean of "
+    "n_chars clipped at the source's exact [p05, p95] — the outlier-"
+    "resistant profiling step before setting length filters. Exact "
+    "percentiles per source (partial+final agg), broadcast clip "
+    "bounds, one groupBy — two small shuffles on the source key.",
+)
+def winsorized_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    p = (
+        d.groupBy("source")
+        .agg(F.percentile("n_chars", F.array(F.lit(0.05), F.lit(0.95))).alias("p"))
+        .select(
+            "source",
+            F.element_at("p", 1).alias("lo"),
+            F.element_at("p", 2).alias("hi"),
+        )
+    )
+    clipped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return (
+        d.join(F.broadcast(p), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(clipped), 2).alias("winsorized_mean"),
+            F.round(F.min("lo"), 2).alias("lo_p05"),
+            F.round(F.min("hi"), 2).alias("hi_p95"),
+        )
+    )

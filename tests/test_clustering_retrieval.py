@@ -106,3 +106,58 @@ def test_plan_shapes(spark, sf_small):
     plan = sd._jdf.queryExecution().executedPlan().toString()
     _release(sd)
     assert "CartesianProduct" not in plan
+
+
+def test_budget_select_matches_naive_global_window(spark, sf_small):
+    """The two-phase (histogram -> cutoff grade -> per-grade window)
+    selection must equal the naive single-partition running-sum rule
+    it replaces at scale."""
+    from pyspark.sql import Window as W
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.sampling import (
+        select_by_quality_budget,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.text import (
+        quality_features,
+        token_count,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(quality_features("text")["alpha_ratio"], 3).alias("quality"),
+        token_count("text").cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    for frac in (0.1, 0.4, 0.9):
+        budget = int(frac * total)
+        two_phase = {
+            (r["doc_id"], r["cum_weight"])
+            for r in select_by_quality_budget(scored, budget).collect()
+        }
+        w = W.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        naive = {
+            (r["doc_id"], r["cum"])
+            for r in scored.withColumn("cum", F.sum("n_tokens").over(w))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+        assert two_phase == naive, f"frac={frac}"
+
+
+def test_budget_select_zero_budget_empty(spark, sf_small):
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.sampling import (
+        select_by_quality_budget,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 0.5, 10), (2, 0.4, 5)], "doc_id long, quality double, n_tokens long"
+    )
+    assert select_by_quality_budget(scored, 0).count() == 0
+    # budget smaller than the first doc: nothing fits
+    assert select_by_quality_budget(scored, 9).count() == 0
+    # exactly the first doc
+    kept = select_by_quality_budget(scored, 10).collect()
+    assert [(r["doc_id"], r["cum_weight"]) for r in kept] == [(1, 10)]
