@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order (82 registered -> 32 sit past-window each round). Round-6
-# rotation, continuing the every-other-round cadence: the seven
+# order (85 registered -> 35 sit past-window each round). Round-6
+# rotation, continuing the every-other-round cadence: the ten
 # round-6 additions lead (first driver rows), the 25 entries that sat
-# out round 5 return, and 32 of round 5's driver-green rows sit out
+# out round 5 return, and 35 of round 5's driver-checked rows sit out
 # one round — no entry goes 2+ rounds without a driver row, and all
 # entries stay green in tests/test_oracle_parity.py always.
 _PROMOTE = [
@@ -42,6 +42,9 @@ _PROMOTE = [
     "length_curriculum_stages",  # new in round 6 — percentile curriculum
     "quality_budget_select",  # new in round 6 — token-budget mixing
     "winsorized_source_stats",  # new in round 6 — robust source stats
+    "bpe_apply_merge",  # new in round 6 — BPE merge round 2
+    "lexical_diversity",  # new in round 6 — TTR/hapax quality features
+    "embedding_random_projection",  # new in round 6 — JL dim reduction
     # The 25 that sat out round 5, returning on rotation:
     "queryspec_group_agg",
     "json_extract_props",
@@ -102,6 +105,9 @@ _DEMOTE = [  # all green in CORRECTNESS_r05; sit out exactly one round
     "salted_agg_equivalence",
     "user_sessionization",
     "embedding_label_centroids",
+    "sequence_packing",
+    "embedding_cosine_near_dups",
+    "embedding_quantize_int8",
 ]
 
 

@@ -65,6 +65,9 @@ HEADLINE = [
     "length_curriculum_stages", # percentile curriculum buckets
     "quality_budget_select",    # two-phase token-budget selection
     "winsorized_source_stats",  # robust per-source stats
+    "bpe_apply_merge",          # BPE count->merge->recount round
+    "lexical_diversity",        # TTR + hapax quality features
+    "embedding_random_projection",  # JL dim reduction 64->16
 ]
 
 

@@ -366,3 +366,55 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = 
         exploded.groupBy(label_col, (F.col("dim0") + 1).alias("dim"))
         .agg(F.round(F.avg(F.col("component").cast("double")), 6).alias("centroid"))
     )
+
+
+def random_projection_planes(
+    in_dim: int, out_dim: int, seed: int = 11
+) -> list[tuple[int, int, float]]:
+    """Deterministic Johnson-Lindenstrauss projection matrix as
+    (out_dim, in_dim, weight) rows: random unit rows (seeded, no RNG
+    at query time) scaled by sqrt(in_dim/out_dim) so the projection
+    preserves squared norms in expectation. Tiny (out_dim x in_dim),
+    shipped as a broadcast table into the plan AND as literals into
+    the DuckDB oracle — the same floats on both sides."""
+    scale = math.sqrt(in_dim / out_dim)
+    return [
+        (j, i, w * scale)
+        for j, plane in enumerate(_hyperplanes(in_dim, out_dim, seed))
+        for i, w in enumerate(plane)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """JL dimensionality reduction to long form (id, out_dim, value):
+    the dimension-side twin of int8 quantization (quantize = fewer
+    bits per component, project = fewer components) — together the
+    standard recipe for shipping billion-vector corpora into ANN.
+
+    Relational shape: posexplode the vectors once, broadcast-join the
+    (out_dim, in_dim, weight) matrix on the input dimension, and
+    partial+final-sum per (id, out_dim) — fully codegen'd, and the
+    shuffle carries one scalar row per output component, never the
+    vectors. Distance-preservation is probabilistic (JL): measured
+    bounds in tests/test_clustering_retrieval.py.
+    """
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        random_projection_planes(in_dim, out_dim, seed),
+        "out_dim int, dim int, w double",
+    )
+    e = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    ).select(F.col(id_col), "dim", F.col("val").cast("double").alias("val"))
+    return (
+        e.join(F.broadcast(planes), "dim")
+        .groupBy(id_col, "out_dim")
+        .agg(F.round(F.sum(F.col("val") * F.col("w")), 6).alias("value"))
+    )

@@ -134,3 +134,47 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return semantic_dedup(emb, k=K, n_iter=N_ITER, threshold=SEMDEDUP_THRESHOLD)
+
+
+def _projection_oracle(in_dim: int, out_dim: int, seed: int) -> str:
+    """VALUES-table oracle for the JL projection: the exact plane
+    floats (repr round-trips to identical doubles in DuckDB) joined
+    long-form against the exploded vectors — same arithmetic, same
+    6-dp rounding as the Spark plan."""
+    from ..operators.similarity import random_projection_planes
+
+    values = ",\n      ".join(
+        f"({j}, {i}, {w!r})" for j, i, w in random_projection_planes(in_dim, out_dim, seed)
+    )
+    return f"""
+    WITH planes(out_dim, dim, w) AS (
+      VALUES
+      {values}
+    ), e0 AS (
+      SELECT vec_id, embedding, UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
+    )
+    SELECT e.vec_id, p.out_dim, ROUND(SUM(e.val * p.w), 6) AS value
+    FROM e JOIN planes p ON e.dim = p.dim
+    GROUP BY e.vec_id, p.out_dim
+    """
+
+
+@register(
+    "embedding_random_projection",
+    _projection_oracle(64, 16, 11),
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims "
+    "(deterministic seeded planes, norm-preserving in expectation) — "
+    "the dimension-side compression twin of int8 quantization. "
+    "Posexplode + broadcast matrix join + partial/final sum: the "
+    "shuffle carries one scalar per output component; the oracle "
+    "inlines the identical plane floats as a VALUES table. Distance "
+    "distortion measured in tests/test_clustering_retrieval.py.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return random_projection(emb, in_dim=64, out_dim=16, seed=11)

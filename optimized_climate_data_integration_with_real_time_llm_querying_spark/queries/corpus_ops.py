@@ -382,3 +382,115 @@ def winsorized_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("hi"), 2).alias("hi_p95"),
         )
     )
+
+
+@register(
+    "bpe_apply_merge",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ), pos AS (
+      SELECT w, unnest(range(1, length(w))) AS i
+      FROM toks WHERE length(w) >= 2
+    ), best AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM pos GROUP BY pair
+      ORDER BY COUNT(*) DESC, pair
+      LIMIT 1
+    ), merged AS (
+      SELECT replace(t.w, b.pair, chr(1)) AS w
+      FROM toks t CROSS JOIN best b
+    ), pos2 AS (
+      SELECT w, unnest(range(1, length(w))) AS i
+      FROM merged WHERE length(w) >= 2
+    )
+    SELECT replace(substr(w, i, 2), chr(1), '_') AS pair,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pos2
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 30
+    """,
+    doc="The second BPE induction round: find the most frequent "
+    "adjacent char pair, MERGE it corpus-wide into a single symbol "
+    "(plain left-to-right non-overlapping replace — identical "
+    "semantics in both engines), and recount adjacent-pair "
+    "frequencies over the merged symbol strings (merged symbol "
+    "rendered as '_' in the output). With bpe_pair_counts this "
+    "demonstrates the full count->merge->recount loop a distributed "
+    "BPE trainer iterates; everything stays codegen'd string "
+    "expressions — no UDFs, shuffle carries (pair, count) scalars.",
+)
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    words = d.select(F.explode(tokens("text")).alias("w"))
+    pos = words.filter(F.length("w") >= 2).select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    )
+    best = (
+        pos.select(F.expr("substring(w, i, 2)").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(1)
+        .select("pair")
+    )
+    merged = words.crossJoin(F.broadcast(best)).select(
+        F.expr("replace(w, pair, chr(1))").alias("w")
+    )
+    pos2 = merged.filter(F.length("w") >= 2).select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    )
+    return (
+        pos2.select(
+            F.expr("replace(substring(w, i, 2), chr(1), '_')").alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )
+
+
+@register(
+    "lexical_diversity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), tc AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT)   AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 4) AS type_token_ratio,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_fraction
+    FROM tc
+    GROUP BY doc_id
+    """,
+    doc="Lexical-diversity quality features: per-document type-token "
+    "ratio and hapax-legomenon fraction — low diversity flags "
+    "templated/degenerate text that length or alpha-ratio gates "
+    "miss (complements repetition_stats' 2-gram fraction). Two-level "
+    "aggregation, map-side partials, scalar shuffle keys.",
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    return tc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("n").cast("double"), 4).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("hapax_fraction"),
+    )

@@ -161,3 +161,36 @@ def test_budget_select_zero_budget_empty(spark, sf_small):
     # exactly the first doc
     kept = select_by_quality_budget(scored, 10).collect()
     assert [(r["doc_id"], r["cum_weight"]) for r in kept] == [(1, 10)]
+
+
+def test_random_projection_distance_distortion(spark, sf_small):
+    """JL contract: squared distances are preserved in expectation
+    (planes scaled by sqrt(in/out)); per-pair distortion at out=16 is
+    loose, so bound the MEAN ratio tightly and individuals broadly."""
+    import numpy as np
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    proj_rows = random_projection(emb, in_dim=64, out_dim=16, seed=11).collect()
+    proj: dict[int, np.ndarray] = {}
+    for r in proj_rows:
+        proj.setdefault(r["vec_id"], np.zeros(16))[r["out_dim"]] = r["value"]
+    ids = sorted(orig)[:30]
+    ratios = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d_orig = float(np.sum((orig[a] - orig[b]) ** 2))
+            d_proj = float(np.sum((proj[a] - proj[b]) ** 2))
+            if d_orig > 0:
+                ratios.append(d_proj / d_orig)
+    assert ratios
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.25, mean
+    assert all(0.15 < r < 3.5 for r in ratios)
