@@ -68,6 +68,8 @@ HEADLINE = [
     "bpe_apply_merge",          # BPE count->merge->recount round
     "lexical_diversity",        # TTR + hapax quality features
     "embedding_random_projection",  # JL dim reduction 64->16
+    "events_sliding_3d_daily",  # sliding-window rollup
+    "ann_projected_topk",       # coarse search in projected space
 ]
 
 

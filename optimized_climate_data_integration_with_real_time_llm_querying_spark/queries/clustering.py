@@ -178,3 +178,40 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return random_projection(emb, in_dim=64, out_dim=16, seed=11)
+
+
+@register(
+    "ann_projected_topk",
+    None,  # approximate by construction (JL distortion) -> rows-only;
+    # recall vs the full-dimension exact twin is pinned in
+    # tests/test_clustering_retrieval.py
+    doc="Two-stage ANN: coarse top-100 by cosine in the 16-dim "
+    "JL-projected space (4x fewer bytes per distance), then exact "
+    "full-dimension re-rank of only those candidates for the final "
+    "top-10 — the standard coarse-search + re-rank recipe. The "
+    "corpus-wide scan touches projected vectors only; full vectors "
+    "are read for 100 rows. recall@10 vs the exact twin is measured "
+    "and floored in tests. NOTE the synthetic table is isotropic "
+    "noise (top cosines ~0.3, barely above bulk) — the theoretical "
+    "worst case for coarse ranking; random 100-of-500 candidates "
+    "would capture 2/10 in expectation, the projection captures 6.",
+)
+def ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk, random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    proj = random_projection(emb, in_dim=64, out_dim=16, seed=11)
+    vecs = proj.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list(F.struct("out_dim", "value")))
+        .getField("value")
+        .alias("embedding")
+    )
+    qv = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    coarse = cosine_topk(vecs, qv, k=100).select("vec_id")
+    cands = emb.join(coarse, "vec_id", "left_semi")
+    full_qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(cands, full_qv, k=10)

@@ -82,3 +82,42 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "events_sliding_3d_daily",
+    """
+    WITH w AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE)
+               - CAST(UNNEST(range(0, 3)) AS INTEGER) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM w
+    GROUP BY window_start, event_type
+    """,
+    doc="Sliding-window aggregation (3-day window, 1-day slide): each "
+    "event lands in exactly 3 epoch-aligned daily windows. The "
+    "streaming form is the same plan under a watermark; the oracle "
+    "expands the window membership explicitly (date_trunc - i days). "
+    "Complements events_tumbling_daily with the overlapping-window "
+    "shape.",
+)
+def events_sliding_3d_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "3 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -194,3 +194,17 @@ def test_random_projection_distance_distortion(spark, sf_small):
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.25, mean
     assert all(0.15 < r < 3.5 for r in ratios)
+
+
+def test_projected_topk_recall_vs_exact(spark, sf_oracle):
+    """Coarse-search + re-rank must beat random candidate selection
+    decisively. The synthetic embeddings are isotropic noise (top
+    cosines ~0.3, barely above the bulk) — the worst case for any
+    coarse ranker: random 100-of-500 candidates would capture 2/10
+    of the true top-10 in expectation (P(>=4) < 8%). Measured: the
+    16-dim projection captures 6/10. Floor at 0.4."""
+    qs = all_queries()
+    exact = [r["vec_id"] for r in qs["embedding_cosine_topk"].builder(spark, sf_oracle).collect()]
+    proj = [r["vec_id"] for r in qs["ann_projected_topk"].builder(spark, sf_oracle).collect()]
+    recall = len(set(exact) & set(proj)) / len(exact)
+    assert recall >= 0.4, recall
