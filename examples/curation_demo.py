@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""End-to-end pretraining-data curation demo over the synthetic
+documents/embeddings tables: the operator chain a training-data
+pipeline actually runs, each step one lazy DataFrame plan.
+
+    quality gate -> exact dedup -> near-dup clusters -> decontaminate
+    -> quality-budget selection -> chunk -> pack
+    (+ embedding side: k-means -> SemDeDup -> int8 quantize)
+
+Run: python examples/curation_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+    all_queries,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.session import (
+    get_spark,
+)
+
+STEPS = [
+    ("quality + dedup gate", "corpus_filter_pipeline"),
+    ("near-dup clusters", "dedup_clusters"),
+    ("contamination audit", "contamination_rate"),
+    ("token-budget selection", "quality_budget_select"),
+    ("curriculum stages", "length_curriculum_stages"),
+    ("chunking", "document_chunks"),
+    ("packing", "sequence_packing"),
+    ("k-means over embeddings", "kmeans_embedding_clusters"),
+    ("SemDeDup prune", "semantic_dedup_prune"),
+    ("int8 quantization", "embedding_quantize_int8"),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("curation-demo")
+    registry = all_queries()
+    for label, name in STEPS:
+        df = registry[name].builder(spark, sf_dir)
+        n = df.count()
+        for h in getattr(df, "cache_handles", []):
+            h.unpersist()
+        single = getattr(df, "cache_handle", None)
+        if single is not None:
+            single.unpersist()
+        print(f"{label:28s} ({name}): {n} rows")
+
+
+if __name__ == "__main__":
+    main()
