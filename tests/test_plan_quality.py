@@ -151,3 +151,60 @@ def test_bpe_pair_counts_shape(spark, sf_oracle):
     assert "partial_count" in plan
     assert "lambdafunction" not in plan.lower()
     assert "Join" not in plan
+
+
+def test_kmeans_assignment_stays_codegen(spark, sf_oracle):
+    # The assignment pass must be pure codegen: exploded vectors join
+    # the broadcast centroid cells (no SortMergeJoin, no interpreted
+    # lambdas), with map-side partial aggregation before the
+    # (vec_id, cluster) shuffle.
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    df = all_queries()["kmeans_embedding_clusters"].builder(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for h in getattr(df, "cache_handles", []):
+        h.unpersist()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "partial" in plan
+
+
+def test_random_projection_broadcasts_planes(spark, sf_oracle):
+    # The projection matrix is tiny: broadcast join on the input dim,
+    # two-phase sum per (id, out_dim), nothing interpreted.
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    plan = (
+        all_queries()["embedding_random_projection"]
+        .builder(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "partial" in plan
+
+
+def test_sliding_window_two_phase_agg(spark, sf_oracle):
+    # Sliding windows explode each event into its 3 windows and must
+    # still partial-aggregate map-side before the window shuffle.
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    plan = (
+        all_queries()["events_sliding_3d_daily"]
+        .builder(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial" in plan
+    assert "Join" not in plan
