@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order (87 registered -> 37 sit past-window each round). Round-6
-# rotation, continuing the every-other-round cadence: the twelve
+# order (88 registered -> 38 sit past-window each round). Round-6
+# rotation, continuing the every-other-round cadence: the thirteen
 # round-6 additions lead (first driver rows), the 25 entries that sat
-# out round 5 return, and 37 of round 5's driver-checked rows sit out
+# out round 5 return, and 38 of round 5's driver-checked rows sit out
 # one round — no entry goes 2+ rounds without a driver row, and all
 # entries stay green in tests/test_oracle_parity.py always.
 _PROMOTE = [
@@ -47,6 +47,7 @@ _PROMOTE = [
     "embedding_random_projection",  # new in round 6 — JL dim reduction
     "events_sliding_3d_daily",  # new in round 6 — sliding windows
     "ann_projected_topk",  # new in round 6 — coarse search in JL space
+    "sensor_locf_fill",  # new in round 6 — LOCF gap filling
     # The 25 that sat out round 5, returning on rotation:
     "queryspec_group_agg",
     "json_extract_props",
@@ -112,6 +113,7 @@ _DEMOTE = [  # all green in CORRECTNESS_r05; sit out exactly one round
     "embedding_quantize_int8",
     "media_feature_extract",
     "embedding_cosine_topk_int8",
+    "embedding_lsh_topk",
 ]
 
 

@@ -70,6 +70,7 @@ HEADLINE = [
     "embedding_random_projection",  # JL dim reduction 64->16
     "events_sliding_3d_daily",  # sliding-window rollup
     "ann_projected_topk",       # coarse search in projected space
+    "sensor_locf_fill",         # LOCF gap filling per stream
 ]
 
 

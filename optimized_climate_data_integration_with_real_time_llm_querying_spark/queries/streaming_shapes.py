@@ -121,3 +121,46 @@ def events_sliding_3d_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "sensor_locf_fill",
+    """
+    WITH readings AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS reading
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ), 2) AS filled_value,
+           CAST(reading IS NULL AS INT) AS was_gap
+    FROM readings
+    """,
+    doc="Gap-filling by last-observation-carried-forward per sensor "
+    "stream — the missing-reading repair step climate station series "
+    "need before aggregation (reference domain: ERA5 monthly means; "
+    "dropouts simulated deterministically as event_id % 7). One "
+    "window per key — partition-parallel, state is one value per "
+    "stream; leading gaps stay null in both engines.",
+)
+def sensor_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    reading = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.withColumn("reading", reading).select(
+        "event_id",
+        "user_id",
+        F.round(F.last("reading", ignorenulls=True).over(w), 2).alias(
+            "filled_value"
+        ),
+        F.col("reading").isNull().cast("int").alias("was_gap"),
+    )
