@@ -71,6 +71,7 @@ HEADLINE = [
     "events_sliding_3d_daily",  # sliding-window rollup
     "ann_projected_topk",       # coarse search in projected space
     "sensor_locf_fill",         # LOCF gap filling per stream
+    "time_weighted_daily_mean", # irregular-interval resampling
 ]
 
 

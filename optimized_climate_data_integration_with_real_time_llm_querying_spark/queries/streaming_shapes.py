@@ -164,3 +164,51 @@ def sensor_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("reading").isNull().cast("int").alias("was_gap"),
     )
+
+
+@register(
+    "time_weighted_daily_mean",
+    """
+    WITH r AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             value,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts, event_id
+             ) - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id, day,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS tw_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM r
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id, day
+    """,
+    doc="Time-weighted daily mean over irregular readings: each value "
+    "weighted by the microseconds until the next reading in the same "
+    "(stream, day) — the resampling that makes unevenly-sampled "
+    "sensor series comparable (an arithmetic mean over-weights burst "
+    "periods; the reference's ERA5 pipeline sidesteps this only "
+    "because its inputs arrive pre-gridded). lead() + two-phase "
+    "aggregate, partition-parallel per stream-day.",
+)
+def time_weighted_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = W.partitionBy("user_id", day.alias("day")).orderBy("ts", "event_id")
+    dt_us = (
+        F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    ).alias("dt_us")
+    r = e.select("user_id", day.alias("day"), "value", dt_us)
+    return (
+        r.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4
+            ).alias("tw_mean"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
