@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order (89 registered -> 39 sit past-window each round). Round-6
-# rotation, continuing the every-other-round cadence: the fourteen
+# order (90 registered -> 40 sit past-window each round). Round-6
+# rotation, continuing the every-other-round cadence: the fifteen
 # round-6 additions lead (first driver rows), the 25 entries that sat
-# out round 5 return, and 39 of round 5's driver-checked rows sit out
+# out round 5 return, and 40 of round 5's driver-checked rows sit out
 # one round — no entry goes 2+ rounds without a driver row, and all
 # entries stay green in tests/test_oracle_parity.py always.
 _PROMOTE = [
@@ -49,6 +49,7 @@ _PROMOTE = [
     "ann_projected_topk",  # new in round 6 — coarse search in JL space
     "sensor_locf_fill",  # new in round 6 — LOCF gap filling
     "time_weighted_daily_mean",  # new in round 6 — irregular resampling
+    "source_pareto_share",  # new in round 6 — corpus composition Pareto
     # The 25 that sat out round 5, returning on rotation:
     "queryspec_group_agg",
     "json_extract_props",
@@ -116,6 +117,7 @@ _DEMOTE = [  # all green in CORRECTNESS_r05; sit out exactly one round
     "embedding_cosine_topk_int8",
     "embedding_lsh_topk",
     "approx_distinct_custkeys",
+    "approx_revenue_quantiles",
 ]
 
 

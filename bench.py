@@ -72,6 +72,7 @@ HEADLINE = [
     "ann_projected_topk",       # coarse search in projected space
     "sensor_locf_fill",         # LOCF gap filling per stream
     "time_weighted_daily_mean", # irregular-interval resampling
+    "source_pareto_share",      # corpus composition Pareto
 ]
 
 

@@ -494,3 +494,47 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hapax_fraction"),
     )
+
+
+@register(
+    "source_pareto_share",
+    """
+    WITH t AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(chars) AS total FROM t
+    )
+    SELECT source, chars,
+           ROUND(chars / CAST(total AS DOUBLE), 4) AS share,
+           ROUND(SUM(chars) OVER (ORDER BY chars DESC, source
+                                  ROWS UNBOUNDED PRECEDING)
+                 / CAST(total AS DOUBLE), 4) AS cum_share
+    FROM t, tot
+    """,
+    doc="Pareto analysis of corpus composition: per-source character "
+    "share and cumulative share (largest first) — the 'which sources "
+    "are 80% of my corpus' view every mixing decision starts from. "
+    "The window runs over the per-source AGGREGATE (tiny), so the "
+    "global ordering costs nothing at any corpus scale.",
+)
+def source_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    t = d.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    tot = t.agg(F.sum("chars").alias("total"))
+    w = W.orderBy(F.col("chars").desc(), "source").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "chars",
+            F.round(F.col("chars") / F.col("total").cast("double"), 4).alias("share"),
+            F.round(
+                F.sum("chars").over(w) / F.col("total").cast("double"), 4
+            ).alias("cum_share"),
+        )
+    )
