@@ -130,27 +130,55 @@ def _ordered_queries():
     return {q.name: q for q in head + mid + tail}
 
 
-# The driver materializes each query then moves to the next; it never
-# releases the persisted/checkpointed frames some pipelines attach as
-# cache_handles (curation DAGs, MinHash, connected components). Wrap
-# every builder so invoking the NEXT one releases the PREVIOUS
-# result's handles — accumulation across a 50-query sweep is bounded
-# to a single query's caches (mirrors bench.run_once's release).
+# The driver never releases the persisted/checkpointed frames some
+# pipelines attach as cache_handles (curation DAGs, MinHash,
+# connected components). Release them POST-materialization: the
+# returned frame's collect/count/toPandas is wrapped so the first
+# materialization frees the handles in a finally. That ordering
+# matters for localCheckpoint handles — lineage is truncated, so
+# freeing before the driver materializes (e.g. the old
+# release-on-next-builder scheme) would make the result
+# unrecomputable if the driver ever built several queries before
+# collecting any. A builder-entry sweep remains as a fallback for
+# results the driver builds but never materializes.
 _LIVE_HANDLES: list = []
+
+
+def _drain(handles: list) -> None:
+    while handles:
+        try:
+            handles.pop().unpersist()
+        except Exception:
+            pass
 
 
 def _releasing(builder: Callable[[SparkSession, str], DataFrame]):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        while _LIVE_HANDLES:
-            try:
-                _LIVE_HANDLES.pop().unpersist()
-            except Exception:
-                pass
+        _drain(_LIVE_HANDLES)  # fallback: prior result never materialized
         df = builder(spark, sf_dir)
-        _LIVE_HANDLES.extend(getattr(df, "cache_handles", []))
+        handles = list(getattr(df, "cache_handles", []))
         single = getattr(df, "cache_handle", None)
         if single is not None:
-            _LIVE_HANDLES.append(single)
+            handles.append(single)
+        if handles:
+            _LIVE_HANDLES.extend(handles)
+            for meth in ("collect", "count", "toPandas"):
+                orig = getattr(df, meth)
+
+                def releasing_call(*a, _orig=orig, **kw):
+                    try:
+                        return _orig(*a, **kw)
+                    finally:
+                        # identity-based removal: handles may be
+                        # DataFrames, whose __eq__ is not boolean
+                        _LIVE_HANDLES[:] = [
+                            h
+                            for h in _LIVE_HANDLES
+                            if all(h is not x for x in handles)
+                        ]
+                        _drain(handles)
+
+                setattr(df, meth, releasing_call)
         return df
 
     return wrapped

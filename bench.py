@@ -79,6 +79,25 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    # Contention guard (VERDICT r6: BENCH_r06 was taken under host load
+    # and its round-over-round signal was unusable). Record the 1-min
+    # load before and after, plus CPU time, so a dirty run is
+    # distinguishable from a regression after the fact; warn loudly on
+    # stderr when the host is already busy at start.
+    load_before = round(os.getloadavg()[0], 2)
+    ncpu = os.cpu_count() or 1
+    load_flag = load_before > max(2.0, 0.25 * ncpu)
+    if load_flag:
+        print(
+            f"WARNING: 1-min load {load_before} on {ncpu} cpus at bench "
+            "start — timings will be contention-inflated; re-run on an "
+            "idle host",
+            file=sys.stderr,
+        )
+    wall_t0 = time.perf_counter()
+    cpu_t0 = time.process_time()
+
     spark = get_spark("ocdi-bench")
     registry = all_queries()
 
@@ -128,6 +147,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Contention telemetry: loadavg is host-wide, so a
+                # before/after pair far above this process's own
+                # parallelism means a co-tenant was burning cpu and the
+                # wall-clock numbers above are inflated.
+                "load_1m_before": load_before,
+                "load_1m_after": round(os.getloadavg()[0], 2),
+                "ncpu": ncpu,
+                "driver_cpu_sec": round(time.process_time() - cpu_t0, 3),
+                "wall_sec": round(time.perf_counter() - wall_t0, 3),
+                "load_flag": load_flag,
             }
         )
     )

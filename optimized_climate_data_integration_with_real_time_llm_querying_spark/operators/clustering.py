@@ -69,30 +69,6 @@ def kmeans_assign(
     spark = df.sparkSession
     e = _exploded(df, vec_col, id_col).persist()
 
-    # Seed centroids = the k lowest-id vectors, rounded through
-    # Spark's F.round (HALF_UP, matching DuckDB ROUND) — NOT Python's
-    # round(), whose banker's rounding could diverge at .5 ulp.
-    seeded = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(id_col)
-        .limit(k)
-        .withColumn(
-            "cluster", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
-        )
-    )
-    centroids = [
-        (int(r["cluster"]), int(r["dim"]), float(r["cval"]))
-        for r in (
-            seeded.select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "val"))
-            .select(
-                "cluster",
-                "dim",
-                F.round(F.col("val").cast("double"), 6).alias("cval"),
-            )
-            .collect()
-        )
-    ]
-
     def assign(cent_rows: list[tuple[int, int, float]]) -> DataFrame:
         cent = spark.createDataFrame(
             cent_rows, "cluster int, dim int, cval double"
@@ -113,19 +89,54 @@ def kmeans_assign(
             F.min(F.struct("dist2", "cluster")).alias("m")
         ).select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
 
-    for _ in range(n_iter):
-        a = assign(centroids)
+    # The per-iteration collect()s can fail mid-run (task loss, OOM);
+    # release the persisted exploded frame on ANY exit that won't hand
+    # it to the caller via cache_handles — mirroring the finally-based
+    # hygiene in graph.connected_components.
+    try:
+        # Seed centroids = the k lowest-id vectors, rounded through
+        # Spark's F.round (HALF_UP, matching DuckDB ROUND) — NOT
+        # Python's round(), whose banker's rounding could diverge at
+        # .5 ulp.
+        seeded = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col)
+            .limit(k)
+            .withColumn(
+                "cluster", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
+            )
+        )
         centroids = [
             (int(r["cluster"]), int(r["dim"]), float(r["cval"]))
             for r in (
-                a.join(e, id_col)
-                .groupBy("cluster", "dim")
-                .agg(F.round(F.avg("val"), 6).alias("cval"))
+                seeded.select(
+                    "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+                )
+                .select(
+                    "cluster",
+                    "dim",
+                    F.round(F.col("val").cast("double"), 6).alias("cval"),
+                )
                 .collect()
             )
         ]
 
-    out = assign(centroids)
+        for _ in range(n_iter):
+            a = assign(centroids)
+            centroids = [
+                (int(r["cluster"]), int(r["dim"]), float(r["cval"]))
+                for r in (
+                    a.join(e, id_col)
+                    .groupBy("cluster", "dim")
+                    .agg(F.round(F.avg("val"), 6).alias("cval"))
+                    .collect()
+                )
+            ]
+
+        out = assign(centroids)
+    except BaseException:
+        e.unpersist()
+        raise
     out.cache_handles = [e]
     return out
 

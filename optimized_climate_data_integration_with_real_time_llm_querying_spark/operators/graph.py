@@ -89,6 +89,7 @@ def connected_components(
     )
     sym = sym.persist()
     labels = None
+    new_labels = None
     try:
         labels = (
             sym.select(F.col("a").alias("node"))
@@ -132,7 +133,12 @@ def connected_components(
             )
     except BaseException:
         # Failed runs return nothing, so nothing may stay resident:
-        # free the in-flight checkpoint too (persist released below).
+        # free BOTH in-flight checkpoints (persist released below).
+        # new_labels is checkpointed eagerly before the changed-probe
+        # count(), so if that count throws, new_labels is neither
+        # `labels` nor yet released by the loop body.
+        if new_labels is not None and new_labels is not labels:
+            _release_local_checkpoint(new_labels)
         if labels is not None:
             _release_local_checkpoint(labels)
         raise

@@ -185,6 +185,7 @@ def sensor_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r
     WHERE dt_us IS NOT NULL
     GROUP BY user_id, day
+    HAVING SUM(dt_us) > 0
     """,
     doc="Time-weighted daily mean over irregular readings: each value "
     "weighted by the microseconds until the next reading in the same "
@@ -202,6 +203,9 @@ def time_weighted_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
     ).alias("dt_us")
     r = e.select("user_id", day.alias("day"), "value", dt_us)
+    # HAVING SUM(dt_us) > 0 (mirrored in the oracle) pins the
+    # degenerate all-readings-share-one-timestamp group, where 0/0
+    # would otherwise surface engine-specific NaN/NULL semantics.
     return (
         r.filter(F.col("dt_us").isNotNull())
         .groupBy("user_id", "day")
@@ -210,5 +214,8 @@ def time_weighted_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4
             ).alias("tw_mean"),
             F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").alias("_sum_dt"),
         )
+        .filter(F.col("_sum_dt") > 0)
+        .drop("_sum_dt")
     )
