@@ -73,6 +73,9 @@ HEADLINE = [
     "sensor_locf_fill",         # LOCF gap filling per stream
     "time_weighted_daily_mean", # irregular-interval resampling
     "source_pareto_share",      # corpus composition Pareto
+    # Round-7 operators:
+    "minhash_near_dup_pairs_md5",  # oracle-able MinHash permutation family
+    "simhash_near_dup_pairs_md5",  # oracle-able 32-bit SimHash
 ]
 
 

@@ -234,25 +234,45 @@ def decontaminate(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+def md5_hash64(*cols) -> "F.Column":
+    """Cross-engine deterministic hash (oracle-hygiene rule 6): Spark
+    ``conv(substring(md5(concat_ws(':', ...)), 1, 8), 16, 10)`` equals
+    DuckDB ``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT)`` — a
+    32-bit-valued long both engines compute identically over the same
+    ':'-joined string. The slow-but-oracle-able twin of ``xxhash64``:
+    registered ``*_md5`` query variants use it so DuckDB can recompute
+    the full signature -> band -> candidate -> verify pipeline, while
+    production defaults keep xxhash64 (64-bit, no hex/string work).
+    """
+    s = F.concat_ws(":", *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     k: int = 3,
+    hash_family=F.xxhash64,
 ) -> DataFrame:
     """(id, mh_0..mh_{n-1}): per-document MinHash signature.
 
-    Hash family j is xxhash64(j, shingle) — JVM-side, deterministic,
-    no Python. One explode + one hash-aggregate; the aggregate does
-    map-side partial mins so the shuffle carries only signatures.
+    Hash family j is ``hash_family(j, shingle)`` — JVM-side,
+    deterministic, no Python; the default is xxhash64, and the
+    oracle-able :func:`md5_hash64` family plugs in for registered
+    ``*_md5`` twins. One explode + one hash-aggregate; the aggregate
+    does map-side partial mins so the shuffle carries only signatures.
     Duplicate shingles don't change a min, so the dedup shuffle is
-    skipped (distinct=False). Shingles are pre-hashed to longs so the
-    per-seed hashing and partial mins run over 8-byte keys.
+    skipped (distinct=False). With the xxhash64 family, shingles are
+    pre-hashed to longs so the per-seed hashing and partial mins run
+    over 8-byte keys; the md5 family keeps string shingles so the
+    oracle can recompute them.
     """
-    sh = hashed_shingles(df, text_col, id_col, k, distinct=False)
+    sh_fn = hashed_shingles if hash_family is F.xxhash64 else shingles
+    sh = sh_fn(df, text_col, id_col, k, distinct=False)
     aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
+        F.min(hash_family(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
         for j in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -264,17 +284,20 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int = 200,
+    hash_family=F.xxhash64,
 ) -> DataFrame:
     """Banding: docs agreeing on all rows of any band become candidate
     pairs. Pairs are generated by an equi-join on (band, bucket-hash);
     oversized buckets (degenerate content) are dropped by
-    ``max_bucket_size`` — the LSH skew guard.
+    ``max_bucket_size`` — the LSH skew guard. ``hash_family`` folds a
+    band's row values into its bucket key (default xxhash64;
+    :func:`md5_hash64` for oracle-able twins).
     """
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band_{b}"))
+        band_cols.append(hash_family(F.lit(b), *cols).alias(f"band_{b}"))
     banded = signatures.select(F.col(id_col), *band_cols)
     buckets = banded.select(
         F.col(id_col),
@@ -312,9 +335,17 @@ def minhash_near_duplicates(
     bands: int = 8,
     k: int = 3,
     min_jaccard: float = 0.5,
+    hash_family=F.xxhash64,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact-Jaccard verification of the candidates ONLY.
+
+    ``hash_family`` parameterizes the permutation family: the default
+    xxhash64 is the production path (8-byte pre-hashed shingles);
+    passing :func:`md5_hash64` keeps string shingles and derives every
+    hash from md5, so a DuckDB oracle can recompute the entire
+    signature -> band -> candidate -> verify pipeline exactly (see
+    the registered ``minhash_near_dup_pairs_md5`` twin).
 
     Verification joins each candidate pair to its two shingle sets
     (collected as arrays) and computes |A∩B| via array_intersect —
@@ -343,14 +374,15 @@ def minhash_near_duplicates(
     operate on longs — the persisted frame holds ~8 bytes per
     distinct shingle instead of a multi-word string.
     """
-    sh = hashed_shingles(df, text_col, id_col, k, distinct=False)
+    sh_fn = hashed_shingles if hash_family is F.xxhash64 else shingles
+    sh = sh_fn(df, text_col, id_col, k, distinct=False)
     aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
+        F.min(hash_family(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
         for j in range(num_hashes)
     ] + [F.collect_set("shingle").alias("shingle_set")]
     combined = sh.groupBy(id_col).agg(*aggs).persist()
     sigs = combined.select(F.col(id_col), *[f"mh_{j}" for j in range(num_hashes)])
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, hash_family=hash_family)
     sets = combined.select(F.col(id_col), "shingle_set")
     result = (
         cands.join(
@@ -379,25 +411,35 @@ def minhash_near_duplicates(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document from token xxhash64s.
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family=F.xxhash64,
+    n_bits: int = 64,
+) -> DataFrame:
+    """``n_bits``-bit SimHash per document from token hashes.
 
     bit_i(sig) = 1 iff sum over tokens of (+1 if bit_i(hash)=1 else -1)
     is positive — computed branchlessly as 2*sum(bit_i) > n_tokens.
     The token hash is projected ONCE before the aggregate (not inlined
-    into all 64 sums, which would lean on codegen CSE), and each sum
+    into all the sums, which would lean on codegen CSE), and each sum
     is plain shift/mask arithmetic — wide but fully codegen'd, no UDF.
+
+    The default is 64 bits over xxhash64; the oracle-able twin passes
+    ``hash_family=md5_hash64, n_bits=32`` (md5_hash64 values carry 32
+    meaningful bits), which DuckDB recomputes bit-for-bit.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token")).select(
-        F.col(id_col), F.xxhash64("token").alias("h")
+        F.col(id_col), hash_family(F.col("token")).alias("h")
     )
     bit_sums = [
         F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"bs_{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = tok.groupBy(id_col).agg(*bit_sums, F.count(F.lit(1)).alias("n_tok"))
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(
             F.col(f"bs_{i}") * 2 > F.col("n_tok"),
             F.shiftleft(F.lit(1).cast("long"), i),
@@ -411,11 +453,16 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_family=F.xxhash64,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """Near-dups by SimHash: candidates share one of four 16-bit bands
-    (any pair within Hamming distance 3 must agree on >= 1 band, by
-    pigeonhole), verified with an exact popcount on the XOR."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    """Near-dups by SimHash: candidates share one of four bands of
+    ``n_bits / 4`` bits (any pair within Hamming distance 3 must agree
+    on >= 1 band, by pigeonhole), verified with an exact popcount on
+    the XOR."""
+    band_bits = n_bits // 4
+    band_mask = (1 << band_bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col, hash_family, n_bits)
     banded = sigs.select(
         F.col(id_col),
         "simhash",
@@ -424,8 +471,8 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bucket"),
                     )
                     for b in range(4)

@@ -328,6 +328,135 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(d, max_hamming=3)
 
 
+@register(
+    "minhash_near_dup_pairs_md5",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 3
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), mh AS (
+      -- permutation family j = md5-derived 32-bit hash of 'j:shingle'
+      -- (hygiene rule 6) == Spark md5_hash64(lit(j), shingle)
+      SELECT doc_id, j,
+             MIN(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 8)) AS BIGINT)) AS mh
+      FROM sh, range(0, 32) t(j)
+      GROUP BY doc_id, j
+    ), bands AS (
+      -- band bucket = same hash family over 'band:mh0:mh1:mh2:mh3'
+      -- (the 4 row-mins of the band, in j order)
+      SELECT doc_id, band,
+             CAST(('0x' || substr(md5(
+               CAST(band AS VARCHAR) || ':' ||
+               string_agg(CAST(mh AS VARCHAR), ':' ORDER BY j)
+             ), 1, 8)) AS BIGINT) AS bucket
+      FROM (SELECT doc_id, j, mh, CAST(j // 4 AS INT) AS band FROM mh)
+      GROUP BY doc_id, band
+    ), small AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING COUNT(*) <= 200
+    ), bb AS (
+      SELECT b.doc_id, b.band, b.bucket
+      FROM bands b JOIN small s ON b.band = s.band AND b.bucket = s.bucket
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT i.id_a, i.id_b,
+             ROUND(i.n_common / CAST(za.set_size + zb.set_size - i.n_common AS DOUBLE), 6) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.id_a
+      JOIN sizes zb ON zb.doc_id = i.id_b
+    ) WHERE jaccard >= 0.5
+    """,
+    doc="MinHash+LSH near-dup pairs under a FULL cross-engine oracle: "
+    "the permutation family is md5-derived (md5_hash64, hygiene rule "
+    "6) instead of xxhash64, so DuckDB recomputes the entire "
+    "signature -> band -> bucket-guard -> candidate -> exact-Jaccard "
+    "verify pipeline and hash-checks it. Same parameters as the "
+    "production twin (32 hashes, 8 bands, 3-word shingles, jaccard "
+    ">= 0.5, bucket cap 200); same plan shape — only the hash "
+    "primitive differs.",
+)
+def minhash_near_dup_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return dedup.minhash_near_duplicates(
+        d, min_jaccard=0.5, hash_family=dedup.md5_hash64
+    )
+
+
+@register(
+    "simhash_near_dup_pairs_md5",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), th AS (
+      -- md5_hash64(token): 32 meaningful bits, identical in Spark
+      SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, i,
+             CAST(SUM((h >> CAST(i AS INT)) & 1) AS BIGINT) AS bs,
+             COUNT(*) AS n_tok
+      FROM th, range(0, 32) t(i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      -- majority vote per bit; disjoint powers of two make SUM == OR
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN 2 * bs > n_tok
+                           THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, CAST(b AS INT) AS band,
+             (simhash >> CAST(b * 8 AS INT)) & 255 AS bucket
+      FROM sig, range(0, 4) t(b)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+    doc="SimHash near-dup pairs under a FULL cross-engine oracle: "
+    "32-bit signatures from md5-derived token hashes (md5_hash64 "
+    "carries 32 meaningful bits), four 8-bit bands (pigeonhole still "
+    "guarantees any Hamming<=3 pair shares a band), exact popcount "
+    "verify — DuckDB recomputes signatures, bands, and the verify "
+    "bit-for-bit. Production twin keeps 64-bit xxhash64 signatures.",
+)
+def simhash_near_dup_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return dedup.simhash_near_duplicates(
+        d, max_hamming=3, hash_family=dedup.md5_hash64, n_bits=32
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.filter(F.col("vec_id") == vec_id).select(
