@@ -76,6 +76,7 @@ HEADLINE = [
     # Round-7 operators:
     "minhash_near_dup_pairs_md5",  # oracle-able MinHash permutation family
     "simhash_near_dup_pairs_md5",  # oracle-able 32-bit SimHash
+    "bpe_encode_docs",          # 12-round BPE learn + token-id encode
 ]
 
 

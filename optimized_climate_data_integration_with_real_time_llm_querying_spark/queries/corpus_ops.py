@@ -538,3 +538,120 @@ def source_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full BPE encode (round 7): learn a merge list, tokenize documents
+# --------------------------------------------------------------------------
+
+N_BPE_MERGES = 12
+ENCODE_DOC_MOD = 10  # deterministic doc subset kept in the output
+
+
+def _bpe_cte(n_merges: int) -> str:
+    """WITH-chain learning ``n_merges`` BPE induction rounds over the
+    documents word frame: b{i} = the argmax adjacent pair over w{i-1}
+    (count desc, pair asc — the learn_merges tie-break), w{i} = the
+    corpus with that pair merged into chr(i). Mirrors
+    operators/bpe.learn_merges exactly; same generated-CTE pattern as
+    queries/clustering._kmeans_cte."""
+    # AS MATERIALIZED is load-bearing: DuckDB would otherwise inline
+    # each w{i-1} into both of its two readers (b{i} and w{i}),
+    # re-deriving the whole chain per round — measured 167 s vs 0.9 s
+    # at sf0.01 for 12 rounds.
+    parts = [
+        r"""w0 AS MATERIALIZED (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""", b{i} AS MATERIALIZED (
+      SELECT substr(w, i, 2) AS pair
+      FROM (SELECT w, unnest(range(1, length(w))) AS i
+            FROM w{i - 1} WHERE length(w) >= 2)
+      GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1
+    ), w{i} AS MATERIALIZED (
+      SELECT replace(p.w, b{i}.pair, chr({i})) AS w
+      FROM w{i - 1} p CROSS JOIN b{i}
+    )"""
+        )
+    return "".join(parts)
+
+
+def _bpe_encode_oracle(n_merges: int, doc_mod: int) -> str:
+    crosses = " ".join(f"CROSS JOIN b{i}" for i in range(1, n_merges + 1))
+    expr = "e.w"
+    for i in range(1, n_merges + 1):
+        expr = f"replace({expr}, b{i}.pair, chr({i}))"
+    return (
+        "WITH "
+        + _bpe_cte(n_merges)
+        + f""", enc0 AS (
+      SELECT doc_id, wi, t[wi] AS w FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS wi
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+              WHERE trim(text) <> '' AND doc_id % {doc_mod} = 0)
+      )
+    ), encw AS (
+      SELECT e.doc_id, e.wi AS word_idx, {expr} AS w
+      FROM enc0 e {crosses}
+    )
+    SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx,
+           CAST(s AS BIGINT) AS sym_idx,
+           unicode(substr(w, CAST(s AS INT), 1)) AS token_id
+    FROM (SELECT doc_id, word_idx, w, unnest(range(1, length(w) + 1)) AS s
+          FROM encw)
+    """
+    )
+
+
+@register(
+    "bpe_encode_docs",
+    _bpe_encode_oracle(N_BPE_MERGES, ENCODE_DOC_MOD),
+    doc="Pipeline-complete BPE: LEARN a 12-merge list over the whole "
+    "corpus (12 true induction rounds — argmax pair, corpus-wide "
+    "merge, recount — each round one distributed aggregate plus a "
+    "1-row driver collect, the kmeans_assign shape), then ENCODE a "
+    "deterministic doc subset (doc_id % 10 = 0) into token ids: "
+    "(doc_id, word_idx, sym_idx, token_id), token_id = codepoint "
+    "(merge i's placeholder chr(i) encodes as i; ids 1..12 are "
+    "unused by ASCII text, so the id space is collision-free). The "
+    "oracle unrolls all 12 induction rounds as a generated CTE chain "
+    "(like the k-means oracle), so the learned merge LIST itself is "
+    "hash-checked, not just the encoding. Encoding is map-only "
+    "replace/substring arithmetic — no shuffle, no UDFs.",
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    words = d.select(F.explode(tokens("text")).alias("w")).persist()
+    try:
+        merges = bpe.learn_merges(words, N_BPE_MERGES)
+    except BaseException:
+        words.unpersist()
+        raise
+    sub = d.filter(F.col("doc_id") % ENCODE_DOC_MOD == 0).select(
+        "doc_id", F.posexplode(tokens("text")).alias("wi0", "w")
+    )
+    encw = sub.select(
+        "doc_id",
+        (F.col("wi0") + 1).cast("long").alias("word_idx"),
+        bpe.apply_merges("w", merges).alias("w"),
+    )
+    out = encw.select(
+        "doc_id",
+        "word_idx",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("sym_idx"),
+        "w",
+    ).select(
+        "doc_id",
+        "word_idx",
+        F.col("sym_idx").cast("long").alias("sym_idx"),
+        F.ascii(F.expr("substring(w, sym_idx, 1)")).alias("token_id"),
+    )
+    out.cache_handles = [words]
+    return out
