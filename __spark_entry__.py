@@ -28,56 +28,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order (90 registered -> 40 sit past-window each round). Round-6
-# rotation, continuing the every-other-round cadence: the fifteen
-# round-6 additions lead (first driver rows), the 25 entries that sat
-# out round 5 return, and 40 of round 5's driver-checked rows sit out
-# one round — no entry goes 2+ rounds without a driver row, and all
-# entries stay green in tests/test_oracle_parity.py always.
+# order (94 registered -> 44 sit past-window each round). Round-7
+# rotation, continuing the every-other-round cadence: the four
+# round-7 additions lead (first driver rows), six entries whose code
+# paths changed this round are re-checked despite being green in r6
+# (time_weighted gained a HAVING guard; kmeans/semantic_dedup/
+# curation_exact ride the cache-release refactor; minhash/simhash ride
+# the hash_family parameterization), and the 40 entries that sat out
+# round 6 return — no entry goes 2+ rounds without a driver row, and
+# all entries stay green in tests/test_oracle_parity.py always.
 _PROMOTE = [
-    "kmeans_embedding_clusters",  # new in round 6 — deterministic Lloyd's
-    "semantic_dedup_prune",  # new in round 6 — SemDeDup under oracle
-    "bm25_topk",  # new in round 6 — query-conditioned retrieval
-    "contamination_rate",  # new in round 6 — eval-overlap rate
-    "length_curriculum_stages",  # new in round 6 — percentile curriculum
-    "quality_budget_select",  # new in round 6 — token-budget mixing
-    "winsorized_source_stats",  # new in round 6 — robust source stats
-    "bpe_apply_merge",  # new in round 6 — BPE merge round 2
-    "lexical_diversity",  # new in round 6 — TTR/hapax quality features
-    "embedding_random_projection",  # new in round 6 — JL dim reduction
-    "events_sliding_3d_daily",  # new in round 6 — sliding windows
-    "ann_projected_topk",  # new in round 6 — coarse search in JL space
-    "sensor_locf_fill",  # new in round 6 — LOCF gap filling
-    "time_weighted_daily_mean",  # new in round 6 — irregular resampling
-    "source_pareto_share",  # new in round 6 — corpus composition Pareto
-    # The 25 that sat out round 5, returning on rotation:
-    "queryspec_group_agg",
-    "json_extract_props",
-    "null_safe_equality",
-    "group_mean_monthly",
-    "topk_orders",
-    "first_n_preview",
-    "count_with_filter",
-    "scalar_sum_year",
-    "eq_filter_project",
-    "case_insensitive_eq",
-    "comparison_predicates",
-    "year_range_between",
-    "in_list_filter",
-    "month_bucket_prefix",
-    "distinct_single_column",
-    "distinct_pairs",
-    "pricing_summary",
-    "exact_dedup_docs",
-    "token_stats",
-    "quality_scores",
-    "document_chunks",
-    "doc_length_buckets",
-    "embedding_cosine_topk",
-    "stratified_sample_corpus",
-    "corpus_train_val_test",
-]
-_DEMOTE = [  # all green in CORRECTNESS_r05; sit out exactly one round
+    "minhash_near_dup_pairs_md5",  # new in round 7 — oracled MinHash-LSH
+    "simhash_near_dup_pairs_md5",  # new in round 7 — oracled SimHash
+    "bpe_encode_docs",  # new in round 7 — BPE learn+encode, CTE oracle
+    "ann_projected_coarse",  # new in round 7 — coarse ANN stage oracled
+    # Re-checks: code paths touched in round 7
+    "time_weighted_daily_mean",  # HAVING SUM(dt_us) > 0 guard added
+    "kmeans_embedding_clusters",  # persist-hygiene refactor
+    "semantic_dedup_prune",  # rides kmeans_assign refactor
+    "minhash_near_dup_pairs",  # hash_family parameterization (rows-only)
+    "simhash_near_dup_pairs",  # hash_family + n_bits parameterization
+    "curation_end_to_end_exact",  # exercises dedup/graph handle changes
+    # The 40 that sat out round 6, returning on rotation:
     "dedup_clusters",
     "unigram_logprob_scores",
     "bpe_pair_counts",
@@ -118,6 +90,52 @@ _DEMOTE = [  # all green in CORRECTNESS_r05; sit out exactly one round
     "embedding_lsh_topk",
     "approx_distinct_custkeys",
     "approx_revenue_quantiles",
+]
+_DEMOTE = [  # all green in CORRECTNESS_r06; sit out exactly one round
+    "bm25_topk",
+    "contamination_rate",
+    "length_curriculum_stages",
+    "quality_budget_select",
+    "winsorized_source_stats",
+    "bpe_apply_merge",
+    "lexical_diversity",
+    "embedding_random_projection",
+    "events_sliding_3d_daily",
+    "ann_projected_topk",
+    "sensor_locf_fill",
+    "source_pareto_share",
+    "queryspec_group_agg",
+    "json_extract_props",
+    "null_safe_equality",
+    "group_mean_monthly",
+    "topk_orders",
+    "first_n_preview",
+    "count_with_filter",
+    "scalar_sum_year",
+    "eq_filter_project",
+    "case_insensitive_eq",
+    "comparison_predicates",
+    "year_range_between",
+    "in_list_filter",
+    "month_bucket_prefix",
+    "distinct_single_column",
+    "distinct_pairs",
+    "pricing_summary",
+    "exact_dedup_docs",
+    "token_stats",
+    "quality_scores",
+    "document_chunks",
+    "doc_length_buckets",
+    "embedding_cosine_topk",
+    "stratified_sample_corpus",
+    "corpus_train_val_test",
+    "ann_ivf_topk",
+    "curation_end_to_end",
+    "embedding_cosine_near_dups_lsh",
+    "pii_redact",
+    "repetition_stats",
+    "vocab_top_terms",
+    "decontaminate_embeddings",
 ]
 
 

@@ -197,9 +197,24 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "would capture 2/10 in expectation, the projection captures 6.",
 )
 def ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_topk, random_projection
+    from ..operators.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    coarse = _coarse_projected_topk(emb, k=100).select("vec_id")
+    cands = emb.join(coarse, "vec_id", "left_semi")
+    full_qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(cands, full_qv, k=10)
+
+
+def _coarse_projected_topk(emb: DataFrame, k: int) -> DataFrame:
+    """The coarse stage of the two-stage ANN: exact cosine top-k in
+    the 16-dim JL-projected space (vec 0 as the query). Shared by
+    ``ann_projected_topk`` and its oracled ``ann_projected_coarse``
+    registration."""
+    from ..operators.similarity import cosine_topk, random_projection
+
     proj = random_projection(emb, in_dim=64, out_dim=16, seed=11)
     vecs = proj.groupBy("vec_id").agg(
         F.sort_array(F.collect_list(F.struct("out_dim", "value")))
@@ -209,9 +224,60 @@ def ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = vecs.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    coarse = cosine_topk(vecs, qv, k=100).select("vec_id")
-    cands = emb.join(coarse, "vec_id", "left_semi")
-    full_qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    return cosine_topk(vecs, qv, k=k)
+
+
+def _coarse_oracle(in_dim: int, out_dim: int, seed: int, k: int) -> str:
+    """The coarse stage is EXACT given the (deterministic, separately
+    oracled) projection, so it is fully SQL-expressible: rebuild the
+    6-dp-rounded projected vectors from the same VALUES-table planes,
+    then exact cosine top-k with the vec_id tie-break (rule 4)."""
+    from ..operators.similarity import random_projection_planes
+
+    values = ",\n      ".join(
+        f"({j}, {i}, {w!r})" for j, i, w in random_projection_planes(in_dim, out_dim, seed)
     )
-    return cosine_topk(cands, full_qv, k=10)
+    return f"""
+    WITH planes(out_dim, dim, w) AS (
+      VALUES
+      {values}
+    ), e0 AS (
+      SELECT vec_id, embedding, UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
+    ), pr AS (
+      SELECT e.vec_id, pl.out_dim, ROUND(SUM(e.val * pl.w), 6) AS value
+      FROM e JOIN planes pl ON e.dim = pl.dim
+      GROUP BY e.vec_id, pl.out_dim
+    ), v AS (
+      SELECT vec_id, list(value ORDER BY out_dim) AS pv FROM pr GROUP BY vec_id
+    ), q AS (
+      SELECT pv AS q_vec FROM v WHERE vec_id = 0
+    )
+    SELECT v.vec_id,
+           ROUND(list_cosine_similarity(v.pv, q.q_vec), 6) AS cosine_sim
+    FROM v, q
+    WHERE v.vec_id <> 0
+    ORDER BY cosine_sim DESC, v.vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ann_projected_coarse",
+    _coarse_oracle(64, 16, 11, 100),
+    doc="The coarse stage of ann_projected_topk as its own ORACLED "
+    "query: given the deterministic JL projection (itself under a "
+    "VALUES-table oracle), the top-100 by cosine in 16-dim projected "
+    "space is exact and fully SQL-expressible — DuckDB rebuilds the "
+    "projected vectors from the identical plane floats and replays "
+    "the ranked cut with the vec_id tie-break. This pins the only "
+    "stage of the two-stage ANN that was previously unfalsified "
+    "(the re-rank is the already-oracled exact-cosine shape), "
+    "leaving nothing rows-only in the projected-ANN path but the "
+    "recall floor itself.",
+)
+def ann_projected_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return _coarse_projected_topk(emb, k=100)
