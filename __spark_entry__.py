@@ -42,13 +42,13 @@ _PROMOTE = [
     "simhash_near_dup_pairs_md5",  # new in round 7 — oracled SimHash
     "bpe_encode_docs",  # new in round 7 — BPE learn+encode, CTE oracle
     "ann_projected_coarse",  # new in round 7 — coarse ANN stage oracled
-    # Re-checks: code paths touched in round 7
+    "substring_dup_profile",  # new in round 7 — Lee et al. 50-gram dedup
+    "temperature_mix_sample",  # new in round 7 — T=2 source flattening
+    "embedding_covariance",  # new in round 7 — Gram-matrix partials
+    "bpe_fertility_by_source",  # new in round 7 — tokenizer fit audit
+    # Re-checks: semantics / iterative paths touched in round 7
     "time_weighted_daily_mean",  # HAVING SUM(dt_us) > 0 guard added
     "kmeans_embedding_clusters",  # persist-hygiene refactor
-    "semantic_dedup_prune",  # rides kmeans_assign refactor
-    "minhash_near_dup_pairs",  # hash_family parameterization (rows-only)
-    "simhash_near_dup_pairs",  # hash_family + n_bits parameterization
-    "curation_end_to_end_exact",  # exercises dedup/graph handle changes
     # The 40 that sat out round 6, returning on rotation:
     "dedup_clusters",
     "unigram_logprob_scores",
@@ -92,6 +92,10 @@ _PROMOTE = [
     "approx_revenue_quantiles",
 ]
 _DEMOTE = [  # all green in CORRECTNESS_r06; sit out exactly one round
+    "semantic_dedup_prune",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "curation_end_to_end_exact",
     "bm25_topk",
     "contamination_rate",
     "length_curriculum_stages",

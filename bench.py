@@ -77,6 +77,9 @@ HEADLINE = [
     "minhash_near_dup_pairs_md5",  # oracle-able MinHash permutation family
     "simhash_near_dup_pairs_md5",  # oracle-able 32-bit SimHash
     "bpe_encode_docs",          # 12-round BPE learn + token-id encode
+    "substring_dup_profile",    # stride-1 50-gram substring dedup profile
+    "temperature_mix_sample",   # T=2 temperature source mixing
+    "embedding_covariance",     # d x d Gram partials via mapInPandas
 ]
 
 

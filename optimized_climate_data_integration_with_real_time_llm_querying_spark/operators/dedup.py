@@ -408,6 +408,76 @@ def minhash_near_duplicates(
 
 
 # --------------------------------------------------------------------------
+# Exact substring duplication (Lee et al. 2022, arXiv:2107.06499 shape)
+# --------------------------------------------------------------------------
+
+def char_ngram_dup_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    hash_family=F.xxhash64,
+) -> DataFrame:
+    """Per-document exact-substring duplication profile: (id, n_grams,
+    n_dup_grams, dup_frac), where a char ``k``-gram instance counts as
+    duplicated iff the same k-gram occurs in MORE THAN ONE document —
+    the fingerprinting approximation of "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2022; the paper's
+    suffix-array substring dedup at k=50 chars). Docs shorter than
+    ``k`` contribute their whole text as one gram.
+
+    Plan shape: explode stride-1 positions, hash each k-gram at the
+    source (8-byte keys shuffle, never the 50-char strings), two-phase
+    distinct-doc count per gram, then a gram->dup-set equi-join and a
+    per-doc aggregate. At 100 TB the gram frame is ~8 bytes x chars —
+    heavy but linear, the standard price of substring-level dedup;
+    the alternative (suffix arrays) doesn't distribute relationally.
+    ``hash_family=md5_hash64`` makes the whole profile DuckDB-checkable
+    (both engines then see identical 32-bit gram keys, so even hash
+    collisions agree).
+    """
+    n = F.length(text_col)
+    long_g = (
+        df.filter(n >= k)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(1), n - (k - 1))).alias("p"),
+        )
+        .select(
+            F.col(id_col),
+            hash_family(F.expr(f"substring({text_col}, p, {k})")).alias("gh"),
+        )
+    )
+    short_g = df.filter((n > 0) & (n < k)).select(
+        F.col(id_col), hash_family(F.col(text_col)).alias("gh")
+    )
+    g = long_g.unionAll(short_g)
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh", F.lit(1).alias("is_dup"))
+    )
+    return (
+        g.join(dup, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams") / F.col("n_grams").cast("double"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -418,3 +418,93 @@ def random_projection(
         .groupBy(id_col, "out_dim")
         .agg(F.round(F.sum(F.col("val") * F.col("w")), 6).alias("value"))
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    upper_only: bool = True,
+) -> DataFrame:
+    """Population covariance matrix of the embedding distribution as
+    long-form (dim_i, dim_j, cov) — the X^T X building block of PCA /
+    whitening / Mahalanobis outlier scoring over a vector corpus.
+
+    Plan shape (the scale-correct one for d x d Gram matrices): each
+    partition reduces its rows to ONE d x d partial outer-product
+    block with a vectorized numpy ``M.T @ M`` inside Arrow-batched
+    ``mapInPandas`` — the shuffle then carries d^2 scalars PER
+    PARTITION, independent of row count (the treeAggregate shape
+    MLlib's RowMatrix uses), instead of the d^2-per-VECTOR blow-up a
+    relational explode+self-join would shuffle. Means come from one
+    posexplode aggregate; cov_ij = S_ij/n - mean_i * mean_j, rounded
+    to 6 dp (both engines compute the identical formula).
+
+    ``upper_only`` keeps dim_i <= dim_j (the matrix is symmetric).
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            block = m.T @ m
+            acc = block if acc is None else acc + block
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {"dim_i": ii.ravel(), "dim_j": jj.ravel(), "s": acc.ravel()}
+            )
+
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    sij = (
+        vecs.mapInPandas(partials, "dim_i int, dim_j int, s double")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum("s").alias("s"))
+    )
+    e = df.select(F.posexplode(F.col(vec_col)).alias("dim", "val")).select(
+        "dim", F.col("val").cast("double").alias("val")
+    )
+    stats = e.groupBy("dim").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = (
+        sij.join(
+            F.broadcast(
+                stats.select(
+                    F.col("dim").alias("dim_i"),
+                    F.col("mean").alias("mean_i"),
+                    F.col("n").alias("n"),
+                )
+            ),
+            "dim_i",
+        )
+        .join(
+            F.broadcast(
+                stats.select(F.col("dim").alias("dim_j"), F.col("mean").alias("mean_j"))
+            ),
+            "dim_j",
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            # + 0.0 normalizes IEEE -0.0 -> +0.0: near-zero covariances
+            # can round to zero with opposite signs across engines
+            (
+                F.round(
+                    F.col("s") / F.col("n") - F.col("mean_i") * F.col("mean_j"), 6
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+    if upper_only:
+        out = out.filter(F.col("dim_i") <= F.col("dim_j"))
+    return out

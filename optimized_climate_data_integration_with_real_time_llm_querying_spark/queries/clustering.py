@@ -281,3 +281,44 @@ def _coarse_oracle(in_dim: int, out_dim: int, seed: int, k: int) -> str:
 def ann_projected_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return _coarse_projected_topk(emb, k=100)
+
+
+@register(
+    "embedding_covariance",
+    """
+    WITH e0 AS (
+      SELECT vec_id, embedding, UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
+    ), st AS (
+      SELECT dim, SUM(val) / COUNT(*) AS mean, COUNT(*) AS n
+      FROM e GROUP BY dim
+    ), sij AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j, SUM(a.val * b.val) AS s
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim
+    )
+    SELECT s.dim_i, s.dim_j,
+           ROUND(s.s / si.n - si.mean * sj.mean, 6) + 0.0 AS cov
+    FROM sij s
+    JOIN st si ON si.dim = s.dim_i
+    JOIN st sj ON sj.dim = s.dim_j
+    """,
+    doc="Population covariance of the embedding distribution, "
+    "long-form upper triangle (dim_i <= dim_j) — the Gram-matrix "
+    "building block of PCA / whitening / Mahalanobis outlier scoring "
+    "over a vector corpus. Spark reduces each partition to ONE d x d "
+    "numpy outer-product block inside Arrow-batched mapInPandas (the "
+    "treeAggregate shape MLlib RowMatrix uses), so the shuffle "
+    "carries d^2 scalars per partition, independent of corpus size; "
+    "the oracle replays the same S_ij/n - mean_i*mean_j arithmetic "
+    "relationally. The one mapInPandas here is the RIGHT Python "
+    "boundary: a d x d matrix product per batch is exactly what "
+    "numpy's BLAS does orders faster than codegen'd per-row exprs.",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_covariance as cov
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return cov(emb)

@@ -655,3 +655,131 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.cache_handles = [words]
     return out
+
+
+@register(
+    "temperature_mix_sample",
+    r"""
+    WITH totals AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+      FROM documents GROUP BY source
+    ), m AS (
+      SELECT MIN(src_chars) AS min_chars FROM totals
+    ), rates AS (
+      SELECT source,
+             CAST(FLOOR(1000000 * sqrt(CAST(min_chars AS DOUBLE) / src_chars))
+                  AS BIGINT) AS keep_per_1m
+      FROM totals, m
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5('t:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 < r.keep_per_1m
+    """,
+    doc="Temperature-flattened source mixing (T=2, i.e. alpha=0.5): "
+    "per-source keep rate sqrt(min_chars/src_chars), so the sampled "
+    "share of source s is proportional to sqrt(share_s) — rare "
+    "sources are upweighted but (unlike source_mix_sample's full "
+    "balancing) big sources still dominate, the standard temperature "
+    "compromise multilingual/multi-domain pretraining mixes use "
+    "(e.g. mC4/XLM-R sampling). Deterministic md5-bucket keep set "
+    "(rule 6), seeded 't:' so it is independent of other sampling "
+    "queries' keep sets; rates broadcast; gate is one map-side "
+    "predicate — pushes below everything, no shuffle of the fact.",
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    totals = d.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    m = totals.agg(F.min("src_chars").alias("min_chars"))
+    rates = totals.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.floor(
+            F.lit(1000000)
+            * F.sqrt(F.col("min_chars").cast("double") / F.col("src_chars"))
+        ).alias("keep_per_1m"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("keep_per_1m"))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    crosses = " ".join(f"CROSS JOIN b{i}" for i in range(1, n_merges + 1))
+    expr = "s.w"
+    for i in range(1, n_merges + 1):
+        expr = f"replace({expr}, b{i}.pair, chr({i}))"
+    return (
+        "WITH "
+        + _bpe_cte(n_merges)
+        + f""", src0 AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ), srcenc AS (
+      SELECT s.source, s.w, {expr} AS e
+      FROM src0 s {crosses}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(e)) AS BIGINT) AS n_tokens,
+           ROUND(SUM(length(w)) / CAST(SUM(length(e)) AS DOUBLE), 4)
+             AS chars_per_token
+    FROM srcenc GROUP BY source
+    """
+    )
+
+
+@register(
+    "bpe_fertility_by_source",
+    _bpe_fertility_oracle(N_BPE_MERGES),
+    doc="Tokenizer fertility per corpus source: after learning the "
+    "same 12-merge BPE list as bpe_encode_docs, measure per source "
+    "how many characters one token covers (chars_per_token) plus "
+    "word/char/token totals — the compression-rate audit that "
+    "decides whether a tokenizer fits a domain (low fertility on a "
+    "source means its text fragments into many tokens and will "
+    "dominate the token budget). Learning is the driver-iterative "
+    "aggregate loop; measurement is one map-only replace chain + a "
+    "per-source two-phase aggregate. Oracle: the same 12 induction "
+    "rounds CTE-unrolled, then the identical encode+aggregate.",
+)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    words = d.select(F.explode(tokens("text")).alias("w")).persist()
+    try:
+        merges = bpe.learn_merges(words, N_BPE_MERGES)
+    except BaseException:
+        words.unpersist()
+        raise
+    src_words = d.select("source", F.explode(tokens("text")).alias("w"))
+    enc = src_words.select(
+        "source",
+        F.length("w").alias("wlen"),
+        F.length(bpe.apply_merges("w", merges)).alias("elen"),
+    )
+    out = enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("wlen").alias("n_chars"),
+        F.sum("elen").alias("n_tokens"),
+        F.round(F.sum("wlen") / F.sum("elen").cast("double"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+    out.cache_handles = [words]
+    return out

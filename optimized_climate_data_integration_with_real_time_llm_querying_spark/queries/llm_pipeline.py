@@ -457,6 +457,43 @@ def simhash_near_dup_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
+@register(
+    "substring_dup_profile",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(substr(text, CAST(p AS INT), 50)), 1, 8)) AS BIGINT) AS gh
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) - 48)) AS p
+            FROM documents WHERE length(text) >= 50)
+      UNION ALL
+      SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS gh
+      FROM documents WHERE length(text) > 0 AND length(text) < 50
+    ), dup AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_grams,
+           ROUND(SUM(CASE WHEN d.gh IS NULL THEN 0 ELSE 1 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+    FROM g LEFT JOIN dup d ON g.gh = d.gh
+    GROUP BY g.doc_id
+    """,
+    doc="Exact-substring duplication profile per document (Lee et al. "
+    "2022, arXiv:2107.06499: suffix-array substring dedup at 50 "
+    "chars, here as stride-1 50-gram fingerprinting): a gram "
+    "instance is duplicated iff the same 50-gram occurs in another "
+    "document; output is each doc's gram count, duplicated-gram "
+    "count, and duplicated fraction — the signal the paper thresholds "
+    "to cut boilerplate. Grams are hashed AT THE SOURCE to md5-derived "
+    "32-bit keys on both engines (rule 6), so the 8-byte-key shuffle "
+    "plan is exactly what DuckDB replays — hash collisions included.",
+)
+def substring_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return dedup.char_ngram_dup_profile(d, k=50, hash_family=dedup.md5_hash64)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.filter(F.col("vec_id") == vec_id).select(
