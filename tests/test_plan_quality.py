@@ -208,3 +208,32 @@ def test_sliding_window_two_phase_agg(spark, sf_oracle):
     )
     assert "partial" in plan
     assert "Join" not in plan
+
+
+def test_temperature_mix_broadcasts_and_stays_filter(spark, sf_oracle):
+    # Keep-rate join must broadcast and the md5-bucket gate must stay
+    # a plain predicate (Filter ... conv(...md5...)), never a shuffle
+    # of the fact table.
+    plan = plan_of(spark, sf_oracle, "temperature_mix_sample")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"Filter .*conv\(", plan) or "md5" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_covariance_partials_shape(spark, sf_oracle):
+    # The Gram partials must run through one Arrow mapInPandas stage
+    # (d^2 scalars per partition), and the mean/count joins broadcast.
+    plan = plan_of(spark, sf_oracle, "embedding_covariance")
+    assert re.search(r"MapInPandas|ArrowEvalPython", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_dup_profile_hashes_grams_at_source(spark, sf_oracle):
+    # 50-char grams must be hashed before any exchange: every
+    # hashpartitioning key is typed (long gram hash or id), and no
+    # cartesian appears.
+    plan = plan_of(spark, sf_oracle, "substring_dup_profile")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"hashpartitioning\(([^)#]*)#\d+([a-zA-Z]*)", plan):
+        assert m.group(2) != "", f"untyped partition key: {m.group(0)}"
