@@ -103,25 +103,26 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("component").alias("nbr_component"))
             )
+            # The new label rides WITH a changed flag inside the same
+            # checkpoint, so the convergence probe below is a bare
+            # scan of the checkpointed partitions — not a
+            # labels x new_labels join per iteration.
+            new_c = F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            )
             new_labels = (
                 labels.join(nbr_min, labels.node == nbr_min.a, "left")
                 .select(
                     F.col("node"),
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_component"), F.col("component")),
-                    ).alias("component"),
+                    new_c.alias("new_component"),
+                    (new_c != F.col("component")).alias("changed"),
                 )
+                .withColumnRenamed("new_component", "component")
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            # The changed-probe above was the last reader of the old
+            changed = new_labels.filter("changed").limit(1).count()
+            # The probe above was the last action needing the old
             # labels checkpoint; free its blocks before looping.
             _release_local_checkpoint(labels)
             labels = new_labels
@@ -144,8 +145,11 @@ def connected_components(
         raise
     finally:
         sym.unpersist()
-    labels.cache_handles = [_CheckpointHandle(labels)]
-    return labels
+    # Strip the probe flag; the release handle stays bound to the
+    # underlying checkpointed frame.
+    out = labels.select("node", "component")
+    out.cache_handles = [_CheckpointHandle(labels)]
+    return out
 
 
 def dedup_cluster_assignments(
