@@ -81,6 +81,8 @@ HEADLINE = [
     "temperature_mix_sample",   # T=2 temperature source mixing
     "embedding_covariance",     # d x d Gram partials via mapInPandas
     "bigram_logprob_scores",    # bigram-LM perplexity quality filter
+    "sensor_gap_report",        # >24h downtime gaps per stream
+    "sensor_zscore_anomalies",  # rolling z-score outlier screen
 ]
 
 

@@ -219,3 +219,104 @@ def time_weighted_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sum_dt") > 0)
         .drop("_sum_dt")
     )
+
+
+@register(
+    "sensor_gap_report",
+    """
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) AS t0,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t1
+      FROM events
+    )
+    SELECT user_id,
+           t0 AS gap_start_us,
+           t1 AS gap_end_us,
+           t1 - t0 AS gap_us
+    FROM d
+    WHERE t1 IS NOT NULL AND t1 - t0 > 86400000000
+    """,
+    doc="Downtime detection per sensor stream: report every "
+    "inter-reading gap longer than 24 h (the complement of "
+    "sensor_locf_fill — LOCF repairs small gaps, this surfaces the "
+    "outages a repair must NOT paper over; the reference's ERA5 "
+    "series assume gapless monthly grids, so this is the audit that "
+    "guards that assumption). One lead() window per stream, "
+    "partition-parallel, timestamps exported as epoch-us BIGINT "
+    "(rule 3).",
+)
+def sensor_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t0"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t1"),
+    )
+    return (
+        d.filter(F.col("t1").isNotNull() & (F.col("t1") - F.col("t0") > 86400000000))
+        .select(
+            "user_id",
+            F.col("t0").alias("gap_start_us"),
+            F.col("t1").alias("gap_end_us"),
+            (F.col("t1") - F.col("t0")).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "sensor_zscore_anomalies",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_POP(value) OVER w AS sigma,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT event_id, user_id, ts_us, value,
+           ROUND((value - mu) / sigma, 4) AS zscore
+    FROM s
+    WHERE n >= 5 AND sigma > 0 AND ABS((value - mu) / sigma) > 2.5
+    """,
+    doc="Rolling z-score anomaly detection per sensor stream: each "
+    "reading scored against the trailing 11-reading window (mean / "
+    "population stddev), flagged when |z| > 2.5 with a warm-up guard "
+    "of 5 readings and a zero-variance guard — the streaming-shaped "
+    "outlier screen a climate ingest runs before aggregation. One "
+    "frame window per stream, partition-parallel; identical frame "
+    "semantics in both engines (ROWS BETWEEN, not RANGE).",
+)
+def sensor_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, W.currentRow)
+    )
+    s = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_pop("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        s.filter((F.col("n") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "value",
+            F.round(z, 4).alias("zscore"),
+        )
+    )
