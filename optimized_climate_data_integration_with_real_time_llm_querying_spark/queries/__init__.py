@@ -46,6 +46,18 @@ an engine bug. Check ALL of them before registering a query:
    FROM clause — use ``unnest(range(0, col))`` in the SELECT list of
    a subquery instead; constant-bound ``FROM t, range(a, b) i`` is
    fine.
+8. **Normalize signed zero: append ``+ 0.0`` after ROUND on any
+   double that can land at zero.** Near-zero values (covariances,
+   centered means) can round to -0.0 on one engine and +0.0 on the
+   other — the canonicalizer prints "-0.000000" vs "0.000000".
+   IEEE (+0.0) + (-0.0) = +0.0, so ``ROUND(x, n) + 0.0`` pins it on
+   both sides. (Bit r7: embedding_covariance.)
+9. **Chained CTEs that each read the previous one MUST be
+   ``AS MATERIALIZED`` in DuckDB** when any CTE has two readers —
+   DuckDB inlines CTEs by default, so an n-round chain (BPE
+   induction, iterative refinement) re-derives the whole prefix per
+   round: measured 167 s -> 0.9 s at sf0.01 for the 12-round BPE
+   oracle. Spark is unaffected (the engine side iterates eagerly).
 """
 
 from __future__ import annotations
