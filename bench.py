@@ -83,6 +83,7 @@ HEADLINE = [
     "bigram_logprob_scores",    # bigram-LM perplexity quality filter
     "sensor_gap_report",        # >24h downtime gaps per stream
     "sensor_zscore_anomalies",  # rolling z-score outlier screen
+    "fuzzy_name_match_pairs",   # blocked Levenshtein entity matching
 ]
 
 

@@ -267,11 +267,48 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    None,  # approximate two-stage search -> rows-only
+    """
+    WITH e0 AS (
+      SELECT vec_id, label, embedding, UNNEST(range(0, len(embedding))) AS dim0
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, label, dim0 + 1 AS dim,
+             CAST(embedding[dim0 + 1] AS DOUBLE) AS val
+      FROM e0
+    ), cent AS (
+      SELECT label, dim, ROUND(AVG(val), 6) AS c
+      FROM e GROUP BY label, dim
+    ), q AS (
+      SELECT dim, val FROM e WHERE vec_id = 0
+    ), probe AS (
+      SELECT label FROM (
+        SELECT cent.label,
+               ROUND(SUM(c * q.val)
+                     / (sqrt(SUM(c * c)) * sqrt(SUM(q.val * q.val))), 6) AS c_sim
+        FROM cent JOIN q ON q.dim = cent.dim
+        GROUP BY cent.label
+      ) ORDER BY c_sim DESC, label LIMIT 3
+    ), qv AS (
+      SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e2.vec_id,
+           ROUND(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
+                                        CAST(qv.q_vec AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings e2 JOIN probe p ON e2.label = p.label, qv
+    WHERE e2.vec_id <> 0
+    ORDER BY cosine_sim DESC, e2.vec_id
+    LIMIT 10
+    """,
     doc="IVF-style ANN: coarse-quantize by per-label centroids, probe "
     "the nprobe=3 nearest cells, brute-force only those cells. The "
-    "candidate scan shrinks ~label_count/nprobe-fold (recall floor measured in tests/test_lsh_recall.py); centroid scoring "
-    "touches only centroids. 100 TB path alongside hyperplane LSH.",
+    "candidate scan shrinks ~label_count/nprobe-fold (recall floor "
+    "measured in tests/test_lsh_recall.py); centroid scoring touches "
+    "only centroids. 100 TB path alongside hyperplane LSH. Unlike "
+    "the hash-randomized LSH paths, every stage here is "
+    "deterministic (6-dp rounded probe cosine, label tie-break, "
+    "vec_id tie-break on the final cut), so the FULL two-stage "
+    "search sits under a DuckDB oracle — centroids, probed cells, "
+    "and the in-cell exact top-k are all hash-checked.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", rebalance=True)
@@ -293,11 +330,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.crossJoin(F.broadcast(q))
         .select(
             "label",
-            similarity.cosine(F.col("centroid_vec"), F.col("q_vec").cast("array<double>")).alias(
-                "c_sim"
-            ),
+            # 6-dp round + label tie-break pin the probed cell set
+            # cross-engine (oracle-hygiene rule 4)
+            F.round(
+                similarity.cosine(
+                    F.col("centroid_vec"), F.col("q_vec").cast("array<double>")
+                ),
+                6,
+            ).alias("c_sim"),
         )
-        .orderBy(F.col("c_sim").desc())
+        .orderBy(F.col("c_sim").desc(), "label")
         .limit(3)
         .select("label")
     )

@@ -783,3 +783,75 @@ def guarded_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """,
     )
+
+
+@register(
+    "fuzzy_name_match_pairs",
+    """
+    WITH n AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_name
+    ), p AS (
+      SELECT p_name, cnt,
+             string_split(p_name, ' ')[1]  AS w1,
+             string_split(p_name, ' ')[-1] AS w2
+      FROM n
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS lev_dist,
+           a.cnt AS n_a, b.cnt AS n_b
+    FROM p a JOIN p b
+      ON (a.w1 = b.w1 OR a.w2 = b.w2) AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="Fuzzy entity matching (record linkage): near-identical part "
+    "names found by BLOCKING on either word of the name, then exact "
+    "Levenshtein verification at distance <= 2 — the scalable "
+    "re-expression of the reference's difflib fuzzy-city ladder "
+    "(new_disaster_c.py get_close_matches 0.8 / resolve.py:122): "
+    "instead of scoring the query against EVERY candidate, only "
+    "pairs sharing a blocking key are scored, the LSH idea with "
+    "lexical keys. Engine plan: dedupe names first (the match runs "
+    "on the name vocabulary, not the row count), two equi-joins "
+    "(one per blocking key) unioned then distinct — never an OR-join "
+    "cartesian — and codegen'd levenshtein on the survivors only. "
+    "Output carries per-name row counts so a merge step knows the "
+    "blast radius of each match.",
+)
+def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    n = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    words = F.split(F.col("p_name"), " ")
+    p = n.select(
+        "p_name",
+        "cnt",
+        words.getItem(0).alias("w1"),
+        F.element_at(words, -1).alias("w2"),
+    )
+    a = p.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("n_a"),
+        "w1",
+        "w2",
+    )
+    b = p.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("n_b"),
+        F.col("w1").alias("v1"),
+        F.col("w2").alias("v2"),
+    )
+    blocked = (
+        a.join(b, F.col("w1") == F.col("v1"))
+        .select("name_a", "name_b", "n_a", "n_b")
+        .unionAll(
+            a.join(b, F.col("w2") == F.col("v2")).select(
+                "name_a", "name_b", "n_a", "n_b"
+            )
+        )
+        .filter(F.col("name_a") < F.col("name_b"))
+        .distinct()
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return blocked.filter(lev <= 2).select(
+        "name_a", "name_b", lev.alias("lev_dist"), "n_a", "n_b"
+    )
