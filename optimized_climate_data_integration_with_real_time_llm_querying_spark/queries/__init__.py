@@ -58,6 +58,11 @@ an engine bug. Check ALL of them before registering a query:
    induction, iterative refinement) re-derives the whole prefix per
    round: measured 167 s -> 0.9 s at sf0.01 for the 12-round BPE
    oracle. Spark is unaffected (the engine side iterates eagerly).
+10. **DuckDB ``levenshtein`` counts UTF-8 BYTES, Spark counts
+   CHARACTERS** — ('', 'é') is 1 in Spark, 2 in DuckDB; they agree
+   exactly on ASCII. Levenshtein-oracled queries must run on
+   verified-ASCII columns (fuzzy_name_match_pairs: part names) or
+   stay rows-only. Pinned in tests/test_hash_equivalence.py.
 """
 
 from __future__ import annotations
