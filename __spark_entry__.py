@@ -41,7 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # late round-7 sensor queries — sensor_gap_report,
 # sensor_zscore_anomalies — sit mid-registry at positions 51-52 and
 # take their first driver rows next round: the window's other 50
-# slots are owed to the returning sit-outs + this round's additions.)
+# slots are owed to the returning sit-outs + this round's additions.
+# Ditto the late round-7 winnowing pair — doc_winnow_fingerprints,
+# winnow_dup_candidates — green in tests/test_oracle_parity.py and
+# queued for their first driver rows next round.)
 _PROMOTE = [
     "minhash_near_dup_pairs_md5",  # new in round 7 — oracled MinHash-LSH
     "simhash_near_dup_pairs_md5",  # new in round 7 — oracled SimHash

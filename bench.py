@@ -84,6 +84,8 @@ HEADLINE = [
     "sensor_gap_report",        # >24h downtime gaps per stream
     "sensor_zscore_anomalies",  # rolling z-score outlier screen
     "fuzzy_name_match_pairs",   # blocked Levenshtein entity matching
+    "doc_winnow_fingerprints",  # rolling-hash winnowing (MOSS) selection
+    "winnow_dup_candidates",    # fingerprint-overlap candidate pairs
 ]
 
 

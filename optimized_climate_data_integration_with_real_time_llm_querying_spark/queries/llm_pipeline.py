@@ -494,6 +494,97 @@ def substring_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.char_ngram_dup_profile(d, k=50, hash_family=dedup.md5_hash64)
 
 
+# Winnowing fingerprint selection (Schleimer et al. 2003), shared by
+# both winnow queries: char 8-grams hashed with the md5 family
+# (hygiene rule 6), window = 4, rightmost-min tie rule. MATERIALIZED
+# because full/small branches both read `led` (rule 9).
+_WINNOW_FP_CTE = r"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             CAST(('0x' || substr(md5(substr(text, CAST(p AS INT), 8)), 1, 8)) AS BIGINT) AS gh
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS p
+            FROM documents WHERE length(text) >= 8)
+      UNION ALL
+      SELECT doc_id, 1 AS p, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS gh
+      FROM documents WHERE length(text) > 0 AND length(text) < 8
+    ), led AS MATERIALIZED (
+      SELECT doc_id, p, gh,
+             lead(gh, 1) OVER w AS gh1,
+             lead(gh, 2) OVER w AS gh2,
+             lead(gh, 3) OVER w AS gh3,
+             COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+             MIN(gh)  OVER (PARTITION BY doc_id) AS mn
+      FROM g
+      WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ), full_fp AS (
+      SELECT DISTINCT doc_id,
+             p + (CASE WHEN gh3 = m THEN 3 WHEN gh2 = m THEN 2
+                       WHEN gh1 = m THEN 1 ELSE 0 END) AS fp_pos,
+             m AS fp
+      FROM (SELECT *, LEAST(gh, gh1, gh2, gh3) AS m
+            FROM led WHERE gh3 IS NOT NULL)
+    ), small_fp AS (
+      SELECT doc_id, MAX(p) AS fp_pos, mn AS fp
+      FROM led WHERE ng < 4 AND gh = mn
+      GROUP BY doc_id, mn
+    ), fp AS MATERIALIZED (
+      SELECT doc_id, CAST(fp_pos AS INT) AS fp_pos, fp FROM full_fp
+      UNION ALL
+      SELECT doc_id, CAST(fp_pos AS INT) AS fp_pos, fp FROM small_fp
+    )
+"""
+
+
+@register(
+    "doc_winnow_fingerprints",
+    _WINNOW_FP_CTE + "SELECT doc_id, fp_pos, fp FROM fp",
+    doc="Rolling-hash document fingerprinting by winnowing (Schleimer "
+    "et al., SIGMOD 2003 / MOSS): hash every char 8-gram, slide a "
+    "4-wide window, keep each window's minimum hash (rightmost on "
+    "ties). Any shared substring of >= 11 chars between two docs "
+    "yields a shared fingerprint while only ~2/5 of grams are kept. "
+    "md5-derived gram hashes (hygiene rule 6) let DuckDB replay the "
+    "selection bit-for-bit — window minima, tie-breaks, collisions "
+    "and all. Production twin uses xxhash64 via the operator default.",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import winnow
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return winnow.winnow_fingerprints(d, k=8, window=4, hash_family=dedup.md5_hash64)
+
+
+@register(
+    "winnow_dup_candidates",
+    _WINNOW_FP_CTE
+    + """
+    , fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM fp),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10),
+    fr AS MATERIALIZED (
+      SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+    doc="MOSS match step over winnowed fingerprints: doc pairs sharing "
+    ">= 3 distinct fingerprints, with a document-frequency cap (<= 10 "
+    "docs per fingerprint) dropping boilerplate before the self-join "
+    "— the guard that keeps the pair count sub-quadratic at corpus "
+    "scale. The join input is the winnowed ~40% of grams, on 8-byte "
+    "keys; fully DuckDB-oracled via the md5 gram-hash family.",
+)
+def winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import winnow
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return winnow.winnow_match_pairs(
+        d, k=8, window=4, min_shared=3, max_fp_df=10, hash_family=dedup.md5_hash64
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.filter(F.col("vec_id") == vec_id).select(
