@@ -86,6 +86,7 @@ HEADLINE = [
     "fuzzy_name_match_pairs",   # blocked Levenshtein entity matching
     "doc_winnow_fingerprints",  # rolling-hash winnowing (MOSS) selection
     "winnow_dup_candidates",    # fingerprint-overlap candidate pairs
+    "minhash_estimate_vs_exact",  # sketch-accuracy audit (est vs truth)
 ]
 
 

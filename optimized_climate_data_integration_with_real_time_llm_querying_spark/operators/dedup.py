@@ -407,6 +407,76 @@ def minhash_near_duplicates(
     return result
 
 
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    hash_family=F.xxhash64,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard, jaccard, abs_err): for every LSH
+    candidate pair, the signature-estimated Jaccard (fraction of
+    agreeing MinHash components — the unbiased estimator the whole
+    MinHash construction exists to provide) next to the exact
+    shingle-set Jaccard and the absolute estimation error.
+
+    This is the accuracy audit of the near-dup pipeline: it
+    quantifies, per pair, how far the sketch is from ground truth —
+    at corpus scale you run it on a sampled slice to pick
+    ``num_hashes`` (the estimator's std dev is
+    sqrt(J(1-J)/num_hashes)). Same one-pass combined aggregate and
+    persist contract as :func:`minhash_near_duplicates`; exact
+    verification touches candidates only, never all pairs. With
+    ``hash_family=md5_hash64`` the whole audit — signatures, bands,
+    candidates, estimates, exact sets — is DuckDB-recomputable.
+
+    Cache contract: the returned frame carries the persisted combined
+    aggregate as ``result.cache_handle``; release after materializing.
+    """
+    sh_fn = hashed_shingles if hash_family is F.xxhash64 else shingles
+    sh = sh_fn(df, text_col, id_col, k, distinct=False)
+    aggs = [
+        F.min(hash_family(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ] + [F.collect_set("shingle").alias("shingle_set")]
+    combined = sh.groupBy(id_col).agg(*aggs).persist()
+    sigs = combined.select(F.col(id_col), *[f"mh_{j}" for j in range(num_hashes)])
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, hash_family=hash_family)
+    side_a = combined.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_mh_{j}") for j in range(num_hashes)],
+        F.col("shingle_set").alias("set_a"),
+    )
+    side_b = combined.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_mh_{j}") for j in range(num_hashes)],
+        F.col("shingle_set").alias("set_b"),
+    )
+    n_eq = sum(
+        F.when(F.col(f"a_mh_{j}") == F.col(f"b_mh_{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    union_size = F.size("set_a") + F.size("set_b") - n_common
+    est_raw = n_eq / F.lit(float(num_hashes))
+    exact_raw = n_common / union_size.cast("double")
+    result = (
+        cands.join(side_a, "id_a")
+        .join(side_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est_raw, 6).alias("est_jaccard"),
+            F.round(exact_raw, 6).alias("jaccard"),
+            F.round(F.abs(est_raw - exact_raw), 6).alias("abs_err"),
+        )
+    )
+    result.cache_handle = combined
+    return result
+
+
 # --------------------------------------------------------------------------
 # Exact substring duplication (Lee et al. 2022, arXiv:2107.06499 shape)
 # --------------------------------------------------------------------------

@@ -406,6 +406,90 @@ def minhash_near_dup_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_estimate_vs_exact",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 3
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), mh AS MATERIALIZED (
+      SELECT doc_id, j,
+             MIN(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 8)) AS BIGINT)) AS mh
+      FROM sh, range(0, 32) t(j)
+      GROUP BY doc_id, j
+    ), bands AS (
+      SELECT doc_id, band,
+             CAST(('0x' || substr(md5(
+               CAST(band AS VARCHAR) || ':' ||
+               string_agg(CAST(mh AS VARCHAR), ':' ORDER BY j)
+             ), 1, 8)) AS BIGINT) AS bucket
+      FROM (SELECT doc_id, j, mh, CAST(j // 4 AS INT) AS band FROM mh)
+      GROUP BY doc_id, band
+    ), small AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING COUNT(*) <= 200
+    ), bb AS MATERIALIZED (
+      SELECT b.doc_id, b.band, b.bucket
+      FROM bands b JOIN small s ON b.band = s.band AND b.bucket = s.bucket
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_eq
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.id_a
+      JOIN mh mb ON mb.doc_id = c.id_b AND mb.j = ma.j
+      GROUP BY c.id_a, c.id_b
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           ROUND(e.n_eq / 32.0, 6) AS est_jaccard,
+           ROUND(COALESCE(i.n_common, 0)
+                 / CAST(za.set_size + zb.set_size - COALESCE(i.n_common, 0) AS DOUBLE),
+                 6) AS jaccard,
+           ROUND(ABS(e.n_eq / 32.0
+                     - COALESCE(i.n_common, 0)
+                       / CAST(za.set_size + zb.set_size - COALESCE(i.n_common, 0) AS DOUBLE)),
+                 6) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes za ON za.doc_id = e.id_a
+    JOIN sizes zb ON zb.doc_id = e.id_b
+    """,
+    doc="Sketch-accuracy audit of the MinHash pipeline: for every LSH "
+    "candidate pair, the signature-estimated Jaccard (agreeing "
+    "components / 32 — the construction's unbiased estimator, std "
+    "dev sqrt(J(1-J)/32)) next to the exact shingle-set Jaccard and "
+    "the absolute error. md5 permutation family (hygiene rule 6), so "
+    "DuckDB recomputes signatures, bands, candidates, estimates AND "
+    "ground truth — the estimator itself is hash-checked, not just "
+    "bounded in a unit test. Exact sets touch candidates only.",
+)
+def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return dedup.minhash_jaccard_estimates(d, hash_family=dedup.md5_hash64)
+
+
+@register(
     "simhash_near_dup_pairs_md5",
     r"""
     WITH tok AS (

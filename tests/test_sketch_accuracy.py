@@ -66,3 +66,16 @@ def test_approx_quantiles_within_rank_error(spark, sf_small):
             lo, hi = b[2 * i], b[2 * i + 1]
             print(f"{k}/{q}: approx={a} band=[{lo:.2f}, {hi:.2f}]")
             assert lo - 1e-6 <= a <= hi + 1e-6
+
+
+def test_minhash_estimator_error_bound(spark, sf_small):
+    """The MinHash estimator's per-pair |est - exact| should respect
+    its binomial bound: std dev sqrt(J(1-J)/32) <= 0.0884, so 4 sigma
+    (~0.36) catches a broken estimator while never flaking. Also pin
+    the mean error well below one sigma — the aggregate signal a
+    subtly mis-seeded permutation family would break."""
+    rows = QS["minhash_estimate_vs_exact"].builder(spark, sf_small).collect()
+    assert rows, "LSH produced no candidate pairs at sf_small"
+    errs = [r["abs_err"] for r in rows]
+    assert max(errs) <= 0.36, max(errs)
+    assert sum(errs) / len(errs) <= 0.09, sum(errs) / len(errs)
