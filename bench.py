@@ -87,6 +87,8 @@ HEADLINE = [
     "doc_winnow_fingerprints",  # rolling-hash winnowing (MOSS) selection
     "winnow_dup_candidates",    # fingerprint-overlap candidate pairs
     "minhash_estimate_vs_exact",  # sketch-accuracy audit (est vs truth)
+    "pmi_collocations",         # PMI collocation ranking
+    "priority_weighted_sample", # weight-proportional sampling (top-n heap)
 ]
 
 

@@ -113,6 +113,48 @@ def stratified_sample(
     return df.filter(bucket < (rate_expr * _DENOM).cast("long"))
 
 
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007):
+    weight-proportional sampling without replacement. Each row gets
+    priority q = w / u with u uniform from a hash of its key; the n
+    largest priorities are kept — heavier rows are proportionally
+    more likely to survive, and subset-sum estimates built on the
+    kept rows are near-optimal (the paper's result).
+
+    Determinism is the point: u is derived from the md5 bucket of the
+    key, and the priority is computed as ONE exact arithmetic shape —
+    q = (w * 2^32) / (2*h + 1), i.e. integer-valued doubles in, a
+    single correctly-rounded IEEE division out (no pow(), no ln()) —
+    so ANY engine with md5 reproduces the kept set bit-for-bit. The
+    usual Efraimidis-Spirakis u^(1/w) key needs transcendentals whose
+    last-ulp behavior is engine-specific; this construction is
+    order-equivalent for selection and exactly portable.
+
+    Plan shape: map-side priority expression + global top-n
+    (TakeOrderedAndProject) — no shuffle beyond the top-n collect,
+    scale-safe at any corpus size.
+    """
+    from .dedup import md5_hash64
+
+    h = md5_hash64(F.lit(seed), F.col(key_col))
+    pr = (F.col(weight_col).cast("double") * F.lit(4294967296.0)) / (
+        2 * h + 1
+    ).cast("double")
+    return (
+        df.withColumn("_pr", pr)
+        .orderBy(F.desc("_pr"), F.col(key_col))
+        .limit(n)
+        .withColumn("priority", F.round(F.col("_pr"), 6))
+        .drop("_pr")
+    )
+
+
 def select_by_quality_budget(
     scored: DataFrame,
     budget: int,

@@ -122,6 +122,68 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col).cast("binary"))
 
 
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 10,
+    top: int = 30,
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi): top collocations by pointwise mutual
+    information — PMI = ln(P(xy) / (P(x)P(y))) with bigram probability
+    over adjacent-token pairs and unigram probabilities over all
+    tokens (Church & Hanks 1990). ``min_count`` filters the unstable
+    low-frequency tail before ranking; output is the ``top`` pairs by
+    PMI, tie-broken lexicographically.
+
+    Plan shape: ONE tokenize+explode pass feeds both the bigram frame
+    (lead() over the per-doc position window) and the unigram counts;
+    the two scalar totals broadcast via 1-row cross joins; the final
+    rank is TakeOrderedAndProject. Shuffles move (word[, word]) count
+    rows — vocabulary-sized, not corpus-sized — after map-side
+    partial aggregation, so the heavy frames never leave their
+    partitions unaggregated. The PMI arithmetic is written as one
+    fixed double expression (cast-first, left-associated) so external
+    oracles replay it bit-for-bit up to the final ln ulp.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.lower(F.col(text_col)))
+    tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    big = (
+        tok_rows.select(
+            F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c_xy = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    n_bi = big.agg(F.count(F.lit(1)).alias("n_bi"))
+    uni = tok_rows.groupBy(F.col("tok").alias("w")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    cx = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("n_tok") * F.col("n_tok"))
+            / (F.col("n_bi").cast("double") * F.col("c_x") * F.col("c_y"))
+        ),
+        4,
+    )
+    return (
+        c_xy.filter(F.col("n_pair") >= min_count)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_tok))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top)
+    )
+
+
 def chunk_spans(
     df: DataFrame,
     chunk_tokens: int = 512,

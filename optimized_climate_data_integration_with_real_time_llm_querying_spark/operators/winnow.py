@@ -83,15 +83,21 @@ def winnow_fingerprints(
     # that would force Spark to explode and sort the grams twice.
     w_seq = Window.partitionBy(id_col).orderBy("p")
     w_doc = Window.partitionBy(id_col)
-    mn = F.min("gh").over(w_doc)
+    # min(struct(gh, -p)) = (min hash, rightmost position holding it)
+    # in ONE window expression — writing rm as max(p) FILTER (gh = mn)
+    # would reference the mn window result and cost a second
+    # whole-partition Window pass + re-sort.
+    mn_s = F.min(F.struct(F.col("gh").alias("g"), (-F.col("p")).alias("np"))).over(
+        w_doc
+    )
     led = grams.select(
         F.col(id_col),
         F.col("p"),
         F.col("gh"),
         *[F.lead("gh", j).over(w_seq).alias(f"gh{j}") for j in range(1, window)],
         F.count(F.lit(1)).over(w_doc).alias("ng"),
-        mn.alias("mn"),
-        F.max(F.when(F.col("gh") == mn, F.col("p"))).over(w_doc).alias("rm"),
+        mn_s.getField("g").alias("mn"),
+        (-mn_s.getField("np")).alias("rm"),
     )
 
     # Full windows: min of [gh, gh1..gh{w-1}], rightmost tie-break.

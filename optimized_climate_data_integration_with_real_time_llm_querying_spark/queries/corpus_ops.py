@@ -865,3 +865,81 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg("logp"), 4).alias("avg_neg_logp"),
         )
     )
+
+
+@register(
+    "pmi_collocations",
+    r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), big AS MATERIALIZED (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ), uni AS MATERIALIZED (
+      SELECT u AS w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS u FROM toks)
+      GROUP BY u
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+    nb AS (SELECT COUNT(*) AS n_bi FROM big),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS c_xy FROM big
+      GROUP BY w1, w2 HAVING COUNT(*) >= 10
+    )
+    SELECT bc.w1, bc.w2, CAST(bc.c_xy AS BIGINT) AS n_pair,
+           ROUND(LN((CAST(bc.c_xy AS DOUBLE) * tot.n_tok * tot.n_tok)
+                    / (CAST(nb.n_bi AS DOUBLE) * cx.c * cy.c)), 4) AS pmi
+    FROM bc
+    CROSS JOIN tot
+    CROSS JOIN nb
+    JOIN uni cx ON cx.w = bc.w1
+    JOIN uni cy ON cy.w = bc.w2
+    ORDER BY pmi DESC, bc.w1, bc.w2
+    LIMIT 30
+    """,
+    doc="Top bigram collocations by pointwise mutual information "
+    "(Church & Hanks 1990): PMI = ln(P(xy)/(P(x)P(y))) with a "
+    "min-count floor of 10 cutting the unstable tail, top-30 ranked "
+    "on the ROUNDED value with lexicographic tie-break so the kept "
+    "set is deterministic cross-engine (hygiene rule 4). One "
+    "tokenize pass feeds bigram and unigram counts; shuffles carry "
+    "vocabulary-sized count rows; the PMI arithmetic is one fixed "
+    "double expression both engines evaluate identically up to the "
+    "final ln ulp, then rounds at 4 dp.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pmi_bigrams
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return pmi_bigrams(d, min_count=10, top=30)
+
+
+@register(
+    "priority_weighted_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, source, n_chars,
+             (CAST(n_chars AS DOUBLE) * 4294967296.0)
+             / CAST(2 * CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+               AS pr
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, ROUND(pr, 6) AS priority
+    FROM p
+    ORDER BY pr DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Weight-proportional sampling without replacement by priority "
+    "sampling (Duffield, Lund & Thorup, JACM 2007): priority q = "
+    "(w * 2^32)/(2*md5_bucket(key) + 1), keep the top 100 by q — "
+    "longer documents proportionally likelier to survive, kept set "
+    "reproducible across runs, partitionings AND engines because the "
+    "key is one exact IEEE division (no pow/ln, hygiene rule 6). "
+    "Map-side expression + TakeOrderedAndProject; no shuffle.",
+)
+def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import priority_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return priority_sample(d, weight_col="n_chars", key_col="doc_id", n=100)

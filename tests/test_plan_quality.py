@@ -41,6 +41,9 @@ def plan_of(spark, sf_oracle, name: str) -> str:
         # Anti/semi joins stay join-shaped (no subquery materialization).
         ("anti_join_no_orders", r"LeftAnti"),
         ("semi_join_active_parts", r"LeftSemi"),
+        # Round-7 additions: rank stages are heaps, not global sorts.
+        ("pmi_collocations", r"TakeOrderedAndProject"),
+        ("priority_weighted_sample", r"TakeOrderedAndProject"),
     ],
 )
 def test_plan_shape(spark, sf_oracle, name, pattern):
@@ -237,3 +240,24 @@ def test_substring_dup_profile_hashes_grams_at_source(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"hashpartitioning\(([^)#]*)#\d+([a-zA-Z]*)", plan):
         assert m.group(2) != "", f"untyped partition key: {m.group(0)}"
+
+
+def test_winnow_single_shuffle_two_window_passes(spark, sf_oracle):
+    """The winnowing selection must stay one hash shuffle (doc_id) with
+    exactly two Window passes (ordered leads + unordered per-doc
+    aggregates fused via the struct-min trick); the distinct reuses
+    the doc_id partitioning, so no further Exchange appears."""
+    import re
+
+    plan = plan_of(spark, sf_oracle, "doc_winnow_fingerprints")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Window \[", plan)) == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_no_shuffle(spark, sf_oracle):
+    """Priority sampling is a map-side expression + top-n heap: no
+    Exchange at all in the executed plan."""
+    plan = plan_of(spark, sf_oracle, "priority_weighted_sample")
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
