@@ -1092,3 +1092,49 @@ def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return similarity.label_centroids(e)
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH scores AS ({_SCORES}),
+    pred AS (
+      SELECT d.lang,
+             CASE WHEN GREATEST(s.s_en, s.s_de, s.s_fr, s.s_es) = 0 THEN 'und'
+                  WHEN s.s_es > GREATEST(s.s_en, s.s_de, s.s_fr)   THEN 'es'
+                  WHEN s.s_fr > GREATEST(s.s_en, s.s_de)           THEN 'fr'
+                  WHEN s.s_de > s.s_en                             THEN 'de'
+                  ELSE 'en' END AS pred_lang
+      FROM documents d JOIN scores s USING (doc_id)
+    ), agg AS (
+      SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 4) AS share
+    FROM agg
+    """,
+    doc="Language-ID accuracy audit: confusion matrix of the stopword "
+    "lang-ID heuristic against the labeled lang column, with each "
+    "cell's share of its true-language row. Ties the classifier to "
+    "ground truth (e.g. zh has no stopword inventory and must land "
+    "in 'und'/misses — visible here, invisible to a rows-only "
+    "check). The share window runs over the per-(lang,pred) "
+    "AGGREGATE — a provably tiny domain (#langs x #preds), the "
+    "documented safe use of a partition window.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    agg = (
+        d.select(F.col("lang"), text.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 4).alias("share"),
+    )

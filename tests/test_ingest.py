@@ -223,3 +223,63 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(gas" in plan  # partition pruning
     assert back.count() == em.filter(F.col("gas") == "CO2").count()
+
+
+def test_sorted_layout_files_tile_key_domain(spark, tmp_path):
+    """write_sorted_layout must produce Parquet files whose per-file
+    [min, max] key ranges are DISJOINT (each file owns a slice of the
+    key domain) — the property that makes footer-based file skipping
+    effective. The naive write is checked to NOT have it, proving the
+    assertion can fail."""
+    import duckdb
+
+    df = spark.range(0, 20_000).select(
+        (F.xxhash64("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    laid = str(tmp_path / "laid")
+    naive = str(tmp_path / "naive")
+    ingest.write_sorted_layout(df, laid, ["k"], n_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(naive)
+
+    con = duckdb.connect()
+
+    def file_ranges(path):
+        rows = con.execute(
+            f"""
+            SELECT file_name,
+                   MIN(CAST(stats_min_value AS BIGINT)) AS lo,
+                   MAX(CAST(stats_max_value AS BIGINT)) AS hi
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema = 'k'
+            GROUP BY file_name ORDER BY lo
+            """
+        ).fetchall()
+        return [(r[1], r[2]) for r in rows]
+
+    laid_ranges = file_ranges(laid)
+    assert len(laid_ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(laid_ranges, laid_ranges[1:]):
+        assert hi1 < lo2, f"overlapping files: [{lo1},{hi1}] vs [{lo2},{hi2}]"
+
+    naive_ranges = file_ranges(naive)
+    overlaps = sum(
+        1
+        for (lo1, hi1), (lo2, hi2) in zip(naive_ranges, naive_ranges[1:])
+        if hi1 >= lo2
+    )
+    assert overlaps > 0, "naive layout unexpectedly disjoint; test is vacuous"
+
+    # And the skipping is real: a selective range filter on the laid-out
+    # dataset prunes most row groups in DuckDB's reader too.
+    n_total = con.execute(
+        f"SELECT COUNT(*) FROM parquet_metadata('{laid}/*.parquet') WHERE path_in_schema='k'"
+    ).fetchone()[0]
+    n_needed = con.execute(
+        f"""
+        SELECT COUNT(*) FROM parquet_metadata('{laid}/*.parquet')
+        WHERE path_in_schema = 'k'
+          AND CAST(stats_max_value AS BIGINT) >= 0
+          AND CAST(stats_min_value AS BIGINT) <= 50
+        """
+    ).fetchone()[0]
+    assert n_needed <= max(1, n_total // 4)
