@@ -44,9 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots are owed to the returning sit-outs + this round's additions.
 # Ditto the late round-7 winnowing pair — doc_winnow_fingerprints,
 # winnow_dup_candidates — the MinHash sketch-accuracy audit
-# minhash_estimate_vs_exact, PMI collocations pmi_collocations, and
-# priority_weighted_sample: green in tests/test_oracle_parity.py
-# and queued for their first driver rows next round.)
+# minhash_estimate_vs_exact, pmi_collocations,
+# priority_weighted_sample, lang_id_confusion,
+# source_overlap_matrix, and events_session_window_agg: green in
+# tests/test_oracle_parity.py and queued for their first driver
+# rows next round.)
 _PROMOTE = [
     "minhash_near_dup_pairs_md5",  # new in round 7 — oracled MinHash-LSH
     "simhash_near_dup_pairs_md5",  # new in round 7 — oracled SimHash

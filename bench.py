@@ -89,6 +89,9 @@ HEADLINE = [
     "minhash_estimate_vs_exact",  # sketch-accuracy audit (est vs truth)
     "pmi_collocations",         # PMI collocation ranking
     "priority_weighted_sample", # weight-proportional sampling (top-n heap)
+    "lang_id_confusion",        # language-ID accuracy vs labels
+    "source_overlap_matrix",    # cross-source shingle Jaccard matrix
+    "events_session_window_agg",  # native session_window sessionization
 ]
 
 

@@ -943,3 +943,76 @@ def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return priority_sample(d, weight_col="n_chars", key_col="doc_id", n=100)
+
+
+@register(
+    "source_overlap_matrix",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
+      FROM (
+        SELECT source, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (SELECT source, t, unnest(range(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 3)
+        UNION ALL
+        SELECT source, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), sizes AS (
+      SELECT source, COUNT(*) AS sz FROM sh GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, CAST(i.n_common AS BIGINT) AS n_common,
+           ROUND(i.n_common / CAST(za.sz + zb.sz - i.n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.source = i.src_a
+    JOIN sizes zb ON zb.source = i.src_b
+    """,
+    doc="Cross-source duplication matrix: Jaccard similarity of 3-gram "
+    "shingle SETS between every source pair — the corpus-composition "
+    "audit that tells you which crawl/source pairs share boilerplate "
+    "and where cross-source dedup will pay. Shingles are md5-hashed "
+    "at the source (rule 6): the distinct, the self-join and both "
+    "aggregates move (small-cardinality source, 8-byte hash) rows, "
+    "never shingle strings; output is #sources^2/2 rows regardless "
+    "of corpus size.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    sh = dedup.shingles(d, k=3, distinct=False)
+    s = (
+        sh.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", dedup.md5_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = s.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = s.select(F.col("source").alias("src_a"), "h")
+    b = s.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

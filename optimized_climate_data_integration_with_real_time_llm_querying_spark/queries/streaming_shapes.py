@@ -320,3 +320,57 @@ def sensor_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "events_session_window_agg",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start,
+           epoch_us(MAX(ts)) + 1800000000 AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM islands
+    GROUP BY user_id, sid
+    """,
+    doc="Native session windows (F.session_window, 30-min gap) — the "
+    "merge-on-overlap primitive Structured Streaming uses for "
+    "stateful sessionization — hash-checked against a first-"
+    "principles gaps-and-islands oracle. Pins the boundary rule: "
+    "session windows are half-open [start, last+gap), so an event "
+    "arriving EXACTLY gap after the previous one starts a NEW "
+    "session (>= in the oracle, where the lag twin "
+    "user_sessionization uses >). Complements the lag-based twin "
+    "with the API the streaming pipeline actually deploys.",
+)
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start"),
+            F.unix_micros("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
