@@ -92,6 +92,7 @@ HEADLINE = [
     "lang_id_confusion",        # language-ID accuracy vs labels
     "source_overlap_matrix",    # cross-source shingle Jaccard matrix
     "events_session_window_agg",  # native session_window sessionization
+    "events_zorder_keys",       # Morton layout keys (bit interleave)
 ]
 
 

@@ -345,3 +345,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = e.join(F.broadcast(probe), "label", "left_semi")
     return similarity.cosine_topk(cands, q, k=10)
+
+
+_ZORDER_TERMS = "(((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0) + (((x >> 1) & 1) << 3) + (((y >> 1) & 1) << 2) + (((x >> 2) & 1) << 5) + (((y >> 2) & 1) << 4) + (((x >> 3) & 1) << 7) + (((y >> 3) & 1) << 6) + (((x >> 4) & 1) << 9) + (((y >> 4) & 1) << 8) + (((x >> 5) & 1) << 11) + (((y >> 5) & 1) << 10) + (((x >> 6) & 1) << 13) + (((y >> 6) & 1) << 12) + (((x >> 7) & 1) << 15) + (((y >> 7) & 1) << 14) + (((x >> 8) & 1) << 17) + (((y >> 8) & 1) << 16) + (((x >> 9) & 1) << 19) + (((y >> 9) & 1) << 18)"
+
+
+@register(
+    "events_zorder_keys",
+    f"""
+    WITH dims AS (
+      SELECT event_id,
+             (user_id % 1024) AS x,
+             ((epoch_us(ts) // 86400000000) % 1024) AS y
+      FROM events
+    )
+    SELECT event_id, x, y,
+           CAST({_ZORDER_TERMS} AS BIGINT) AS zkey
+    FROM dims
+    """,
+    doc="Morton (Z-order) layout keys over (user_id, day) — the "
+    "multi-dimensional clustering key write_zorder_layout sorts by "
+    "so Parquet footer pruning works on EITHER dimension. The "
+    "10-bit interleave is pure bit arithmetic (disjoint bit "
+    "positions, so sum == or), recomputed term-for-term by the "
+    "DuckDB oracle: the layout key itself is hash-checked "
+    "cross-engine, making the physical clustering decision "
+    "auditable outside Spark.",
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ingest import zorder_value
+
+    e = load_table(spark, sf_dir, "events")
+    dims = e.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("x"),
+        (F.expr("unix_micros(ts) div 86400000000") % 1024).alias("y"),
+    )
+    return dims.select(
+        "event_id", "x", "y", zorder_value("x", "y", bits=10).alias("zkey")
+    )

@@ -290,3 +290,50 @@ def write_sorted_layout(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def zorder_value(c1, c2, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns (c1 gets the odd positions). Sorting
+    by this key clusters rows that are close in BOTH dimensions, so a
+    range-sorted layout on it gives file-level min/max pruning on
+    EITHER column — the multi-dimensional generalization of
+    :func:`write_sorted_layout`'s single-key tiling. Callers quantize
+    unbounded/skewed columns into [0, 2^bits) first (rank, bucketize,
+    or min-max scale); the key itself is pure codegen'd bit
+    arithmetic, reproducible in any engine with shifts.
+    """
+    c1 = F.col(c1) if isinstance(c1, str) else c1
+    c2 = F.col(c2) if isinstance(c2, str) else c2
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Two-dimensional scan-pruning layout: range-partition + sort on
+    the Morton key of (col1, col2), so selective filters on EITHER
+    column skip most files from Parquet footers alone. A single-key
+    sorted layout prunes perfectly on its key and not at all on the
+    other column; Z-order trades a little of the first for a lot of
+    the second (~sqrt(n_files) touched for a point range on one
+    dimension). The layout key is dropped before writing."""
+    laid = df.withColumn("_z", zorder_value(col1, col2, bits))
+    laid = (
+        laid.repartitionByRange(n_files, F.col("_z"))
+        if n_files is not None
+        else laid.repartitionByRange(F.col("_z"))
+    ).sortWithinPartitions("_z")
+    laid.drop("_z").write.mode("overwrite").parquet(path)

@@ -283,3 +283,50 @@ def test_sorted_layout_files_tile_key_domain(spark, tmp_path):
         """
     ).fetchone()[0]
     assert n_needed <= max(1, n_total // 4)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout must give footer-level file pruning on BOTH
+    dimensions, where a single-key sorted layout prunes only its own
+    key. Pruning factor for a narrow range on one dimension of a
+    Z-ordered layout is ~sqrt(n_files), not 1."""
+    import duckdb
+
+    df = spark.range(0, 40_000).select(
+        (F.xxhash64("id") % 1024).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1024).alias("y"),
+        F.col("id").alias("v"),
+    ).filter((F.col("x") >= 0) & (F.col("y") >= 0))
+    zpath = str(tmp_path / "zorder")
+    xpath = str(tmp_path / "xsort")
+    ingest.write_zorder_layout(df, zpath, "x", "y", bits=10, n_files=16)
+    ingest.write_sorted_layout(df, xpath, ["x"], n_files=16)
+
+    con = duckdb.connect()
+
+    def files_touched(path, col, lo, hi):
+        rows = con.execute(
+            f"""
+            SELECT file_name,
+                   MIN(CAST(stats_min_value AS BIGINT)) AS mn,
+                   MAX(CAST(stats_max_value AS BIGINT)) AS mx
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema = '{col}'
+            GROUP BY file_name
+            """
+        ).fetchall()
+        total = len(rows)
+        touched = sum(1 for _, mn, mx in rows if mx >= lo and mn <= hi)
+        return touched, total
+
+    # Narrow range (1/16 of the domain) on each dimension.
+    zx, total = files_touched(zpath, "x", 0, 63)
+    zy, _ = files_touched(zpath, "y", 0, 63)
+    assert total >= 8
+    assert zx <= total // 2, f"x-pruning too weak on zorder: {zx}/{total}"
+    assert zy <= total // 2, f"y-pruning too weak on zorder: {zy}/{total}"
+
+    sx, stotal = files_touched(xpath, "x", 0, 63)
+    sy, _ = files_touched(xpath, "y", 0, 63)
+    assert sx <= max(2, stotal // 8)  # single-key layout: near-perfect on x
+    assert sy >= stotal - 1, "y unexpectedly pruned in x-sorted layout"
