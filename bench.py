@@ -93,6 +93,8 @@ HEADLINE = [
     "source_overlap_matrix",    # cross-source shingle Jaccard matrix
     "events_session_window_agg",  # native session_window sessionization
     "events_zorder_keys",       # Morton layout keys (bit interleave)
+    "length_drift_ks",          # per-source KS drift vs corpus
+    "tfidf_doc_similarity",     # sparse TF-IDF cosine top pairs
 ]
 
 

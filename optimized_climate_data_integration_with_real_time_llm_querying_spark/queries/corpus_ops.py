@@ -1016,3 +1016,187 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "length_drift_ks",
+    """
+    WITH sc AS (
+      SELECT source, n_chars AS len, COUNT(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ), grid AS (SELECT DISTINCT n_chars AS len FROM documents),
+    srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM sc GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
+    sg AS (
+      SELECT s.source, g.len, COALESCE(sc.c, 0) AS c
+      FROM srcs s CROSS JOIN grid g
+      LEFT JOIN sc ON sc.source = s.source AND sc.len = g.len
+    ), scdf AS (
+      SELECT source, len,
+             SUM(c) OVER (PARTITION BY source ORDER BY len
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sg
+    ), gcdf AS (
+      SELECT len,
+             SUM(c) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT len, SUM(c) AS c FROM sc GROUP BY len)
+    )
+    SELECT s.source, z.n_docs,
+           ROUND(MAX(ABS(s.cum / CAST(z.n_docs AS DOUBLE)
+                         - g.cum / CAST(t.n_all AS DOUBLE))), 6) AS ks_stat
+    FROM scdf s
+    JOIN gcdf g ON g.len = s.len
+    JOIN srcs z ON z.source = s.source
+    CROSS JOIN tot t
+    GROUP BY s.source, z.n_docs
+    """,
+    doc="Distribution-drift audit: two-sample Kolmogorov-Smirnov "
+    "statistic of each source's document-length distribution against "
+    "the whole corpus — the screening step that flags a crawl slice "
+    "whose length profile shifted (truncation bugs, boilerplate "
+    "floods) before it pollutes training mixes. All windows run over "
+    "per-(source, length) AGGREGATES — a domain bounded by #sources "
+    "x #distinct-lengths, never by corpus row count — and the CDF "
+    "grid join is a broadcast-sized frame. Exact, no sampling.",
+)
+def length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.groupBy("source", F.col("n_chars").alias("len")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = d.select(F.col("n_chars").alias("len")).distinct()
+    srcs = sc.groupBy("source").agg(F.sum("c").alias("n_docs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_all"))
+    sg = (
+        srcs.select("source")
+        .crossJoin(grid)
+        .join(sc, ["source", "len"], "left")
+        .select("source", "len", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_s = W.partitionBy("source").orderBy("len").rowsBetween(W.unboundedPreceding, 0)
+    scdf = sg.select("source", "len", F.sum("c").over(w_s).alias("cum"))
+    w_g = W.orderBy("len").rowsBetween(W.unboundedPreceding, 0)
+    gcdf = (
+        sc.groupBy("len")
+        .agg(F.sum("c").alias("c"))
+        .select("len", F.sum("c").over(w_g).alias("gcum"))
+    )
+    return (
+        scdf.join(gcdf, "len")
+        .join(srcs, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_docs")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum") / F.col("n_docs").cast("double")
+                        - F.col("gcum") / F.col("n_all").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+    )
+
+
+@register(
+    "tfidf_doc_similarity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), shs AS MATERIALIZED (
+      SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS tm
+      FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 3)
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), n AS (SELECT COUNT(*) AS nd FROM documents),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tm, COUNT(*) AS tf FROM shs GROUP BY doc_id, tm
+    ), dft AS (
+      SELECT tm, COUNT(*) AS dft FROM tf GROUP BY tm
+    ), w AS MATERIALIZED (
+      SELECT tf.doc_id, tf.tm,
+             tf.tf * (LN((n.nd + 1) / CAST(dft.dft + 1 AS DOUBLE)) + 1) AS w
+      FROM tf JOIN dft ON dft.tm = tf.tm CROSS JOIN n
+      WHERE dft.dft * 5 <= n.nd
+    ), nrm AS (
+      SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+    ), dot AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.tm = b.tm AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dot d
+    JOIN nrm na ON na.doc_id = d.id_a
+    JOIN nrm nb ON nb.doc_id = d.id_b
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 20
+    """,
+    doc="Sparse TF-IDF document similarity: cosine over tf*idf-"
+    "weighted 3-gram shingle vectors (smooth idf = ln((N+1)/(df+1)) "
+    "+ 1), top-20 pairs — the lexical complement to dense embedding "
+    "cosine, catching near-dups that share phrasing but not "
+    "embedding neighborhoods. Terms are md5-hashed to 8-byte keys "
+    "at the source (rule 6); a RELATIVE document-frequency cap "
+    "(df*5 <= N, exact integer arithmetic at every scale) drops "
+    "corpus-wide boilerplate before the postings self-join, the "
+    "guard that keeps pair generation sub-quadratic; ranking "
+    "happens on the ROUNDED cosine with id tie-breaks (rule 4).",
+)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    sh = dedup.shingles(d, k=3, distinct=False).select(
+        "doc_id", dedup.md5_hash64(F.col("shingle")).alias("tm")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    tf = sh.groupBy("doc_id", "tm").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tm").agg(F.count(F.lit(1)).alias("dft"))
+    w = (
+        tf.join(dft, "tm")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("dft") * 5 <= F.col("nd"))
+        .select(
+            "doc_id",
+            "tm",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("nd") + 1) / (F.col("dft") + 1).cast("double")
+                    )
+                    + 1
+                )
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("id_a"), "tm", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "tm", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "tm")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dot.join(nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(20)
+    )
