@@ -47,9 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # minhash_estimate_vs_exact, pmi_collocations,
 # priority_weighted_sample, lang_id_confusion,
 # source_overlap_matrix, events_session_window_agg,
-# events_zorder_keys, length_drift_ks, and tfidf_doc_similarity:
-# green in tests/test_oracle_parity.py and queued for their first
-# driver rows next round.)
+# events_zorder_keys, length_drift_ks, tfidf_doc_similarity,
+# char_entropy_scores, and dup_rate_by_source: green in
+# tests/test_oracle_parity.py and queued for their first driver
+# rows next round.)
 _PROMOTE = [
     "minhash_near_dup_pairs_md5",  # new in round 7 — oracled MinHash-LSH
     "simhash_near_dup_pairs_md5",  # new in round 7 — oracled SimHash

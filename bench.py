@@ -95,6 +95,8 @@ HEADLINE = [
     "events_zorder_keys",       # Morton layout keys (bit interleave)
     "length_drift_ks",          # per-source KS drift vs corpus
     "tfidf_doc_similarity",     # sparse TF-IDF cosine top pairs
+    "char_entropy_scores",      # Shannon-entropy gibberish screen
+    "dup_rate_by_source",       # exact-dup provenance audit
 ]
 
 

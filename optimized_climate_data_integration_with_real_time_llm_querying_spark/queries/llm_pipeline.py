@@ -1138,3 +1138,89 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w).cast("double"), 4).alias("share"),
     )
+
+
+@register(
+    "char_entropy_scores",
+    """
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(p AS INT), 1) AS ch
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+            FROM documents WHERE length(text) > 0)
+    ), cnt AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n AS n_chars,
+           ROUND(-SUM((c.c / CAST(t.n AS DOUBLE))
+                      * LN(c.c / CAST(t.n AS DOUBLE))), 4) + 0.0 AS entropy
+    FROM cnt c JOIN tot t ON t.doc_id = c.doc_id
+    GROUP BY t.doc_id, t.n
+    """,
+    doc="Per-document Shannon character entropy (nats): the "
+    "gibberish/boilerplate screen — repetitive filler scores low, "
+    "keyboard-mash scores anomalously high; filters threshold both "
+    "tails (Gopher-style quality rules). Char counts shuffle (doc, "
+    "char) scalars with map-side partials, linear in characters. "
+    "Single-char docs hit -0.0: pinned with ROUND + 0.0 on both "
+    "engines (hygiene rule 8).",
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    n = F.length("text")
+    ch = (
+        d.filter(n > 0)
+        .select("doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("p"))
+        .select("doc_id", F.expr("substring(text, p, 1)").alias("ch"))
+    )
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", F.col("n").alias("n_chars"))
+        .agg((F.round(-F.sum(p * F.log(p)), 4) + F.lit(0.0)).alias("entropy"))
+    )
+
+
+@register(
+    "dup_rate_by_source",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM}) AS fingerprint
+      FROM documents
+    ), keep AS (
+      SELECT fingerprint, MIN(doc_id) AS keep_id FROM fp GROUP BY fingerprint
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id = k.keep_id THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dup_docs,
+           ROUND(SUM(CASE WHEN f.doc_id = k.keep_id THEN 0 ELSE 1 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate
+    FROM fp f JOIN keep k ON k.fingerprint = f.fingerprint
+    GROUP BY f.source
+    """,
+    doc="Exact-duplicate rate per source (min-doc_id keeper rule): the "
+    "provenance audit that tells you WHICH source is reprinting "
+    "content before you spend near-dup compute on it. 16-byte "
+    "fingerprints shuffle, never text; the keeper join is on the "
+    "fingerprint key.",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    fp = d.select("doc_id", "source", text.fingerprint("text").alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    is_dup = F.when(F.col("doc_id") == F.col("keep_id"), 0).otherwise(1)
+    return (
+        fp.join(keep, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).alias("n_dup_docs"),
+            F.round(F.sum(is_dup) / F.count(F.lit(1)).cast("double"), 4).alias(
+                "dup_rate"
+            ),
+        )
+    )
