@@ -142,24 +142,37 @@ def winnow_match_pairs(
     the boilerplate guard that keeps the pair count from going
     quadratic on common substrings at corpus scale (a fingerprint in
     f docs yields f^2 join rows).
+
+    The fingerprint frame feeds the df-cap aggregate AND both sides
+    of the self-join, so it is persisted once (MEMORY_AND_DISK —
+    spills, never OOMs) instead of re-running the gram explode +
+    window selection per consumer. Cache contract: the persisted
+    frame travels as ``result.cache_handle``; release after
+    materializing (bench/driver/parity fixtures all do).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, window, hash_family).select(
-        F.col(id_col), "fp"
-    ).distinct()
+    fps_all = (
+        winnow_fingerprints(df, text_col, id_col, k, window, hash_family)
+        .select(F.col(id_col), "fp")
+        .distinct()
+        .persist()
+    )
+    fps = fps_all
     if max_fp_df is not None:
         rare = (
-            fps.groupBy("fp")
+            fps_all.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df_count"))
             .filter(F.col("df_count") <= max_fp_df)
             .select("fp")
         )
-        fps = fps.join(rare, "fp", "left_semi")
+        fps = fps_all.join(rare, "fp", "left_semi")
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
-    return (
+    result = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    result.cache_handle = fps_all
+    return result

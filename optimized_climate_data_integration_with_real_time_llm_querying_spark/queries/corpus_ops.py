@@ -988,10 +988,14 @@ def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True)
     sh = dedup.shingles(d, k=3, distinct=False)
+    # The distinct (source, hash) frame feeds the size aggregate AND
+    # both sides of the self-join: persist once instead of re-running
+    # tokenize+shingle+hash per consumer (cache_handle contract).
     s = (
         sh.join(d.select("doc_id", "source"), "doc_id")
         .select("source", dedup.md5_hash64(F.col("shingle")).alias("h"))
         .distinct()
+        .persist()
     )
     sizes = s.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a = s.select(F.col("source").alias("src_a"), "h")
@@ -1002,7 +1006,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    result = (
         inter.join(sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a")), "src_a")
         .join(sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b")), "src_b")
         .select(
@@ -1016,6 +1020,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    result.cache_handle = s
+    return result
 
 
 @register(
@@ -1160,7 +1166,10 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", dedup.md5_hash64(F.col("shingle")).alias("tm")
     )
     nd = d.agg(F.count(F.lit(1)).alias("nd"))
-    tf = sh.groupBy("doc_id", "tm").agg(F.count(F.lit(1)).alias("tf"))
+    # The term-frequency frame feeds the df aggregate AND (via w) the
+    # norm aggregate and both join sides: persist the expensive
+    # tokenize+shingle+count stage once (cache_handle contract).
+    tf = sh.groupBy("doc_id", "tm").agg(F.count(F.lit(1)).alias("tf")).persist()
     dft = tf.groupBy("tm").agg(F.count(F.lit(1)).alias("dft"))
     w = (
         tf.join(dft, "tm")
@@ -1189,7 +1198,7 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    return (
+    result = (
         dot.join(nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
         .join(nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
         .select(
@@ -1200,3 +1209,5 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "id_a", "id_b")
         .limit(20)
     )
+    result.cache_handle = tf
+    return result
