@@ -48,9 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # priority_weighted_sample, lang_id_confusion,
 # source_overlap_matrix, events_session_window_agg,
 # events_zorder_keys, length_drift_ks, tfidf_doc_similarity,
-# char_entropy_scores, and dup_rate_by_source: green in
-# tests/test_oracle_parity.py and queued for their first driver
-# rows next round.)
+# char_entropy_scores, dup_rate_by_source, and
+# series_correlation_pairs: green in tests/test_oracle_parity.py
+# and queued for their first driver rows next round.)
 _PROMOTE = [
     "minhash_near_dup_pairs_md5",  # new in round 7 — oracled MinHash-LSH
     "simhash_near_dup_pairs_md5",  # new in round 7 — oracled SimHash

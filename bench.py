@@ -97,6 +97,7 @@ HEADLINE = [
     "tfidf_doc_similarity",     # sparse TF-IDF cosine top pairs
     "char_entropy_scores",      # Shannon-entropy gibberish screen
     "dup_rate_by_source",       # exact-dup provenance audit
+    "series_correlation_pairs", # time-series Pearson similarity search
 ]
 
 

@@ -25,13 +25,20 @@ from optimized_climate_data_integration_with_real_time_llm_querying_spark.sessio
 )
 
 STEPS = [
+    ("provenance: dup rate by source", "dup_rate_by_source"),
+    ("provenance: source overlap", "source_overlap_matrix"),
+    ("drift screen: KS vs corpus", "length_drift_ks"),
+    ("quality: char entropy", "char_entropy_scores"),
     ("quality + dedup gate", "corpus_filter_pipeline"),
     ("near-dup clusters", "dedup_clusters"),
+    ("winnow fingerprint match", "winnow_dup_candidates"),
     ("contamination audit", "contamination_rate"),
     ("token-budget selection", "quality_budget_select"),
+    ("weighted sample (priority)", "priority_weighted_sample"),
     ("curriculum stages", "length_curriculum_stages"),
     ("chunking", "document_chunks"),
     ("packing", "sequence_packing"),
+    ("BPE encode to token ids", "bpe_encode_docs"),
     ("k-means over embeddings", "kmeans_embedding_clusters"),
     ("SemDeDup prune", "semantic_dedup_prune"),
     ("int8 quantization", "embedding_quantize_int8"),

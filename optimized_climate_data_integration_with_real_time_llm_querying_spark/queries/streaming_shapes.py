@@ -374,3 +374,99 @@ def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "series_correlation_pairs",
+    """
+    WITH active AS (
+      SELECT user_id FROM events GROUP BY user_id
+      ORDER BY COUNT(*) DESC, user_id LIMIT 100
+    ), daily AS (
+      SELECT e.user_id, CAST(e.ts AS DATE) AS day, AVG(e.value) AS v
+      FROM events e JOIN active a ON a.user_id = e.user_id
+      GROUP BY e.user_id, CAST(e.ts AS DATE)
+    ), joined AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b,
+             COUNT(*) AS n,
+             SUM(a.v) AS sx, SUM(b.v) AS sy,
+             SUM(a.v * a.v) AS sxx, SUM(b.v * b.v) AS syy,
+             SUM(a.v * b.v) AS sxy
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+      HAVING COUNT(*) >= 10
+         AND COUNT(*) * SUM(a.v * a.v) - SUM(a.v) * SUM(a.v) > 0
+         AND COUNT(*) * SUM(b.v * b.v) - SUM(b.v) * SUM(b.v) > 0
+    )
+    SELECT id_a, id_b, CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS pearson_r
+    FROM joined
+    ORDER BY pearson_r DESC, id_a, id_b
+    LIMIT 20
+    """,
+    doc="Time-series similarity search (the EDBT'19 streaming-series "
+    "shape): top user pairs by Pearson correlation of their daily "
+    "mean-value series. The day-equi-join generates pairs only "
+    "among the top-100 most-active series (deterministic cut: "
+    "count desc, id tie-break), bounding the pair stage at 100^2/2 "
+    "regardless of corpus size — the activity-cut analogue of the "
+    "LSH bucket guard. Correlation comes from one pass of "
+    "sufficient statistics (n, sums, cross-products) with >= 10 "
+    "shared days and zero-variance guards; ranked on the ROUNDED r "
+    "with id tie-breaks (rule 4).",
+)
+def series_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    active = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(100)
+        .select("user_id")
+    )
+    daily = (
+        e.join(F.broadcast(active), "user_id")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    a = daily.select(F.col("user_id").alias("id_a"), "day", F.col("v").alias("va"))
+    b = daily.select(F.col("user_id").alias("id_b"), "day", F.col("v").alias("vb"))
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("va"), F.sum("vb")
+    sxx, syy = F.sum(F.col("va") * F.col("va")), F.sum(F.col("vb") * F.col("vb"))
+    sxy = F.sum(F.col("va") * F.col("vb"))
+    joined = (
+        a.join(b, "day")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            n.alias("n"),
+            sx.alias("sx"),
+            sy.alias("sy"),
+            sxx.alias("sxx"),
+            syy.alias("syy"),
+            sxy.alias("sxy"),
+        )
+        .filter(
+            (F.col("n") >= 10)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.col("n").alias("n_days"),
+            F.round(r, 6).alias("pearson_r"),
+        )
+        .orderBy(F.desc("pearson_r"), "id_a", "id_b")
+        .limit(20)
+    )
