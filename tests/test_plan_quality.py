@@ -261,3 +261,30 @@ def test_priority_sample_no_shuffle(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "priority_weighted_sample")
     assert "Exchange hashpartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_self_join_pipelines_reuse_persisted_frames(spark, sf_oracle):
+    """The three self-join audits must read their shared frame from
+    cache (InMemoryTableScan), not re-run the tokenize/explode stage
+    per consumer, and must never degrade to a cartesian product."""
+    for name in (
+        "winnow_dup_candidates",
+        "tfidf_doc_similarity",
+        "source_overlap_matrix",
+    ):
+        df = QUERIES[name].builder(spark, sf_oracle)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        handle = getattr(df, "cache_handle", None)
+        assert handle is not None, f"{name}: missing cache_handle"
+        handle.unpersist()
+        assert "InMemoryTableScan" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_series_correlation_broadcasts_activity_cut(spark, sf_oracle):
+    """The top-100 activity cut is tiny and must broadcast into the
+    events scan; the pair stage must stay an equi-join."""
+    plan = plan_of(spark, sf_oracle, "series_correlation_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
