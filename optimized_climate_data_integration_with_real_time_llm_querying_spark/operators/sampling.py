@@ -119,39 +119,91 @@ def priority_sample(
     key_col: str,
     n: int,
     seed: int = 0,
+    with_tau: bool = False,
 ) -> DataFrame:
-    """Priority sampling (Duffield, Lund & Thorup, JACM 2007):
-    weight-proportional sampling without replacement. Each row gets
-    priority q = w / u with u uniform from a hash of its key; the n
-    largest priorities are kept — heavier rows are proportionally
-    more likely to survive, and subset-sum estimates built on the
-    kept rows are near-optimal (the paper's result).
+    """Priority sampling in the style of Duffield, Lund & Thorup
+    (JACM 2007): deterministic, weight-proportional selection without
+    replacement. Each row gets priority q = w / u with u a
+    hash-derived pseudo-uniform variate; the n largest priorities are
+    kept — heavier rows are proportionally more likely to survive.
+
+    What this function guarantees is weight-proportional SELECTION
+    and cross-engine determinism. The paper's near-optimal subset-sum
+    ESTIMATOR additionally needs the threshold tau, with each
+    survivor weighted max(w, tau); pass ``with_tau=True`` to get both
+    (``tau`` as a constant column and ``est_weight = max(w, tau)``
+    per survivor). Because our u spans (0, 2) — see below — the
+    weight-scale threshold is tau = 2 x the raw (n+1)-th priority:
+    with u' = u/2 ~ U(0,1), q = (w/2)/u' is the textbook priority of
+    half-weights, whose estimator Σ 2·max(w/2, tau') = Σ max(w, 2τ')
+    is unbiased for sum(w). The default output omits tau/est_weight
+    for a stable sample-only schema.
 
     Determinism is the point: u is derived from the md5 bucket of the
     key, and the priority is computed as ONE exact arithmetic shape —
     q = (w * 2^32) / (2*h + 1), i.e. integer-valued doubles in, a
     single correctly-rounded IEEE division out (no pow(), no ln()) —
     so ANY engine with md5 reproduces the kept set bit-for-bit. The
-    usual Efraimidis-Spirakis u^(1/w) key needs transcendentals whose
-    last-ulp behavior is engine-specific; this construction is
-    order-equivalent for selection and exactly portable.
+    implied u = (2h+1)/2^32 spans (0, 2) rather than the textbook
+    (0, 1]; it is strictly order-equivalent for selection (a global
+    factor-2 rescale of every priority), which is all selection and
+    the tau-relative estimator need. The usual Efraimidis-Spirakis
+    u^(1/w) key needs transcendentals whose last-ulp behavior is
+    engine-specific; this construction is exactly portable.
 
     Plan shape: map-side priority expression + global top-n
     (TakeOrderedAndProject) — no shuffle beyond the top-n collect,
-    scale-safe at any corpus size.
+    scale-safe at any corpus size. The ``with_tau`` path adds one
+    window over an (n+1)-row bounded frame — a documented
+    tiny-domain global window.
     """
+    from pyspark.sql import Window
     from .dedup import md5_hash64
 
     h = md5_hash64(F.lit(seed), F.col(key_col))
     pr = (F.col(weight_col).cast("double") * F.lit(4294967296.0)) / (
         2 * h + 1
     ).cast("double")
+    ranked = df.withColumn("_pr", pr).orderBy(F.desc("_pr"), F.col(key_col))
+    if not with_tau:
+        return (
+            ranked.limit(n)
+            .withColumn("priority", F.round(F.col("_pr"), 6))
+            .drop("_pr")
+        )
+    # Keep n+1 rows: the (n+1)-th priority IS tau; survivors are the
+    # top n, each carrying est_weight = max(w, tau) (DLT estimator).
+    top = ranked.limit(n + 1)
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("_pr"), F.col(key_col)
+    )
     return (
-        df.withColumn("_pr", pr)
-        .orderBy(F.desc("_pr"), F.col(key_col))
-        .limit(n)
+        top.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("_nrows", F.count(F.lit(1)).over(w_all))
+        # tau = 2 x the (n+1)-th priority when it exists (weight-scale
+        # threshold, compensating the (0,2) u-span); 0.0 when the
+        # frame has <= n rows (every row kept, estimator exact)
+        .withColumn(
+            "_tau",
+            F.coalesce(
+                F.lit(2.0)
+                * F.max(F.when(F.col("_rk") == n + 1, F.col("_pr"))).over(
+                    w_all
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .filter(F.col("_rk") <= n)
         .withColumn("priority", F.round(F.col("_pr"), 6))
-        .drop("_pr")
+        .withColumn("tau", F.round(F.col("_tau"), 6))
+        .withColumn(
+            "est_weight",
+            F.round(
+                F.greatest(F.col(weight_col).cast("double"), F.col("_tau")), 6
+            ),
+        )
+        .drop("_pr", "_rk", "_nrows", "_tau")
     )
 
 

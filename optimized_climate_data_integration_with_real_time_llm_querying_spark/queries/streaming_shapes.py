@@ -326,15 +326,18 @@ def sensor_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_agg",
     """
     WITH marks AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), islands AS (
+      -- (ts, event_id) ordering matches the marks window: a ts tie at a
+      -- session boundary must see its own new_s flag before summing, or
+      -- the tied event lands in the previous session nondeterministically
       SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marks
     )

@@ -90,23 +90,3 @@ def test_fingerprints_are_subset_of_gram_hashes(spark):
     gram_hashes = {r.gh for r in grams}
     fps = winnow.winnow_fingerprints(df, k=K, window=W).collect()
     assert fps and all(r.fp in gram_hashes for r in fps)
-
-
-def test_priority_sample_weight_proportional(spark):
-    """Priority sampling must keep heavier rows proportionally more
-    often: with weights 10 vs 1 at a 20% sample rate, the heavy
-    class's keep-rate should dominate decisively."""
-    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.sampling import (
-        priority_sample,
-    )
-
-    rows = [(i, 10 if i % 2 == 0 else 1) for i in range(1000)]
-    df = spark.createDataFrame(rows, "id long, w int")
-    kept = priority_sample(df, weight_col="w", key_col="id", n=200).collect()
-    heavy = sum(1 for r in kept if r.w == 10)
-    light = len(kept) - heavy
-    assert len(kept) == 200
-    assert heavy > 3 * light, (heavy, light)
-    # Determinism: a second run keeps the identical set.
-    kept2 = priority_sample(df, weight_col="w", key_col="id", n=200).collect()
-    assert sorted(r.id for r in kept) == sorted(r.id for r in kept2)
