@@ -368,6 +368,23 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = 
     )
 
 
+def hyperplane_rows(
+    dim: int, n_planes: int, n_tables: int, seed: int = 7
+) -> list[tuple[int, int, int, float]]:
+    """The multi-table LSH hyperplane family as (table, plane, dim,
+    weight) rows — the EXACT floats :func:`hyperplane_lsh_multi` ships
+    into the plan (``repr`` round-trips doubles bit-for-bit), so a
+    DuckDB oracle can inline them as a VALUES table and recompute the
+    sign-pattern buckets. Per-table seeds follow the same
+    ``seed + 7919 * t`` schedule as the Spark side."""
+    return [
+        (t, p, d, w)
+        for t in range(n_tables)
+        for p, plane in enumerate(_hyperplanes(dim, n_planes, seed + 7919 * t))
+        for d, w in enumerate(plane)
+    ]
+
+
 def random_projection_planes(
     in_dim: int, out_dim: int, seed: int = 11
 ) -> list[tuple[int, int, float]]:

@@ -181,12 +181,42 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_cosine_topk_int8",
-    None,  # quantized scores differ in low decimals -> rows-only; recall
-    # floor vs the exact float twin pinned in tests/test_quantization.py
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, embedding, maxabs,
+             UNNEST(range(0, len(embedding))) AS idx
+      FROM m
+    ), qe AS (
+      SELECT vec_id, idx,
+             CAST(CASE WHEN maxabs = 0 THEN 0
+                  ELSE ROUND(CAST(embedding[CAST(idx + 1 AS BIGINT)] AS DOUBLE)
+                             * 127.0 / maxabs) END AS DOUBLE) AS qval
+      FROM e
+    ), v AS (
+      SELECT vec_id, list(qval ORDER BY idx) AS qv FROM qe GROUP BY vec_id
+    ), q AS (SELECT qv AS q_vec FROM v WHERE vec_id = 0)
+    SELECT v.vec_id,
+           ROUND(list_cosine_similarity(v.qv, q.q_vec), 6) AS cosine_sim
+    FROM v, q
+    WHERE v.vec_id <> 0
+    ORDER BY cosine_sim DESC, v.vec_id
+    LIMIT 10
+    """,
     doc="Exact top-k over int8-quantized vectors: cosine is scale-"
     "invariant, so ranking quantized vectors equals ranking "
     "dequantized ones — the search-over-compressed-storage path. "
-    "Same TakeOrderedAndProject shape as the float twin.",
+    "Same TakeOrderedAndProject shape as the float twin. FULLY "
+    "oracled: quantization is deterministic (the identical CASE/ROUND "
+    "expression is already cell-for-cell green in "
+    "embedding_quantize_int8), and the search over quantized vectors "
+    "is exact integer arithmetic — DuckDB rebuilds the int8 codes and "
+    "replays the ranked cut with the vec_id tie-break (rule 4); "
+    "cosine error vs the float twin stays floored in "
+    "tests/test_quantization.py.",
 )
 def embedding_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", rebalance=True)
@@ -696,11 +726,70 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
+def _lsh_topk_oracle(
+    dim: int, n_planes: int, n_tables: int, seed: int, k: int
+) -> str:
+    """FULL oracle for hyperplane-LSH top-k: the hyperplane family is
+    deterministic seeded (the same VALUES-table trick that oracled the
+    JL projection and the coarse ANN stage), so DuckDB recomputes the
+    sign-pattern bucket of every vector in every table, takes the
+    candidate union against the query's buckets, and replays the
+    exact-cosine ranked cut. 'Approximate' describes the ALGORITHM's
+    recall vs brute force, not its determinism — given the planes, the
+    answer set is exact and falsifiable."""
+    values = ",\n      ".join(
+        f"({t}, {p}, {d}, {w!r})"
+        for t, p, d, w in similarity.hyperplane_rows(dim, n_planes, n_tables, seed)
+    )
+    return f"""
+    WITH planes(tbl, p, dim, w) AS (
+      VALUES
+      {values}
+    ), e0 AS (
+      SELECT vec_id, embedding, UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
+    ), dots AS (
+      SELECT e.vec_id, pl.tbl, pl.p, SUM(e.val * pl.w) AS d
+      FROM e JOIN planes pl ON e.dim = pl.dim
+      GROUP BY e.vec_id, pl.tbl, pl.p
+    ), buckets AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN d >= 0
+                           THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id, tbl
+    ), qb AS (
+      SELECT tbl, bucket FROM buckets WHERE vec_id = 0
+    ), cands AS (
+      SELECT DISTINCT b.vec_id
+      FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+      WHERE b.vec_id <> 0
+    ), q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+    SELECT em.vec_id,
+           ROUND(list_cosine_similarity(CAST(em.embedding AS DOUBLE[]),
+                                        CAST(q.q_vec AS DOUBLE[])), 6)
+               AS cosine_sim
+    FROM embeddings em JOIN cands c ON em.vec_id = c.vec_id, q
+    ORDER BY cosine_sim DESC, em.vec_id
+    LIMIT {k}
+    """
+
+
 @register(
     "embedding_lsh_topk",
-    None,  # approximate by construction -> rows-only check
-    doc="Random-hyperplane LSH ANN (8 planes, seed 7): scan only the "
-    "query's bucket — the 100 TB scale path for similarity search.",
+    _lsh_topk_oracle(64, 4, 8, 7, 10),
+    doc="Multi-table random-hyperplane LSH ANN (8 tables x 4 planes, "
+    "seed 7): candidates are only the vectors sharing a sign-pattern "
+    "bucket with the query in >= 1 table, then exact-ranked — the "
+    "100 TB scale path for similarity search (bucket equi-join on an "
+    "8-byte key instead of an all-pairs scan). FULLY oracled: the "
+    "seeded plane family is inlined as a VALUES table and DuckDB "
+    "recomputes buckets -> candidate union -> exact cosine -> top-k "
+    "(the embedding_random_projection / ann_projected_coarse "
+    "precedent); recall vs brute force stays separately floored in "
+    "tests/test_lsh_recall.py.",
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", rebalance=True)
