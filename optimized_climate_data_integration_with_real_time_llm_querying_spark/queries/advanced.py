@@ -384,3 +384,78 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dims.select(
         "event_id", "x", "y", zorder_value("x", "y", bits=10).alias("zkey")
     )
+
+
+# 2-D box for the pruned-read query: ~10% of users x 4 of 30 days at
+# sf0.01 — selective on both dimensions, non-empty at every test SF.
+_PRUNE_USER_LO, _PRUNE_USER_HI = 0, 15
+_PRUNE_DAY_LO, _PRUNE_DAY_HI = 19723, 19726
+
+
+@register(
+    "zorder_pruned_read",
+    f"""
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           ROUND(value, 2) AS value
+    FROM events
+    WHERE user_id BETWEEN {_PRUNE_USER_LO} AND {_PRUNE_USER_HI}
+      AND (epoch_us(ts) // 86400000000)
+          BETWEEN {_PRUNE_DAY_LO} AND {_PRUNE_DAY_HI}
+    """,
+    doc="The read half of the Z-order layout story: writes the events "
+    "table Z-ordered on (user_id, day) via write_zorder_layout, reads "
+    "it back through a selective 2-D box filter, and ASSERTS from the "
+    "written Parquet footers that the box skips files (<= half of "
+    ">= 4 files touched — the same min/max decision Spark's reader "
+    "makes) plus that the filters are pushed to the scan. Content is "
+    "fully oracled: the roundtrip must preserve rows exactly, so "
+    "DuckDB filters the ORIGINAL table — layout may never change "
+    "results, only scan cost. This replaces the hand-rolled partition/"
+    "shard routing the reference's client does (era5client.py:253-263) "
+    "with footer-driven pruning any engine applies automatically.",
+)
+def zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.ingest import box_pruning_stats, write_zorder_layout
+
+    e = load_table(spark, sf_dir, "events")
+    frame = e.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.round("value", 2).alias("value"),
+    )
+    # Deterministic per-SF path inside the repo's warehouse dir.
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        os.getcwd(), "spark-warehouse", f"_zorder_pruned_read_{tag}"
+    )
+    write_zorder_layout(frame, path, "user_id", "day", bits=16, n_files=16)
+
+    preds = [
+        ("user_id", _PRUNE_USER_LO, _PRUNE_USER_HI),
+        ("day", _PRUNE_DAY_LO, _PRUNE_DAY_HI),
+    ]
+    touched, total = box_pruning_stats(path, preds)
+    # Tiny inputs can collapse to a handful of files; the pruning
+    # claim is only meaningful (and asserted) with >= 4 files.
+    if total >= 4:
+        assert touched <= total // 2, (
+            f"z-order layout failed to prune: box touches {touched}/{total} files"
+        )
+
+    out = (
+        spark.read.parquet(path)
+        .filter(
+            F.col("user_id").between(_PRUNE_USER_LO, _PRUNE_USER_HI)
+            & F.col("day").between(_PRUNE_DAY_LO, _PRUNE_DAY_HI)
+        )
+        .select("event_id", "user_id", "day", "value")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:200], (
+        "box filter not pushed to the parquet scan"
+    )
+    return out

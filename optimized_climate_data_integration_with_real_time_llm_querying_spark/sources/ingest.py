@@ -337,3 +337,37 @@ def write_zorder_layout(
         else laid.repartitionByRange(F.col("_z"))
     ).sortWithinPartitions("_z")
     laid.drop("_z").write.mode("overwrite").parquet(path)
+
+
+def box_pruning_stats(
+    path: str, preds: list[tuple[str, int, int]]
+) -> tuple[int, int]:
+    """(files a box-predicate must touch, total files) for a written
+    Parquet directory, decided purely from footer min/max statistics —
+    the same decision Spark's reader (and DuckDB, Trino) makes. A file
+    must be read iff EVERY predicate's [lo, hi] intersects the file's
+    [min, max] on that column; files failing any predicate are
+    skipped. Used by the pruned-read query to assert its layout
+    actually skips files, not just that the write succeeded."""
+    import duckdb
+
+    con = duckdb.connect()
+    per_file: dict[str, bool] = {}
+    for col, lo, hi in preds:
+        rows = con.execute(
+            f"""
+            SELECT file_name,
+                   MIN(CAST(stats_min_value AS BIGINT)) AS mn,
+                   MAX(CAST(stats_max_value AS BIGINT)) AS mx
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema = '{col}'
+            GROUP BY file_name
+            """
+        ).fetchall()
+        for fname, mn, mx in rows:
+            hit = mx >= lo and mn <= hi
+            per_file[fname] = per_file.get(fname, True) and hit
+    con.close()
+    total = len(per_file)
+    touched = sum(1 for hit in per_file.values() if hit)
+    return touched, total

@@ -288,3 +288,45 @@ def test_series_correlation_broadcasts_activity_cut(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_pruned_read_skips_files_and_pushes_filters(spark, sf_oracle):
+    """The pruned-read query must (a) produce exactly the rows a
+    direct filter over the source yields — layout never changes
+    content — and (b) write a layout whose footers let the 2-D box
+    skip at least half the files. The builder itself raises if the
+    filters don't reach the scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+        load_table,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.ingest import (
+        box_pruning_stats,
+    )
+
+    df = QUERIES["zorder_pruned_read"].builder(spark, sf_oracle)
+    got = sorted((r.event_id, r.user_id, r.day, r.value) for r in df.collect())
+    e = load_table(spark, sf_oracle, "events")
+    want = sorted(
+        (r.event_id, r.user_id, r.day, r.value)
+        for r in e.select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.round("value", 2).alias("value"),
+        )
+        .filter(F.col("user_id").between(0, 15) & F.col("day").between(19723, 19726))
+        .collect()
+    )
+    assert got == want and got
+
+    tag = os.path.basename(os.path.normpath(sf_oracle))
+    path = os.path.join(os.getcwd(), "spark-warehouse", f"_zorder_pruned_read_{tag}")
+    touched, total = box_pruning_stats(
+        path, [("user_id", 0, 15), ("day", 19723, 19726)]
+    )
+    assert total >= 4
+    assert touched <= total // 2, (touched, total)
