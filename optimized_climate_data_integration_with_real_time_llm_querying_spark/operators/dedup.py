@@ -278,6 +278,38 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family=F.xxhash64,
+) -> DataFrame:
+    """(id, band, bucket) rows: each document's LSH band buckets —
+    bucket = hash_family(band, the band's row-mins in j order). This
+    IS the compact persistable LSH index of a corpus (bands rows of
+    ~24 bytes per doc, no text, no shingles): store it once, band new
+    batches against it, never recompute the old side
+    (:func:`incremental_minhash_near_duplicates`)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(hash_family(F.lit(b), *cols).alias(f"band_{b}"))
+    banded = signatures.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -293,23 +325,7 @@ def lsh_candidate_pairs(
     band's row values into its bucket key (default xxhash64;
     :func:`md5_hash64` for oracle-able twins).
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(hash_family(F.lit(b), *cols).alias(f"band_{b}"))
-    banded = signatures.select(F.col(id_col), *band_cols)
-    buckets = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = band_buckets(signatures, id_col, num_hashes, bands, hash_family)
     small = (
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -404,6 +420,141 @@ def minhash_near_duplicates(
         .select("id_a", "id_b", "jaccard")
     )
     result.cache_handle = combined
+    return result
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    hash_family=F.xxhash64,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: (id, band, bucket) rows
+    from :func:`band_buckets` over the MinHash signatures. ``bands``
+    rows of ~24 bytes per document — at 100 TB of text this is a few
+    hundred GB of 8-byte keys, cheap to store as Parquet and to
+    shuffle. Incremental curation re-reads THIS instead of
+    re-shingling the existing corpus when a new crawl arrives."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_family)
+    return band_buckets(sigs, id_col, num_hashes, bands, hash_family)
+
+
+def incremental_minhash_near_duplicates(
+    old_index: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    max_bucket_size: int = 200,
+    hash_family=F.xxhash64,
+) -> DataFrame:
+    """Cross-batch near-dup detection: find every near-dup pair that
+    TOUCHES the new batch (new-vs-old and new-vs-new) without
+    re-shingling the existing corpus.
+
+    The old side enters only as (a) its compact LSH index
+    (``old_index`` from :func:`minhash_index` — typically re-read from
+    Parquet, bands x 24 bytes per doc) and (b) ``old_docs`` text
+    consulted EXCLUSIVELY for candidate-touched ids (a left-semi join
+    cuts it before any shingling), so per-batch cost is proportional
+    to the new batch plus its candidate volume, never to corpus size.
+
+    Equivalence contract: because a document's signature and buckets
+    depend only on its own text, and the bucket-size guard counts the
+    UNION population (old index + new batch — exactly the full-corpus
+    population), the result equals the full-corpus
+    :func:`minhash_near_duplicates` run restricted to pairs with at
+    least one new-side id — asserted per-cell in
+    tests/test_incremental_dedup.py and by the registered query's
+    DuckDB oracle.
+
+    Cache contract: the returned frame carries the persisted
+    new-batch combined aggregate as ``result.cache_handle``.
+    """
+    sh_fn = hashed_shingles if hash_family is F.xxhash64 else shingles
+    # One shingling pass over the NEW batch feeds both its signatures
+    # and its verify-stage shingle sets (the minhash_near_duplicates
+    # combined-aggregate shape).
+    new_sh = sh_fn(new_docs, text_col, id_col, k, distinct=False)
+    aggs = [
+        F.min(hash_family(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ] + [F.collect_set("shingle").alias("shingle_set")]
+    new_combined = new_sh.groupBy(id_col).agg(*aggs).persist()
+    new_sigs = new_combined.select(
+        F.col(id_col), *[f"mh_{j}" for j in range(num_hashes)]
+    )
+    new_buckets = band_buckets(new_sigs, id_col, num_hashes, bands, hash_family)
+
+    union = old_index.select(
+        F.col(id_col), "band", "bucket", F.lit(False).alias("is_new")
+    ).unionByName(
+        new_buckets.select(
+            F.col(id_col), "band", "bucket", F.lit(True).alias("is_new")
+        )
+    )
+    small = (
+        union.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    guarded = union.join(small, ["band", "bucket"], "left_semi")
+    a = guarded.select(
+        F.col(id_col).alias("id_a"), "band", "bucket", F.col("is_new").alias("new_a")
+    )
+    b = guarded.select(
+        F.col(id_col).alias("id_b"), "band", "bucket", F.col("is_new").alias("new_b")
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("new_a") | F.col("new_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Verify stage: exact shingle sets ONLY for candidate-touched old
+    # docs (semi-join cuts old_docs before shingling) + the already-
+    # aggregated new-batch sets.
+    touched = cands.select(F.col("id_a").alias(id_col)).unionByName(
+        cands.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    old_touched = old_docs.join(touched, id_col, "left_semi")
+    old_sets = (
+        sh_fn(old_touched, text_col, id_col, k, distinct=False)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shingle_set"))
+    )
+    sets = new_combined.select(F.col(id_col), "shingle_set").unionByName(old_sets)
+    result = (
+        cands.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("set_b")),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("set_a") + F.size("set_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    result.cache_handle = new_combined
     return result
 
 

@@ -436,6 +436,104 @@ def minhash_near_dup_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_minhash_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 3
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), split AS (
+      -- deterministic 20% "new crawl" batch: md5 bucket of the doc id
+      -- (hygiene rule 6) == Spark md5_hash64(lit('inc'), doc_id) % 5
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 5 = 0) AS is_new
+      FROM documents
+    ), mh AS (
+      SELECT doc_id, j,
+             MIN(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 8)) AS BIGINT)) AS mh
+      FROM sh, range(0, 32) t(j)
+      GROUP BY doc_id, j
+    ), bands AS (
+      SELECT doc_id, band,
+             CAST(('0x' || substr(md5(
+               CAST(band AS VARCHAR) || ':' ||
+               string_agg(CAST(mh AS VARCHAR), ':' ORDER BY j)
+             ), 1, 8)) AS BIGINT) AS bucket
+      FROM (SELECT doc_id, j, mh, CAST(j // 4 AS INT) AS band FROM mh)
+      GROUP BY doc_id, band
+    ), small AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING COUNT(*) <= 200
+    ), bb AS (
+      SELECT b.doc_id, b.band, b.bucket
+      FROM bands b JOIN small s ON b.band = s.band AND b.bucket = s.bucket
+    ), cand AS (
+      -- only pairs TOUCHING the new batch: the incremental contract
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN split pa ON pa.doc_id = a.doc_id
+      JOIN split pb ON pb.doc_id = b.doc_id
+      WHERE pa.is_new OR pb.is_new
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT i.id_a, i.id_b,
+             ROUND(i.n_common / CAST(za.set_size + zb.set_size - i.n_common AS DOUBLE), 6) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.id_a
+      JOIN sizes zb ON zb.doc_id = i.id_b
+    ) WHERE jaccard >= 0.5
+    """,
+    doc="Incremental (cross-batch) near-dup curation: the corpus is "
+    "split 80/20 by a deterministic md5 bucket into EXISTING and NEW; "
+    "the existing side enters only as its compact LSH index "
+    "(minhash_index: (id, band, bucket), ~24 bytes x 8 bands per doc) "
+    "and its text is consulted solely for candidate-touched ids — the "
+    "re-crawl workflow where per-batch cost tracks the batch, not the "
+    "corpus. Bucket guard counts the UNION population, so the result "
+    "is provably the full-corpus pipeline restricted to pairs "
+    "touching the new batch — which is exactly what the DuckDB "
+    "oracle computes (full md5 pipeline + new-side filter); the "
+    "union-vs-incremental equivalence is ALSO asserted cell-for-cell "
+    "against minhash_near_duplicates in tests/"
+    "test_incremental_dedup.py, including through a Parquet "
+    "round-trip of the index.",
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    is_new = dedup.md5_hash64(F.lit("inc"), F.col("doc_id")) % 5 == 0
+    new_docs = d.filter(is_new)
+    old_docs = d.filter(~is_new)
+    old_index = dedup.minhash_index(old_docs, hash_family=dedup.md5_hash64)
+    return dedup.incremental_minhash_near_duplicates(
+        old_index,
+        old_docs,
+        new_docs,
+        min_jaccard=0.5,
+        hash_family=dedup.md5_hash64,
+    )
+
+
+@register(
     "minhash_estimate_vs_exact",
     r"""
     WITH toks AS (
