@@ -1,0 +1,121 @@
+"""Distribution-matched scale-up of the driver's synthetic documents/
+embeddings tables, for scaling-exponent measurement ONLY.
+
+The driver's generator is not shipped, so this script re-creates the
+two tables the heavy curation pipelines consume with the SAME measured
+distributions as /root/testdata/sf0.1 (read-only; never modified):
+
+- documents: vocabulary extracted from the real sf0.1 table (31
+  tokens), length ~ Uniform(10, 100) words, lang weights measured
+  (en 0.41, de/es/fr/zh ~0.148), source = 'src{doc_id % 20}',
+  ~5% of docs are near-copies of a uniformly random earlier doc with
+  0-2 token perturbations (matches the measured 256 exact-Jaccard
+  >= 0.5 pairs per 5000 docs and the handful of exact dups).
+- embeddings: 64-dim unit-normalized Gaussian vectors (measured:
+  per-component std 0.125 = 1/sqrt(64), norms == 1, labels ~
+  Uniform{0..9}, within-label cosine indistinguishable from across).
+
+Deterministic (numpy PCG64, fixed seed). Output goes under
+/root/repo/.scale/sf{X}/ — NOT /root/testdata (read-only contract).
+These tables are for relative timing across scales, not for
+correctness oracles; the driver's own tables remain the only
+correctness input.
+
+Usage: python scripts/gen_scale_data.py --mult 10 --out .scale/sf1
+       (mult is relative to sf0.1: mult 10 -> 50,000 docs / 20,000
+       vectors; mult 1 regenerates an sf0.1-sized twin so scaling is
+       measured between two SAME-generator datasets.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE_DOCS = 5000  # driver sf0.1 row counts
+BASE_VECS = 2000
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.412, 0.148, 0.148, 0.148, 0.144]
+DUP_P = 0.05
+DIM = 64
+N_LABELS = 10
+
+
+def _vocab() -> list[str]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        r"""
+        SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM read_parquet('/root/testdata/sf0.1/documents.parquet')
+        ORDER BY tok
+        """
+    ).fetchall()
+    con.close()
+    return [r[0] for r in rows if r[0]]
+
+
+def gen_documents(n: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = _vocab()
+    v = len(vocab)
+    texts: list[str] = []
+    langs: list[str] = []
+    lang_idx = rng.choice(len(LANGS), size=n, p=LANG_W)
+    for i in range(n):
+        if i > 0 and rng.random() < DUP_P:
+            # near-copy of a random earlier doc, 0-2 token edits
+            src = texts[int(rng.integers(0, i))].split(" ")
+            for _ in range(int(rng.integers(0, 3))):
+                src[int(rng.integers(0, len(src)))] = vocab[int(rng.integers(0, v))]
+            texts.append(" ".join(src))
+        else:
+            length = int(rng.integers(10, 101))
+            texts.append(" ".join(vocab[j] for j in rng.integers(0, v, size=length)))
+        langs.append(LANGS[lang_idx[i]])
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n: int, seed: int = 43) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, DIM))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in m], pa.list_(pa.float32())
+            ),
+            "label": pa.array(rng.integers(0, N_LABELS, size=n), pa.int32()),
+        }
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=float, required=True, help="multiple of sf0.1")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    n_docs = int(BASE_DOCS * args.mult)
+    n_vecs = int(BASE_VECS * args.mult)
+    pq.write_table(gen_documents(n_docs), os.path.join(args.out, "documents.parquet"))
+    pq.write_table(gen_embeddings(n_vecs), os.path.join(args.out, "embeddings.parquet"))
+    print(f"wrote {n_docs} docs / {n_vecs} vecs to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Scaling-exponent measurement for the flagship curation pipelines.
+
+Runs the named registry queries at two (or more) scale directories
+produced by scripts/gen_scale_data.py, times a full materialization
+(min of 2 passes after a warm-up, same discipline as bench.py), and
+prints one JSON line per scale plus the fitted per-query scaling
+exponent alpha where t ~ n^alpha (alpha <= ~1 is the pass bar for the
+bucketed paths; 2 would mean an all-pairs blowup).
+
+Usage: python scripts/scale_bench.py [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "curation_end_to_end",
+    "dedup_clusters",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "semantic_dedup_prune",
+    "bpe_encode_docs",
+    "kmeans_embedding_clusters",
+]
+SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("scale-bench", cpus=args.cpus)
+    qs = all_queries()
+    results: dict[str, dict[str, float]] = {}
+    rows_out: dict[str, dict[str, int]] = {}
+    for label, sf_dir, _mult in SCALES:
+        sf_dir = os.path.abspath(sf_dir)
+        for name in QUERIES:
+            q = qs[name]
+            times = []
+            n = -1
+            for i in range(3):  # pass 0 = warm-up, then min-of-2
+                t0 = time.monotonic()
+                df = q.builder(spark, sf_dir)
+                n = df.count()
+                dt = time.monotonic() - t0
+                for h in list(getattr(df, "cache_handles", [])) + (
+                    [df.cache_handle] if getattr(df, "cache_handle", None) is not None else []
+                ):
+                    try:
+                        h.unpersist()
+                    except Exception:
+                        pass
+                if i > 0:
+                    times.append(dt)
+            results.setdefault(name, {})[label] = round(min(times), 3)
+            rows_out.setdefault(name, {})[label] = n
+            print(f"  {label:5s} {name:28s} {min(times):7.2f}s  rows={n}", flush=True)
+
+    mult = SCALES[-1][2] / SCALES[0][2]
+    alphas = {
+        name: round(
+            math.log(results[name][SCALES[-1][0]] / results[name][SCALES[0][0]])
+            / math.log(mult),
+            3,
+        )
+        for name in QUERIES
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_exponents",
+                "load_1m": os.getloadavg()[0],
+                "cpus": args.cpus,
+                "times": results,
+                "rows": rows_out,
+                "alpha": alphas,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
