@@ -141,6 +141,182 @@ def kmeans_assign(
     return out
 
 
+def pq_assign(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011): split each
+    vector into ``m`` contiguous subspaces and k-means each subspace
+    independently; a vector's PQ code is its per-subspace centroid
+    ids — m bytes (k <= 256) standing in for m*d_sub floats, the
+    16-32x compression billion-vector ANN indexes are built on.
+
+    Returns long form (id, sub, code, dist2) — one row per (vector,
+    subspace) — with the trained codebook attached as
+    ``result.centroids`` (list of (code, sub, sdim, cval) rows,
+    m x k x d_sub cells driver-held, the MLlib-centroid shape).
+
+    All m subspace k-means run as ONE distributed Lloyd pipeline:
+    the exploded frame keys by (sub, sdim) and every
+    assignment/update step carries the subspace in its groupBy, so
+    per-iteration cost is one join + two aggregates total — not per
+    subspace — and the shuffle rows are (id, sub, code) scalars.
+    Same determinism contract as :func:`kmeans_assign` (lowest-id
+    seeds per subspace, 6-dp rounding grid, lowest-code tie-break),
+    so the full training trajectory is DuckDB-recomputable.
+
+    The returned frame carries ``cache_handles`` for release.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    # (sub, sdim) long form: dim // d_sub, dim % d_sub
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    d_sub = dim // m
+    e = (
+        df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val"))
+        .select(
+            F.col(id_col),
+            (F.col("dim") / d_sub).cast("int").alias("sub"),
+            (F.col("dim") % d_sub).cast("int").alias("sdim"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .persist()
+    )
+
+    def assign(cent_rows: list[tuple[int, int, int, float]]) -> DataFrame:
+        cent = spark.createDataFrame(
+            cent_rows, "code int, sub int, sdim int, cval double"
+        )
+        dist = (
+            e.join(F.broadcast(cent), ["sub", "sdim"])
+            .groupBy(id_col, "sub", "code")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                    ),
+                    6,
+                ).alias("dist2")
+            )
+        )
+        return (
+            dist.groupBy(id_col, "sub")
+            .agg(F.min(F.struct("dist2", "code")).alias("mn"))
+            .select(
+                id_col,
+                "sub",
+                F.col("mn.code").alias("code"),
+                F.col("mn.dist2").alias("dist2"),
+            )
+        )
+
+    try:
+        seeded = (
+            df.select(F.col(id_col))
+            .orderBy(id_col)
+            .limit(k)
+            .withColumn(
+                "code", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
+            )
+        )
+        centroids = [
+            (int(r["code"]), int(r["sub"]), int(r["sdim"]), float(r["cval"]))
+            for r in (
+                seeded.join(e, id_col)
+                .select("code", "sub", "sdim", F.round("val", 6).alias("cval"))
+                .collect()
+            )
+        ]
+        for _ in range(n_iter):
+            a = assign(centroids)
+            centroids = [
+                (int(r["code"]), int(r["sub"]), int(r["sdim"]), float(r["cval"]))
+                for r in (
+                    a.join(e, [id_col, "sub"])
+                    .groupBy("code", "sub", "sdim")
+                    .agg(F.round(F.avg("val"), 6).alias("cval"))
+                    .collect()
+                )
+            ]
+        out = assign(centroids)
+    except BaseException:
+        e.unpersist()
+        raise
+    out.cache_handles = [e]
+    out.centroids = centroids
+    return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) search over PQ codes:
+    the query stays a full vector; every database vector is
+    represented ONLY by its m-byte code, and its approximate squared
+    L2 distance is a sum of m lookup-table entries
+    lut[sub][code] = ||q_sub - centroid[sub][code]||^2.
+
+    This is the search half of IVF-PQ: at corpus scale the scan
+    touches m bytes + m LUT adds per vector instead of d floats —
+    with the (m x k)-entry LUT broadcast, the plan is one broadcast
+    equi-join on (sub, code) + a per-vector sum, no full vectors ever
+    shuffled. Returns (id, adc_dist2) for the ``topk`` nearest
+    (ascending distance, id tie-break), query excluded. Deterministic
+    given the PQ training, so exact-oracle-able; its RECALL vs exact
+    search is a separate measured floor (tests/test_pq.py).
+    """
+    codes = pq_assign(df, m, k, n_iter, vec_col, id_col)
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        codes.centroids, "code int, sub int, sdim int, cval double"
+    )
+    dim_first = df.select(F.size(vec_col).alias("d")).first()
+    d_sub = int(dim_first["d"]) // m
+    q = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.posexplode(F.col(vec_col)).alias("dim", "qval"))
+        .select(
+            (F.col("dim") / d_sub).cast("int").alias("sub"),
+            (F.col("dim") % d_sub).cast("int").alias("sdim"),
+            F.col("qval").cast("double").alias("qval"),
+        )
+    )
+    lut = (
+        cent.join(q, ["sub", "sdim"])
+        .groupBy("sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
+                6,
+            ).alias("lut_d")
+        )
+    )
+    out = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("lut_d"), 6).alias("adc_dist2"))
+        .filter(F.col(id_col) != query_id)
+        .orderBy("adc_dist2", id_col)
+        .limit(topk)
+    )
+    out.cache_handles = list(codes.cache_handles)
+    return out
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int = 8,

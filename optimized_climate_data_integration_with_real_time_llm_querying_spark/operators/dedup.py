@@ -201,6 +201,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_jaccard: float = 0.0,
+    max_shingle_df: int | None = 1000,
+    hash_family=F.xxhash64,
+) -> DataFrame:
+    """Multiset (occurrence-weighted) Jaccard pairs over k-gram
+    shingles: J_w(A, B) = sum_s min(c_A(s), c_B(s)) /
+    sum_s max(c_A(s), c_B(s)) with c the shingle's occurrence count.
+
+    Set Jaccard (:func:`ngram_jaccard_pairs`) collapses repeats — a
+    doc that repeats one templated sentence ten times looks identical
+    to one containing it once. The weighted form sees repetition
+    structure, which is what separates boilerplate-heavy/templated
+    docs from true near-copies — the multiset identity the ICWS
+    family of weighted-MinHash sketches estimates, computed here
+    exactly. For repeat-free documents it equals set Jaccard
+    (property-tested).
+
+    Relational plan (the ngram_jaccard shape plus counts): shingle
+    WITHOUT dedup -> per-(doc, shingle) counts -> self-equi-join on
+    the shingle -> SUM(LEAST(c_a, c_b)); the denominator follows from
+    the multiset identity sum(max) = |A| + |B| - sum(min), so no
+    second join. Shingles are hashed to 8-byte keys at the source;
+    ``max_shingle_df`` is the stop-shingle guard keeping pair fan-out
+    sub-quadratic at corpus scale. ``hash_family=None`` keeps raw
+    shingle strings so a DuckDB oracle can recompute everything
+    (registered query twin); the default xxhash64 is the production
+    path.
+    """
+    if hash_family is F.xxhash64:
+        sh = hashed_shingles(df, text_col, id_col, k, distinct=False)
+    else:
+        sh = shingles(df, text_col, id_col, k, distinct=False)
+    counts = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
+    if max_shingle_df is not None:
+        rare = (
+            counts.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") <= max_shingle_df)
+            .select("shingle")
+        )
+        counts = counts.join(rare, "shingle", "left_semi")
+    sizes = counts.groupBy(id_col).agg(F.sum("c").alias("total"))
+    a = counts.select(F.col(id_col).alias("id_a"), "shingle", F.col("c").alias("c_a"))
+    b = counts.select(F.col(id_col).alias("id_b"), "shingle", F.col("c").alias("c_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("c_a", "c_b")).alias("sum_min"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("total").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("total").alias("size_b")),
+            "id_b",
+        )
+        .withColumn(
+            "w_jaccard",
+            F.round(
+                F.col("sum_min")
+                / (F.col("size_a") + F.col("size_b") - F.col("sum_min")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("w_jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "w_jaccard")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     test_set: DataFrame,

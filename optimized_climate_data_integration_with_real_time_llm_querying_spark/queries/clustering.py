@@ -322,3 +322,125 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return cov(emb)
+
+
+PQ_M, PQ_K, PQ_ITER, PQ_DSUB = 8, 16, 2, 8
+
+
+def _pq_cte(m: int, k: int, n_iter: int, d_sub: int) -> str:
+    """WITH-chain training all ``m`` subspace k-means of product
+    quantization at once, ending at bfinal = (vec_id, sub, code,
+    dist2) under the final codebook c{n_iter}. The _kmeans_cte shape
+    with (sub, sdim) keys — mirrors operators/clustering.pq_assign
+    exactly (same per-subspace lowest-id seeds, 6-dp grid,
+    lowest-code tie-break). MATERIALIZED per hygiene rule 9: e and
+    the codebooks have multiple readers across the chain."""
+    parts = [
+        f"""e0 AS (
+      SELECT vec_id, embedding, UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), e AS MATERIALIZED (
+      SELECT vec_id, CAST(dim // {d_sub} AS INT) AS sub,
+             CAST(dim % {d_sub} AS INT) AS sdim,
+             CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
+    ), seeds AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ), c0 AS MATERIALIZED (
+      SELECT s.code, e.sub, e.sdim, ROUND(e.val, 6) AS cval
+      FROM seeds s JOIN e ON e.vec_id = s.vec_id
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", a{i} AS (
+      SELECT e.vec_id, e.sub, c.code,
+             ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist2
+      FROM e JOIN c{i - 1} c ON c.sub = e.sub AND c.sdim = e.sdim
+      GROUP BY e.vec_id, e.sub, c.code
+    ), b{i} AS (
+      SELECT vec_id, sub, code, dist2 FROM a{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) = 1
+    ), c{i} AS MATERIALIZED (
+      SELECT b.code, e.sub, e.sdim, ROUND(AVG(e.val), 6) AS cval
+      FROM b{i} b JOIN e ON e.vec_id = b.vec_id AND e.sub = b.sub
+      GROUP BY b.code, e.sub, e.sdim
+    )"""
+        )
+    parts.append(
+        f""", afinal AS (
+      SELECT e.vec_id, e.sub, c.code,
+             ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist2
+      FROM e JOIN c{n_iter} c ON c.sub = e.sub AND c.sdim = e.sdim
+      GROUP BY e.vec_id, e.sub, c.code
+    ), bfinal AS MATERIALIZED (
+      SELECT vec_id, sub, code, dist2 FROM afinal
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) = 1
+    )"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@register(
+    "pq_codes",
+    _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB)
+    + """
+    SELECT vec_id, sub, code, dist2 FROM bfinal
+    """,
+    doc=f"Product quantization (Jegou et al., TPAMI 2011): {PQ_M} "
+    f"subspaces x {PQ_K} centroids over the embedding table — each "
+    "vector compressed to m 4-bit codes (16-32x smaller than floats, "
+    "the representation billion-vector ANN indexes store). All m "
+    "subspace k-means train as ONE distributed Lloyd pipeline keyed "
+    "by (sub, sdim): per iteration one broadcast codebook join + two "
+    "scalar aggregates TOTAL, not per subspace; same determinism "
+    "contract as kmeans_embedding_clusters, so the DuckDB oracle "
+    "unrolls the full multi-subspace training trajectory.",
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_assign
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return pq_assign(emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITER)
+
+
+@register(
+    "pq_adc_topk",
+    _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB)
+    + f"""
+    , q AS (
+      SELECT CAST(dim // {PQ_DSUB} AS INT) AS sub,
+             CAST(dim % {PQ_DSUB} AS INT) AS sdim,
+             CAST(embedding[dim + 1] AS DOUBLE) AS qval
+      FROM (
+        SELECT embedding, UNNEST(range(0, len(embedding))) AS dim
+        FROM embeddings WHERE vec_id = 0
+      )
+    ), lut AS (
+      SELECT c.sub, c.code,
+             ROUND(SUM((q.qval - c.cval) * (q.qval - c.cval)), 6) AS lut_d
+      FROM c{PQ_ITER} c JOIN q ON q.sub = c.sub AND q.sdim = c.sdim
+      GROUP BY c.sub, c.code
+    )
+    SELECT b.vec_id, ROUND(SUM(l.lut_d), 6) AS adc_dist2
+    FROM bfinal b JOIN lut l ON l.sub = b.sub AND l.code = b.code
+    WHERE b.vec_id <> 0
+    GROUP BY b.vec_id
+    ORDER BY adc_dist2, b.vec_id
+    LIMIT 10
+    """,
+    doc="ADC (asymmetric distance) search over the PQ codes: the "
+    "query keeps its full vector, every database vector is only its "
+    "m-byte code, and distance is m lookup-table adds — lut[sub]"
+    "[code] = ||q_sub - centroid||^2, the (m x k)-entry table "
+    "broadcast into an equi-join on (sub, code). At corpus scale the "
+    "scan never touches a float vector. Deterministic given the "
+    "(oracled) PQ training, so the top-10 is exactly replayable in "
+    "DuckDB; recall vs exact search is separately floored in "
+    "tests/test_pq.py.",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_adc_topk as adc
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return adc(emb, query_id=0, m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10)

@@ -337,6 +337,68 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_jaccard_top_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), shm AS (
+      -- MULTISET shingles: no DISTINCT — occurrence counts matter here
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 3
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), counts AS (
+      SELECT doc_id, sh, COUNT(*) AS c FROM shm GROUP BY doc_id, sh
+    ), rare AS (
+      SELECT sh FROM counts GROUP BY sh HAVING COUNT(*) <= 100
+    ), cr AS (
+      SELECT c.doc_id, c.sh, c.c FROM counts c JOIN rare r ON c.sh = r.sh
+    ), sizes AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total FROM cr GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS sum_min
+      FROM cr a JOIN cr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(sum_min / CAST(sa.total + sb.total - sum_min AS DOUBLE), 6) AS w_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY w_jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+    doc="Multiset (occurrence-weighted) Jaccard over 3-word shingles, "
+    "top-20 pairs: the exact form of the similarity that weighted-"
+    "MinHash/ICWS sketches estimate. Set Jaccard collapses repeats — "
+    "a doc repeating one templated sentence ten times scores like one "
+    "containing it once; the weighted form sees repetition structure. "
+    "Same relational shape and stop-shingle df-guard (<= 100) as the "
+    "set twin ngram_jaccard_top_pairs, plus per-(doc, shingle) counts "
+    "and the multiset identity sum(max) = |A|+|B|-sum(min) (no second "
+    "join). Equals set Jaccard on repeat-free docs (property-tested).",
+)
+def weighted_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    pairs = dedup.weighted_jaccard_pairs(
+        d, k=3, min_jaccard=0.0, max_shingle_df=100, hash_family=None
+    )
+    return (
+        pairs.orderBy(F.col("w_jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", "w_jaccard")
+    )
+
+
+@register(
     "minhash_near_dup_pairs",
     None,  # hash-based LSH banding is not ANSI-SQL-expressible -> rows-only
     doc="MinHash(32 hashes)+LSH(8 bands) candidate generation with "

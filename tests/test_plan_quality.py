@@ -330,3 +330,26 @@ def test_zorder_pruned_read_skips_files_and_pushes_filters(spark, sf_oracle):
     )
     assert total >= 4
     assert touched <= total // 2, (touched, total)
+
+
+def test_pq_assignment_broadcasts_codebook(spark, sf_oracle):
+    """PQ assignment must broadcast the (m x k x d_sub)-cell codebook
+    into the exploded-vector join — never shuffle vectors against it —
+    and the ADC search must broadcast the LUT the same way."""
+    for name in ("pq_codes", "pq_adc_topk"):
+        df = QUERIES[name].builder(spark, sf_oracle)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for h in getattr(df, "cache_handles", []):
+            h.unpersist()
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_weighted_jaccard_guard_active(spark, sf_oracle):
+    """The stop-shingle df-guard must appear as a semi join before the
+    pair self-join, and the plan must stay equi-join shaped."""
+    df = QUERIES["weighted_jaccard_top_pairs"].builder(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,97 @@
+"""Product-quantization properties: code structure, determinism, and
+ADC recall floors on both adversarial (isotropic) and favorable
+(clustered) distributions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+    load_table,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+    pq_adc_topk,
+    pq_assign,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.similarity import (
+    cosine_topk,
+)
+
+M, K = 8, 16
+
+
+def _release(df):
+    for h in getattr(df, "cache_handles", []):
+        h.unpersist()
+
+
+def test_pq_code_structure(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    n = emb.count()
+    codes = pq_assign(emb, m=M, k=K, n_iter=2)
+    rows = codes.collect()
+    _release(codes)
+    # one row per (vector, subspace); codes within [0, K)
+    assert len(rows) == n * M
+    assert all(0 <= r.code < K and 0 <= r.sub < M for r in rows)
+    # the whole corpus is represented by at most m*k distinct cells
+    assert len({(r.sub, r.code) for r in rows}) <= M * K
+
+
+def test_pq_adc_deterministic(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    a = pq_adc_topk(emb, query_id=0, m=M, k=K, topk=10)
+    r1 = [(r.vec_id, r.adc_dist2) for r in a.collect()]
+    _release(a)
+    b = pq_adc_topk(emb, query_id=0, m=M, k=K, topk=10)
+    r2 = [(r.vec_id, r.adc_dist2) for r in b.collect()]
+    _release(b)
+    assert r1 == r2 and len(r1) == 10
+
+
+def test_pq_adc_recall_isotropic_floor(spark, sf_oracle):
+    """The synthetic embeddings table is unit-norm isotropic noise —
+    the theoretical WORST case for any coarse quantizer (top cosines
+    barely exceed the bulk; same caveat as ann_projected_topk).
+    Random 10-of-499 would hit 0.02 expected recall; PQ-ADC measures
+    0.3 — floor at 0.2."""
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    adc = pq_adc_topk(emb, query_id=0, m=M, k=K, topk=10)
+    got = {r.vec_id for r in adc.collect()}
+    _release(adc)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+    assert len(got & exact) / 10 >= 0.2
+
+
+def test_pq_adc_recall_clustered(spark):
+    """On data WITH cluster structure (what real embedding corpora
+    have), PQ-ADC must route to the right REGION: 200 vectors in 8
+    tight clusters, query = vector 0. Every ADC top-10 hit must come
+    from the query's own cluster (the claim PQ actually makes — codes
+    discriminate between clusters), and recall@10 vs exact must beat
+    the isotropic floor decisively (>= 0.5; within-cluster RANKING is
+    inherently fuzzy once all members share near-identical codes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(200):
+        v = centers[i % 8] + 0.05 * rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        vecs.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    adc = pq_adc_topk(emb, query_id=0, m=M, k=K, topk=10)
+    got = {r.vec_id for r in adc.collect()}
+    _release(adc)
+    assert all(v % 8 == 0 for v in got), "ADC strayed outside the query's cluster"
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+    assert len(got & exact) / 10 >= 0.5

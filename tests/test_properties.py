@@ -210,3 +210,49 @@ def test_split_bounds_inexact_weights_cover_every_bucket():
     # Sub-1 totals keep a genuine remainder gap.
     partial = split_bounds({"train": 0.5})
     assert partial == [("train", 0, 500000)]
+
+
+def test_weighted_jaccard_equals_set_jaccard_without_repeats(spark):
+    """On repeat-free documents the multiset Jaccard reduces to set
+    Jaccard; with repeated shingles the two diverge and the weighted
+    form sees the repetition."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        weighted_jaccard_pairs,
+    )
+
+    # Repeat-free: every 3-gram in each doc is unique.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "a b c d e f x y"),
+            (2, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {
+        (r.id_a, r.id_b): r.w_jaccard
+        for r in weighted_jaccard_pairs(docs, max_shingle_df=None).collect()
+    }
+    s = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, max_shingle_df=None, min_jaccard=0.0).collect()
+    }
+    assert w and w == s
+
+    # Repetition: doc 1 repeats doc 0's template 3x. Set Jaccard says
+    # near-identical; weighted Jaccard sees the count mismatch.
+    rep = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "a b c d a b c d a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    wr = weighted_jaccard_pairs(rep, max_shingle_df=None).collect()[0].w_jaccard
+    sr = (
+        ngram_jaccard_pairs(rep, max_shingle_df=None, min_jaccard=0.0)
+        .collect()[0]
+        .jaccard
+    )
+    assert wr < sr, (wr, sr)
