@@ -1109,6 +1109,76 @@ def length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "psi_source_drift",
+    """
+    WITH b AS (
+      SELECT source, CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket,
+             COUNT(*) AS c
+      FROM documents GROUP BY source, bucket
+    ), grid AS (
+      SELECT DISTINCT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket
+      FROM documents
+    ), nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets FROM grid),
+    srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM b GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
+    gb AS (SELECT bucket, SUM(c) AS c FROM b GROUP BY bucket),
+    sg AS (
+      SELECT s.source, s.n_docs, g.bucket, COALESCE(b.c, 0) AS c_s, gb.c AS c_g
+      FROM srcs s CROSS JOIN grid g
+      LEFT JOIN b ON b.source = s.source AND b.bucket = g.bucket
+      JOIN gb ON gb.bucket = g.bucket
+    )
+    SELECT source, n_docs,
+           ROUND(SUM(
+             ((c_s + 0.5) / (n_docs + 0.5 * nb.n_buckets)
+              - (c_g + 0.5) / (t.n_all + 0.5 * nb.n_buckets))
+             * LN(((c_s + 0.5) / (n_docs + 0.5 * nb.n_buckets))
+                  / ((c_g + 0.5) / (t.n_all + 0.5 * nb.n_buckets)))
+           ), 6) + 0.0 AS psi
+    FROM sg CROSS JOIN tot t CROSS JOIN nb
+    GROUP BY source, n_docs
+    """,
+    doc="Population Stability Index of each source's document-length "
+    "histogram (50-char buckets) against the corpus baseline — the "
+    "other standard drift screen next to the KS statistic "
+    "(length_drift_ks): KS is distribution-free and peak-sensitive, "
+    "PSI weights the whole histogram (industry rule of thumb: < 0.1 "
+    "stable, > 0.25 shifted). Laplace-smoothed (+0.5 per bucket) so "
+    "empty buckets are defined. Same scale shape as the KS twin: "
+    "everything runs over per-(source, bucket) AGGREGATES — a domain "
+    "bounded by #sources x #buckets, never corpus rows — and the "
+    "grid join is broadcast-sized. Signed-zero pinned (rule 8).",
+)
+def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bucket")
+    b = d.groupBy("source", bucket).agg(F.count(F.lit(1)).alias("c"))
+    grid = d.select(bucket).distinct()
+    nb = grid.agg(F.count(F.lit(1)).alias("n_buckets"))
+    srcs = b.groupBy("source").agg(F.sum("c").alias("n_docs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_all"))
+    gb = b.groupBy("bucket").agg(F.sum("c").alias("c_g"))
+    sg = (
+        srcs.crossJoin(grid)
+        .join(b.withColumnRenamed("c", "c_s"), ["source", "bucket"], "left")
+        .select(
+            "source",
+            "n_docs",
+            "bucket",
+            F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+        )
+        .join(gb, "bucket")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+    )
+    p = (F.col("c_s") + 0.5) / (F.col("n_docs") + 0.5 * F.col("n_buckets"))
+    q = (F.col("c_g") + 0.5) / (F.col("n_all") + 0.5 * F.col("n_buckets"))
+    return sg.groupBy("source", "n_docs").agg(
+        (F.round(F.sum((p - q) * F.log(p / q)), 6) + F.lit(0.0)).alias("psi")
+    )
+
+
+@register(
     "tfidf_doc_similarity",
     r"""
     WITH toks AS (
