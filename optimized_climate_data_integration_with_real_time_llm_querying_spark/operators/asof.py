@@ -55,3 +55,59 @@ def asof_join_last_ts(
         .filter(F.col("_kind") == 1)
         .select(*left_cols, F.col("_ts").alias(left_ts), "asof_ts")
     )
+
+
+def interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts_us: str,
+    right_ts_us: str,
+    window_us: int,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Bounded-interval join: every (l, r) pair with l.key == r.key and
+    l.ts < r.ts <= l.ts + window — "follow-up events within the
+    window" — WITHOUT the range-join trap.
+
+    Spark compiles a raw theta-join on (key equal AND ts range) into a
+    hash join on the key alone, then filters: per-key fan-out is
+    |left_k| x |right_k|, quadratic under hot keys. The standard fix
+    (the same idea Databricks' range-join optimization applies) is
+    TIME BUCKETING: the left row explodes into the ceil(window/bucket)
+    + 1 buckets its interval can span, the right row lands in its own
+    bucket, and the join becomes an equi-join on (key, bucket) with
+    the exact range predicate as a residual filter. Join fan-out drops
+    to pairs co-resident in a bucket — proportional to the data's
+    actual temporal density, not to per-key row counts. Bucket size
+    trades replication (window/bucket copies of the left side) against
+    bucket population; bucket ~ window is the usual sweet spot.
+
+    Returns the matched pairs (all left columns prefixed l_, right
+    prefixed r_). Deterministic and SQL-expressible, so fully
+    oracle-able; the bucketing is invisible in the result (asserted by
+    equivalence to the naive join in tests/test_interval_join.py).
+    """
+    n_buckets = window_us // bucket_us + 1
+    l = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_ts_us) / bucket_us),
+                F.floor((F.col(left_ts_us) + window_us) / bucket_us),
+            )
+        ).alias("_b"),
+    )
+    assert n_buckets >= 1
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        F.floor(F.col(right_ts_us) / bucket_us).alias("_rb"),
+    )
+    return (
+        l.join(r, (l[f"l_{key}"] == r[f"r_{key}"]) & (l["_b"] == r["_rb"]))
+        .filter(
+            (F.col(f"r_{right_ts_us}") > F.col(f"l_{left_ts_us}"))
+            & (F.col(f"r_{right_ts_us}") <= F.col(f"l_{left_ts_us}") + window_us)
+        )
+        .drop("_b", "_rb")
+    )
