@@ -138,6 +138,9 @@ def kmeans_assign(
         e.unpersist()
         raise
     out.cache_handles = [e]
+    # Final (cluster, dim, cval) rows — the coarse quantizer IVF-style
+    # searches probe against (driver-held k x dim cells).
+    out.centroids = centroids
     return out
 
 
@@ -280,10 +283,31 @@ def pq_adc_topk(
     search is a separate measured floor (tests/test_pq.py).
     """
     codes = pq_assign(df, m, k, n_iter, vec_col, id_col)
-    spark = df.sparkSession
-    cent = spark.createDataFrame(
-        codes.centroids, "code int, sub int, sdim int, cval double"
+    lut = _adc_lut(df, codes.centroids, query_id, m, vec_col, id_col)
+    out = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("lut_d"), 6).alias("adc_dist2"))
+        .filter(F.col(id_col) != query_id)
+        .orderBy("adc_dist2", id_col)
+        .limit(topk)
     )
+    out.cache_handles = list(codes.cache_handles)
+    return out
+
+
+def _adc_lut(
+    df: DataFrame,
+    centroids: list[tuple[int, int, int, float]],
+    query_id: int,
+    m: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The (m x k)-entry ADC lookup table for one query:
+    lut[sub][code] = ||q_sub - centroid[sub][code]||^2, 6-dp grid."""
+    spark = df.sparkSession
+    cent = spark.createDataFrame(centroids, "code int, sub int, sdim int, cval double")
     dim_first = df.select(F.size(vec_col).alias("d")).first()
     d_sub = int(dim_first["d"]) // m
     q = (
@@ -295,7 +319,7 @@ def pq_adc_topk(
             F.col("qval").cast("double").alias("qval"),
         )
     )
-    lut = (
+    return (
         cent.join(q, ["sub", "sdim"])
         .groupBy("sub", "code")
         .agg(
@@ -305,15 +329,76 @@ def pq_adc_topk(
             ).alias("lut_d")
         )
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the two-level ANN index structure billion-vector search
+    actually deploys (FAISS IndexIVFPQ). Level 1 — the IVF coarse
+    quantizer (:func:`kmeans_assign`) partitions the corpus into
+    ``n_cells`` inverted lists and the query probes only its
+    ``nprobe`` nearest cells. Level 2 — within the probed lists,
+    distance is PQ-ADC (:func:`pq_adc_topk`'s LUT trick) over m-byte
+    codes. At corpus scale the scan touches nprobe/n_cells of the
+    rows, and each touched row costs m LUT adds, never a float
+    vector: both the row-count and the per-row dimensions are cut.
+
+    Plan shape: cell probe is a broadcast-centroid join collapsing to
+    n_cells scalar rows; candidates are a left-semi join on the cell
+    id; ADC is a broadcast-LUT equi-join on (sub, code). Everything
+    is deterministic given the (separately oracled) k-means and PQ
+    trainings, so the full two-level search replays exactly in
+    DuckDB; recall floors live in tests/test_pq.py.
+    """
+    cells = kmeans_assign(df, n_cells, n_iter, vec_col, id_col)
+    spark = df.sparkSession
+    cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
+    qfull = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.posexplode(F.col(vec_col)).alias("dim", "qval"))
+        .select("dim", F.col("qval").cast("double").alias("qval"))
+    )
+    probe = (
+        cent.join(F.broadcast(qfull), "dim")
+        .groupBy("cluster")
+        .agg(
+            F.round(
+                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
+                6,
+            ).alias("d2")
+        )
+        .orderBy("d2", "cluster")
+        .limit(nprobe)
+        .select("cluster")
+    )
+    cand = (
+        cells.join(F.broadcast(probe), "cluster")
+        .filter(F.col(id_col) != query_id)
+        .select(id_col)
+    )
+    codes = pq_assign(df, m, k, n_iter, vec_col, id_col)
+    lut = _adc_lut(df, codes.centroids, query_id, m, vec_col, id_col)
+    # Semi-join the codes to the probed cells BEFORE scoring: at
+    # corpus scale only nprobe/n_cells of the rows ever touch the LUT.
     out = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
+        codes.join(cand, id_col, "left_semi")
+        .join(F.broadcast(lut), ["sub", "code"])
         .groupBy(id_col)
         .agg(F.round(F.sum("lut_d"), 6).alias("adc_dist2"))
-        .filter(F.col(id_col) != query_id)
         .orderBy("adc_dist2", id_col)
         .limit(topk)
     )
-    out.cache_handles = list(codes.cache_handles)
+    out.cache_handles = list(cells.cache_handles) + list(codes.cache_handles)
     return out
 
 

@@ -327,58 +327,65 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M, PQ_K, PQ_ITER, PQ_DSUB = 8, 16, 2, 8
 
 
-def _pq_cte(m: int, k: int, n_iter: int, d_sub: int) -> str:
+def _pq_cte(
+    m: int, k: int, n_iter: int, d_sub: int, prefix: str = "", standalone: bool = True
+) -> str:
     """WITH-chain training all ``m`` subspace k-means of product
-    quantization at once, ending at bfinal = (vec_id, sub, code,
-    dist2) under the final codebook c{n_iter}. The _kmeans_cte shape
-    with (sub, sdim) keys — mirrors operators/clustering.pq_assign
-    exactly (same per-subspace lowest-id seeds, 6-dp grid,
-    lowest-code tie-break). MATERIALIZED per hygiene rule 9: e and
-    the codebooks have multiple readers across the chain."""
+    quantization at once, ending at {prefix}bfinal = (vec_id, sub,
+    code, dist2) under the final codebook {prefix}c{n_iter}. The
+    _kmeans_cte shape with (sub, sdim) keys — mirrors
+    operators/clustering.pq_assign exactly (same per-subspace
+    lowest-id seeds, 6-dp grid, lowest-code tie-break). MATERIALIZED
+    per hygiene rule 9: e and the codebooks have multiple readers
+    across the chain. ``prefix`` renames every CTE so the chain can
+    compose with _kmeans_cte in one statement (the IVF-PQ oracle);
+    ``standalone=False`` emits a continuation (leading comma) instead
+    of the WITH keyword."""
+    P = prefix
     parts = [
-        f"""e0 AS (
+        f"""{P}e0 AS (
       SELECT vec_id, embedding, UNNEST(range(0, len(embedding))) AS dim
       FROM embeddings
-    ), e AS MATERIALIZED (
+    ), {P}e AS MATERIALIZED (
       SELECT vec_id, CAST(dim // {d_sub} AS INT) AS sub,
              CAST(dim % {d_sub} AS INT) AS sdim,
-             CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
-    ), seeds AS (
+             CAST(embedding[dim + 1] AS DOUBLE) AS val FROM {P}e0
+    ), {P}seeds AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
       FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
-    ), c0 AS MATERIALIZED (
+    ), {P}c0 AS MATERIALIZED (
       SELECT s.code, e.sub, e.sdim, ROUND(e.val, 6) AS cval
-      FROM seeds s JOIN e ON e.vec_id = s.vec_id
+      FROM {P}seeds s JOIN {P}e e ON e.vec_id = s.vec_id
     )"""
     ]
     for i in range(1, n_iter + 1):
         parts.append(
-            f""", a{i} AS (
+            f""", {P}a{i} AS (
       SELECT e.vec_id, e.sub, c.code,
              ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist2
-      FROM e JOIN c{i - 1} c ON c.sub = e.sub AND c.sdim = e.sdim
+      FROM {P}e e JOIN {P}c{i - 1} c ON c.sub = e.sub AND c.sdim = e.sdim
       GROUP BY e.vec_id, e.sub, c.code
-    ), b{i} AS (
-      SELECT vec_id, sub, code, dist2 FROM a{i}
+    ), {P}b{i} AS (
+      SELECT vec_id, sub, code, dist2 FROM {P}a{i}
       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) = 1
-    ), c{i} AS MATERIALIZED (
+    ), {P}c{i} AS MATERIALIZED (
       SELECT b.code, e.sub, e.sdim, ROUND(AVG(e.val), 6) AS cval
-      FROM b{i} b JOIN e ON e.vec_id = b.vec_id AND e.sub = b.sub
+      FROM {P}b{i} b JOIN {P}e e ON e.vec_id = b.vec_id AND e.sub = b.sub
       GROUP BY b.code, e.sub, e.sdim
     )"""
         )
     parts.append(
-        f""", afinal AS (
+        f""", {P}afinal AS (
       SELECT e.vec_id, e.sub, c.code,
              ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist2
-      FROM e JOIN c{n_iter} c ON c.sub = e.sub AND c.sdim = e.sdim
+      FROM {P}e e JOIN {P}c{n_iter} c ON c.sub = e.sub AND c.sdim = e.sdim
       GROUP BY e.vec_id, e.sub, c.code
-    ), bfinal AS MATERIALIZED (
-      SELECT vec_id, sub, code, dist2 FROM afinal
+    ), {P}bfinal AS MATERIALIZED (
+      SELECT vec_id, sub, code, dist2 FROM {P}afinal
       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) = 1
     )"""
     )
-    return "WITH " + "".join(parts)
+    return ("WITH " if standalone else ", ") + "".join(parts)
 
 
 @register(
@@ -444,3 +451,64 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return adc(emb, query_id=0, m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10)
+
+
+NPROBE = 2
+
+
+@register(
+    "ivf_pq_topk",
+    _kmeans_cte(K, N_ITER)
+    + _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False)
+    + f"""
+    , qfull AS (SELECT dim, val FROM e WHERE vec_id = 0)
+    , qd AS (
+      SELECT c.cluster,
+             ROUND(SUM((q.val - c.cval) * (q.val - c.cval)), 6) AS d2
+      FROM c{N_ITER} c JOIN qfull q ON q.dim = c.dim
+      GROUP BY c.cluster
+    ), probe AS (SELECT cluster FROM qd ORDER BY d2, cluster LIMIT {NPROBE})
+    , cand AS (
+      SELECT vec_id FROM bfinal
+      WHERE cluster IN (SELECT cluster FROM probe) AND vec_id <> 0
+    ), pq_q AS (
+      SELECT CAST(dim // {PQ_DSUB} AS INT) AS sub,
+             CAST(dim % {PQ_DSUB} AS INT) AS sdim,
+             CAST(embedding[dim + 1] AS DOUBLE) AS qval
+      FROM (
+        SELECT embedding, UNNEST(range(0, len(embedding))) AS dim
+        FROM embeddings WHERE vec_id = 0
+      )
+    ), lut AS (
+      SELECT c.sub, c.code,
+             ROUND(SUM((q.qval - c.cval) * (q.qval - c.cval)), 6) AS lut_d
+      FROM pc{PQ_ITER} c JOIN pq_q q ON q.sub = c.sub AND q.sdim = c.sdim
+      GROUP BY c.sub, c.code
+    )
+    SELECT b.vec_id, ROUND(SUM(l.lut_d), 6) AS adc_dist2
+    FROM pbfinal b
+    JOIN cand ON cand.vec_id = b.vec_id
+    JOIN lut l ON l.sub = b.sub AND l.code = b.code
+    GROUP BY b.vec_id
+    ORDER BY adc_dist2, b.vec_id
+    LIMIT 10
+    """,
+    doc=f"IVF-PQ two-level ANN (the FAISS IndexIVFPQ structure): the "
+    f"k-means coarse quantizer (k={K}) partitions the corpus into "
+    f"inverted lists, the query probes its {NPROBE} nearest cells, "
+    "and within the probed lists distance is PQ-ADC over m-byte "
+    "codes with a broadcast LUT — row count cut by nprobe/n_cells "
+    "AND per-row cost cut from d floats to m table adds. Fully "
+    "oracled: DuckDB replays BOTH training trajectories (the "
+    "_kmeans_cte chain and the p-prefixed _pq_cte chain composed in "
+    "one statement), the cell probe, and the candidate-restricted "
+    "ADC ranking. Recall floors in tests/test_pq.py.",
+)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import ivf_pq_topk as ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return ivfpq(
+        emb, query_id=0, n_cells=K, nprobe=NPROBE,
+        m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
+    )

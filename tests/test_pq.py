@@ -95,3 +95,30 @@ def test_pq_adc_recall_clustered(spark):
     )
     exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
     assert len(got & exact) / 10 >= 0.5
+
+
+def test_ivf_pq_results_from_probed_cells_only(spark, sf_oracle):
+    """Every IVF-PQ hit must come from one of the query's nprobe
+    nearest cells, and the search must be deterministic."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_topk,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    out = ivf_pq_topk(emb, query_id=0, n_cells=8, nprobe=2, m=M, k=K, topk=10)
+    hits = [(r.vec_id, r.adc_dist2) for r in out.collect()]
+    _release(out)
+    assert len(hits) == 10
+
+    cells = kmeans_assign(emb, k=8, n_iter=2)
+    cell_of = {r.vec_id: r.cluster for r in cells.collect()}
+    _release(cells)
+    # nprobe=2: all hits must come from at most 2 distinct cells.
+    hit_cells = {cell_of[v] for v, _ in hits}
+    assert len(hit_cells) <= 2, f"hits span {len(hit_cells)} cells > nprobe"
+
+    out2 = ivf_pq_topk(emb, query_id=0, n_cells=8, nprobe=2, m=M, k=K, topk=10)
+    hits2 = [(r.vec_id, r.adc_dist2) for r in out2.collect()]
+    _release(out2)
+    assert hits == hits2
