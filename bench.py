@@ -98,6 +98,18 @@ HEADLINE = [
     "char_entropy_scores",      # Shannon-entropy gibberish screen
     "dup_rate_by_source",       # exact-dup provenance audit
     "series_correlation_pairs", # time-series Pearson similarity search
+    # Round-8 operators:
+    "zorder_pruned_read",       # Z-order layout write + footer-pruned read
+    "incremental_minhash_dedup",  # cross-batch dedup vs persisted index
+    "weighted_jaccard_top_pairs",  # multiset Jaccard (ICWS exact form)
+    "pq_codes",                 # product-quantization training (8x16)
+    "pq_adc_topk",              # ADC search over PQ codes
+    "ivf_pq_topk",              # IVF + PQ two-level ANN search
+    "psi_source_drift",         # PSI histogram drift per source
+    "sensor_linear_interp",     # time-weighted linear gap interpolation
+    "purchase_followup_counts", # bucketed bounded-interval join
+    "embedding_lsh_topk",       # multi-table hyperplane LSH ANN
+    "embedding_cosine_topk_int8",  # integer-cosine search over int8
 ]
 
 

@@ -353,3 +353,53 @@ def test_weighted_jaccard_guard_active(spark, sf_oracle):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_oracle):
+    """The 100 TB shuffle-pruning knob: a selective dimension filter
+    must propagate to the fact side as an injected runtime bloom
+    filter (Catalyst's InjectRuntimeFilter), so fact rows that cannot
+    join are dropped BEFORE the shuffle. Local tables sit under the
+    default 10 MB/10 GB thresholds, so the test pins the behavior with
+    the thresholds opened and broadcast disabled (a broadcast join
+    would subsume the filter); production clusters hit it with stock
+    settings."""
+    from pyspark.sql import functions as F
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+        load_table,
+    )
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_oracle, "lineitem")
+        o = (
+            load_table(spark, sf_oracle, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower(), "runtime filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
