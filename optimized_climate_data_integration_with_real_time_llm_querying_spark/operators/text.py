@@ -108,6 +108,59 @@ def quality_score(col: Column | str) -> Column:
     return F.round(raw, 4)
 
 
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(col: Column | str) -> dict[str, Column]:
+    """The Gopher quality-rule battery (Rae et al. 2021, §A1.1 — the
+    published heuristic set MassiveWeb filtering used, reused by many
+    later corpora): each rule as a 0/1 flag plus the features it
+    reads. Rules here: word count in [50, 100k]; mean word length in
+    [3, 10]; symbol-to-word ratio (# and ...) <= 0.1; >= 80% of words
+    contain an alphabetic character; >= 2 distinct Gopher stopwords.
+    (The two line-shape rules — bullet/ellipsis line ratios — are
+    omitted: the corpus is single-line, they'd be constants.) All
+    map-only codegen'd expressions; mean word length uses the
+    single-space identity (n_chars - (n_words - 1)) / n_words the
+    whole text family already relies on."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_words = F.size(t)
+    safe_words = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        (F.length(F.trim(c)) - (n_words - 1)) / safe_words.cast("double"), 4
+    )
+    n_symbols = _count_matches(c, r"#") + _count_matches(c, r"\.\.\.")
+    symbol_ratio = F.round(n_symbols / safe_words.cast("double"), 4)
+    n_alpha_words = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.round(n_alpha_words / safe_words.cast("double"), 4)
+    n_stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(t, F.lower)),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "f_word_count": ((n_words >= 50) & (n_words <= 100_000)).cast("int"),
+        "f_mean_word_len": ((mean_wl >= 3.0) & (mean_wl <= 10.0)).cast("int"),
+        "f_symbol_ratio": (symbol_ratio <= 0.1).cast("int"),
+        "f_alpha_words": (alpha_word_ratio >= 0.8).cast("int"),
+        "f_stopwords": (n_stop_distinct >= 2).cast("int"),
+    }
+    passes = F.lit(1)
+    for f in flags.values():
+        passes = passes * f
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_ratio": alpha_word_ratio,
+        "n_stop_distinct": n_stop_distinct,
+        **flags,
+        "passes_gopher": passes.cast("int"),
+    }
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for exact-dedup/fingerprinting: lowercase, trim,
     collapse whitespace runs to single spaces."""

@@ -1109,6 +1109,82 @@ def length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_quality_flags",
+    r"""
+    WITH t0 AS (
+      SELECT doc_id, trim(text) AS tx,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), f AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             ROUND((length(tx) - (len(t) - 1))
+                   / CAST(GREATEST(len(t), 1) AS DOUBLE), 4) AS mean_word_len,
+             ROUND((len(regexp_extract_all(tx, '#'))
+                    + len(regexp_extract_all(tx, '\.\.\.')))
+                   / CAST(GREATEST(len(t), 1) AS DOUBLE), 4) AS symbol_ratio,
+             ROUND(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(GREATEST(len(t), 1) AS DOUBLE), 4) AS alpha_word_ratio,
+             len(list_intersect(
+                 list_distinct(list_transform(t, x -> lower(x))),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']
+             )) AS n_stop_distinct
+      FROM t0
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+           symbol_ratio, alpha_word_ratio,
+           CAST(n_stop_distinct AS INT) AS n_stop_distinct,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT) AS f_word_count,
+           CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS f_mean_word_len,
+           CAST(symbol_ratio <= 0.1 AS INT) AS f_symbol_ratio,
+           CAST(alpha_word_ratio >= 0.8 AS INT) AS f_alpha_words,
+           CAST(n_stop_distinct >= 2 AS INT) AS f_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT)
+             * CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
+             * CAST(symbol_ratio <= 0.1 AS INT)
+             * CAST(alpha_word_ratio >= 0.8 AS INT)
+             * CAST(n_stop_distinct >= 2 AS INT) AS passes_gopher
+    FROM f
+    """,
+    doc="The Gopher quality-rule battery (Rae et al. 2021 §A1.1 — the "
+    "published MassiveWeb heuristics, reused by MassiveText/RefinedWeb"
+    "-style pipelines): per-document named pass/fail flags for word "
+    "count, mean word length, symbol ratio, alphabetic-word ratio, "
+    "and distinct-stopword presence, plus the conjunction. "
+    "Complements the repo's continuous quality_score with the "
+    "RULE-set form real filters deploy (a doc is dropped on any "
+    "failed rule, not a blended score). Map-only expressions; the "
+    "two line-shape rules are omitted as constants on a single-line "
+    "corpus (documented in operators/text.gopher_flags). On the "
+    "synthetic corpus the stopword rule fails every doc by "
+    "construction (its 31-token vocab contains no Gopher stopwords) "
+    "while the word-count rule splits it ~55/45 — every flag's "
+    "arithmetic is still cell-checked.",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_flags
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.trim(F.col("text")) != ""
+    )
+    g = gopher_flags("text")
+    return d.select(
+        "doc_id",
+        g["n_words"].cast("int").alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["alpha_word_ratio"].alias("alpha_word_ratio"),
+        g["n_stop_distinct"].cast("int").alias("n_stop_distinct"),
+        g["f_word_count"].alias("f_word_count"),
+        g["f_mean_word_len"].alias("f_mean_word_len"),
+        g["f_symbol_ratio"].alias("f_symbol_ratio"),
+        g["f_alpha_words"].alias("f_alpha_words"),
+        g["f_stopwords"].alias("f_stopwords"),
+        g["passes_gopher"].alias("passes_gopher"),
+    )
+
+
+@register(
     "psi_source_drift",
     """
     WITH b AS (
