@@ -196,3 +196,57 @@ def dedup_cluster_assignments(
     )
     out.cache_handles = list(getattr(comp, "cache_handles", []))
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    d: float = 0.85,
+    n_iter: int = 3,
+) -> DataFrame:
+    """PageRank over an undirected pair graph by power iteration —
+    (node, pr) after ``n_iter`` rounds of
+    pr(v) = (1-d)/N + d * sum_{u->v} pr(u)/deg(u), uniform init 1/N.
+
+    Determinism contract (the kmeans/components recipe): every
+    iteration's scores are rounded to the 6-dp grid, so the whole
+    trajectory replays in DuckDB as an unrolled CTE chain. Undirected
+    symmetrization means every node has in- and out-degree >= 1 — no
+    dangling-mass term. Each iteration is one equi-join on the edge
+    key + one (dst) aggregate; the shuffle carries (node, scalar)
+    rows, never adjacency lists, and the symmetrized edge frame is
+    persisted once (returned via ``cache_handles``).
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.round(
+                    (1 - d) / F.col("n")
+                    + d * F.coalesce(F.col("s"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    pr.cache_handles = [sym]
+    return pr

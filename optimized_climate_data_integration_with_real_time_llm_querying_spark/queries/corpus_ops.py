@@ -97,6 +97,106 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel
 
 
+_PAIR_GRAPH_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 3
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), rare AS (
+      SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) <= 100
+    ), shc AS (
+      SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6)
+            >= 0.6
+    )"""
+
+
+def _pagerank_oracle(d: float = 0.85, n_iter: int = 3) -> str:
+    """Unrolled power-iteration oracle over the exact-Jaccard >= 0.6
+    pair graph (the same pairs CTE dedup_clusters replays): pr{i} from
+    pr{i-1} via one edge join + dst aggregate, every round on the
+    6-dp grid — the kmeans/BPE falsifiability recipe applied to
+    PageRank. (1 - 0.85) is written as the SUBTRACTION on both
+    engines so the damping constant is the identical IEEE double."""
+    parts = [
+        _PAIR_GRAPH_CTE
+        + """, edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, ROUND(1.0 / nn.n, 6) AS pr FROM nodes, nn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", c{i} AS (
+      SELECT e.dst, SUM(p.pr / dg.deg) AS s
+      FROM edges e
+      JOIN pr{i - 1} p ON p.node = e.src
+      JOIN deg dg ON dg.src = e.src
+      GROUP BY e.dst
+    ), pr{i} AS (
+      SELECT n2.node,
+             ROUND((1 - {d}) / nn.n + {d} * COALESCE(c.s, 0), 6) AS pr
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN c{i} c ON c.dst = n2.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS doc_id, pr AS pagerank FROM pr{n_iter}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "similarity_pagerank",
+    _pagerank_oracle(0.85, 3),
+    doc="PageRank over the near-dup similarity graph (exact-Jaccard "
+    ">= 0.6 pairs, the identical edge set dedup_clusters uses): "
+    "high-centrality docs are TEMPLATE HUBS — boilerplate bridging "
+    "many duplicate chains, worth inspecting before any keep-lowest-"
+    "id dedup erases the structure. Second iterative graph algorithm "
+    "under a full oracle (after connected components): 3 power "
+    "iterations, uniform 1/N init, damping 0.85, every round on the "
+    "6-dp grid, replayed as an unrolled CTE chain. Spark shape: per "
+    "round one equi-join on the edge key + one (dst) aggregate; "
+    "(node, scalar) shuffles; symmetrized edges persisted once.",
+)
+def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.6, max_shingle_df=100)
+    pr = pagerank(pairs, d=0.85, n_iter=3)
+    out = pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pagerank"))
+    out.cache_handles = list(pr.cache_handles)
+    return out
+
+
 @register(
     "unigram_logprob_scores",
     r"""

@@ -67,3 +67,35 @@ def test_cluster_assignments_cover_all_docs(spark):
     # Exactly one kept representative per cluster: the min id.
     kept = sorted(r.doc_id for r in rows if r.is_kept)
     assert kept == [1, 4, 5, 7]
+
+
+def test_pagerank_mass_conservation_and_determinism(spark, sf_oracle):
+    """Power iteration over an undirected graph conserves probability
+    mass (sum pr = 1 up to the 6-dp grid), gives every node a
+    positive score, and replays identically."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+        load_table,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+        dedup,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.graph import (
+        pagerank,
+    )
+
+    d = load_table(spark, sf_oracle, "documents", rebalance=True)
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.6, max_shingle_df=100)
+    pr = pagerank(pairs, d=0.85, n_iter=3)
+    rows = [(r.node, r.pr) for r in pr.collect()]
+    for h in pr.cache_handles:
+        h.unpersist()
+    assert rows
+    total = sum(p for _, p in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(p > 0 for _, p in rows)
+
+    pr2 = pagerank(pairs, d=0.85, n_iter=3)
+    rows2 = [(r.node, r.pr) for r in pr2.collect()]
+    for h in pr2.cache_handles:
+        h.unpersist()
+    assert sorted(rows) == sorted(rows2)
