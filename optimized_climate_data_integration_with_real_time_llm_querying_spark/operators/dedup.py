@@ -278,6 +278,83 @@ def weighted_jaccard_pairs(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    gate: int = 64,
+    hash_family=None,  # default md5_hash64 (defined below), oracle-able
+) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary idea behind
+    rsync/LBFS/FastCDC): a chunk boundary falls AFTER char position e
+    whenever the hash of the w-gram ending at e passes the gate
+    (h % gate == 0), so boundaries are anchored to CONTENT, not
+    offsets — an insertion early in a document shifts every
+    fixed-size block but leaves all later CDC chunks identical, which
+    is what makes chunk-level dedup robust to edits. Expected chunk
+    length = ``gate`` chars.
+
+    Returns (id, chunk_idx, chunk_start, chunk_len, chunk) — 1-based
+    start, chunks concatenate back to the exact document
+    (property-tested). Plan shape: one position explode (n-w+1 rows
+    per doc, the winnowing scan shape) + two per-doc window passes
+    (boundary ordering + lead for chunk ends); no self-joins, no
+    Python. With the default md5 family every boundary decision
+    replays in DuckDB.
+    """
+    from pyspark.sql import Window as W
+
+    if hash_family is None:
+        hash_family = md5_hash64
+    t = F.trim(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("tx"), F.length(t).alias("n")).filter(
+        F.col("n") > 0
+    )
+    # n >= w guard: F.sequence(w, n) would emit a DESCENDING range for
+    # shorter docs (Spark's default step is -1 when start > stop);
+    # sub-w docs simply have no gate positions and stay one chunk.
+    grams = base.filter(F.col("n") >= w).select(
+        F.col(id_col),
+        "tx",
+        "n",
+        F.explode(F.sequence(F.lit(w), F.col("n"))).alias("e"),
+    )
+    ends = grams.filter(
+        F.pmod(hash_family(F.expr(f"substring(tx, e - {w} + 1, {w})")), F.lit(gate))
+        == 0
+    ).select(F.col(id_col), "tx", "n", F.col("e").alias("end_pos"))
+    # Chunk starts: position 1 plus (end + 1) for every gate hit that
+    # is not already the document end.
+    starts = (
+        base.select(F.col(id_col), "tx", "n", F.lit(1).alias("s"))
+        .unionByName(
+            ends.filter(F.col("end_pos") < F.col("n")).select(
+                F.col(id_col), "tx", "n", (F.col("end_pos") + 1).alias("s")
+            )
+        )
+        .distinct()
+    )
+    win = W.partitionBy(id_col).orderBy("s")
+    return (
+        starts.select(
+            F.col(id_col),
+            "tx",
+            "n",
+            "s",
+            (F.row_number().over(win) - 1).alias("chunk_idx"),
+            F.coalesce(F.lead("s").over(win), F.col("n") + 1).alias("next_s"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.col("s").alias("chunk_start"),
+            (F.col("next_s") - F.col("s")).alias("chunk_len"),
+            F.expr("substring(tx, s, next_s - s)").alias("chunk"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     test_set: DataFrame,

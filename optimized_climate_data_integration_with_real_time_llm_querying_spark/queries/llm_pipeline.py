@@ -399,6 +399,67 @@ def weighted_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_chunk_dedup",
+    r"""
+    WITH base AS (
+      SELECT doc_id, trim(text) AS tx, length(trim(text)) AS n
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT doc_id, tx, n, UNNEST(range(8, n + 1)) AS e FROM base
+    ), ends AS (
+      SELECT doc_id, tx, n, e AS end_pos FROM grams
+      WHERE CAST(('0x' || substr(md5(substr(tx, CAST(e - 7 AS BIGINT), 8)), 1, 8)) AS BIGINT)
+            % 64 = 0
+    ), starts AS (
+      SELECT DISTINCT doc_id, tx, n, s FROM (
+        SELECT doc_id, tx, n, 1 AS s FROM base
+        UNION ALL
+        SELECT doc_id, tx, n, end_pos + 1 AS s FROM ends WHERE end_pos < n
+      )
+    ), ch AS (
+      SELECT doc_id,
+             substr(tx, CAST(s AS BIGINT),
+                    CAST(COALESCE(LEAD(s) OVER w, n + 1) - s AS BIGINT)) AS chunk
+      FROM starts
+      WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+    )
+    SELECT md5(chunk) AS chunk_md5,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ch
+    GROUP BY md5(chunk), length(chunk)
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Chunk-level dedup over content-defined chunks (the rsync/"
+    "LBFS/FastCDC rolling-hash boundary family): boundaries fall "
+    "where the md5 of the trailing 8-gram passes a %64 gate (expected "
+    "chunk ~64 chars), so an edit shifts only its own chunk while "
+    "every later chunk stays bit-identical — the property that makes "
+    "chunk dedup robust to insertions where fixed-size blocks are "
+    "not. Reports every chunk content appearing >= 2 times with its "
+    "occurrence and document counts — the storage/transfer-dedup "
+    "complement to document-level near-dup. One position explode + "
+    "two per-doc windows; chunks re-concatenate to the exact document "
+    "(property-tested); every boundary decision replays in DuckDB.",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    ch = dedup.cdc_chunks(d, w=8, gate=64)
+    return (
+        ch.groupBy(
+            F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+            F.col("chunk_len").cast("long").alias("chunk_len"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+
+
+@register(
     "minhash_near_dup_pairs",
     None,  # hash-based LSH banding is not ANSI-SQL-expressible -> rows-only
     doc="MinHash(32 hashes)+LSH(8 bands) candidate generation with "
