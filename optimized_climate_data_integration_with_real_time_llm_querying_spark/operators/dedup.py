@@ -229,15 +229,19 @@ def weighted_jaccard_pairs(
     the multiset identity sum(max) = |A| + |B| - sum(min), so no
     second join. Shingles are hashed to 8-byte keys at the source;
     ``max_shingle_df`` is the stop-shingle guard keeping pair fan-out
-    sub-quadratic at corpus scale. ``hash_family=None`` keeps raw
-    shingle strings so a DuckDB oracle can recompute everything
-    (registered query twin); the default xxhash64 is the production
-    path.
+    sub-quadratic at corpus scale. ``hash_family``: xxhash64
+    (default, production) and :func:`md5_hash64` (the DuckDB-
+    recomputable twin, the tfidf_doc_similarity precedent) both join
+    on 8-byte keys; ``None`` keeps raw shingle strings.
     """
     if hash_family is F.xxhash64:
         sh = hashed_shingles(df, text_col, id_col, k, distinct=False)
-    else:
+    elif hash_family is None:
         sh = shingles(df, text_col, id_col, k, distinct=False)
+    else:
+        sh = shingles(df, text_col, id_col, k, distinct=False).select(
+            F.col(id_col), hash_family(F.col("shingle")).alias("shingle")
+        )
     counts = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
     if max_shingle_df is not None:
         rare = (
@@ -647,12 +651,23 @@ def incremental_minhash_near_duplicates(
     )
     new_buckets = band_buckets(new_sigs, id_col, num_hashes, bands, hash_family)
 
-    union = old_index.select(
-        F.col(id_col), "band", "bucket", F.lit(False).alias("is_new")
-    ).unionByName(
-        new_buckets.select(
-            F.col(id_col), "band", "bucket", F.lit(True).alias("is_new")
+    # Persist the union bucket population: it feeds the size guard AND
+    # both join sides AND (via cands) the verify stage — without the
+    # persist each consumer re-derives the OLD side's signatures from
+    # text, which is exactly the recompute the incremental contract
+    # forbids (measured 36 s -> ~4 s at sf0.1). In production the old
+    # half arrives pre-materialized from Parquet; the persist makes
+    # the in-query build behave the same way.
+    union = (
+        old_index.select(
+            F.col(id_col), "band", "bucket", F.lit(False).alias("is_new")
         )
+        .unionByName(
+            new_buckets.select(
+                F.col(id_col), "band", "bucket", F.lit(True).alias("is_new")
+            )
+        )
+        .persist()
     )
     small = (
         union.groupBy("band", "bucket")
@@ -667,11 +682,14 @@ def incremental_minhash_near_duplicates(
     b = guarded.select(
         F.col(id_col).alias("id_b"), "band", "bucket", F.col("is_new").alias("new_b")
     )
+    # cands is read twice (verify join + the touched-ids cut): persist
+    # the tiny pair list so the banded self-join runs once.
     cands = (
         a.join(b, ["band", "bucket"])
         .filter((F.col("id_a") < F.col("id_b")) & (F.col("new_a") | F.col("new_b")))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
 
     # Verify stage: exact shingle sets ONLY for candidate-touched old
@@ -708,7 +726,7 @@ def incremental_minhash_near_duplicates(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
-    result.cache_handle = new_combined
+    result.cache_handles = [new_combined, union, cands]
     return result
 
 

@@ -75,8 +75,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id for one hash table: bit i = sign of
-    <v, plane_i> — fully codegen'd bit arithmetic."""
+    """Sign-pattern bucket id for ONE hash table: bit i = sign of
+    <v, plane_i>. HOF-dot based — fine for a single table's worth of
+    planes; the multi-table path uses the relational
+    :func:`hyperplane_lsh_multi` shape instead (32 HOF dots per row
+    measured as the hottest part of embedding_lsh_topk, and the
+    explicit getItem-chain alternative blows Janino's 64 KB method
+    limit at 2048 terms, falling back to interpreted anyway)."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(x) for x in plane])
@@ -114,6 +119,7 @@ def hyperplane_lsh_multi(
     n_tables: int = 4,
     seed: int = 7,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Multi-table LSH: one row per (input row, table) with
     (lsh_table, lsh_bucket). A single sign-pattern table misses any
@@ -121,19 +127,38 @@ def hyperplane_lsh_multi(
     p^n_planes, p = 1 - theta/pi); unioning candidates across
     ``n_tables`` independent tables lifts recall to
     1 - (1 - p^n_planes)^n_tables — the standard LSH recall knob.
-    The explode multiplies rows by n_tables, but each row is (id,
-    8-byte table+bucket key), so the shuffle stays tiny relative to
-    the vectors themselves.
+
+    Computed RELATIONALLY (the JL-projection shape): posexplode the
+    vectors once, join the broadcast (table, plane, dim, weight)
+    frame, partial-aggregate the n_tables x n_planes dots, fold sign
+    bits into bucket ids, and join back on ``id_col``. All codegen'd
+    — the HOF-dot form ran 32 interpreted lambdas per row (measured
+    5.9 s for embedding_lsh_topk at sf0.1 vs ~1 s relational), and
+    the inline getItem-chain alternative exceeds Janino's 64 KB
+    method limit and silently de-optimizes. The shuffle carries (id,
+    table, plane, scalar) rows, never vectors.
     """
-    buckets = F.array(
-        *[
-            _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + 7919 * t))
-            for t in range(n_tables)
-        ]
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        hyperplane_rows(dim, n_planes, n_tables, seed),
+        "lsh_table int, p int, dim int, w double",
     )
-    return df.select(
-        "*", F.posexplode(buckets).alias("lsh_table", "lsh_bucket")
+    e = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    ).select(F.col(id_col), "dim", F.col("val").cast("double").alias("val"))
+    dots = (
+        e.join(F.broadcast(planes), "dim")
+        .groupBy(id_col, "lsh_table", "p")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("d"))
     )
+    buckets = dots.groupBy(id_col, "lsh_table").agg(
+        F.sum(
+            F.when(
+                F.col("d") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("lsh_bucket")
+    )
+    return df.join(buckets, id_col)
 
 
 def lsh_topk(
@@ -152,9 +177,12 @@ def lsh_topk(
     (candidate union via distinct ids), then exact-rank the
     candidates. Recall grows as 1-(1-p^n_planes)^n_tables; measured
     floors live in tests/test_lsh_recall.py."""
-    bucketed = hyperplane_lsh_multi(df, dim, n_planes, n_tables, seed, vec_col)
+    bucketed = hyperplane_lsh_multi(
+        df, dim, n_planes, n_tables, seed, vec_col, id_col
+    )
     q_bucketed = hyperplane_lsh_multi(
-        query_df.withColumnRenamed("q_vec", vec_col), dim, n_planes, n_tables, seed, vec_col
+        query_df.withColumnRenamed("q_vec", vec_col),
+        dim, n_planes, n_tables, seed, vec_col, id_col="q_id",
     ).select("lsh_table", "lsh_bucket")
     cand_ids = (
         bucketed.join(F.broadcast(q_bucketed), ["lsh_table", "lsh_bucket"])
@@ -243,7 +271,9 @@ def cosine_near_dup_pairs(
     if use_lsh:
         if dim is None:
             raise ValueError("use_lsh=True requires dim")
-        b = hyperplane_lsh_multi(df, dim, n_planes, n_tables, vec_col=vec_col)
+        b = hyperplane_lsh_multi(
+            df, dim, n_planes, n_tables, vec_col=vec_col, id_col=id_col
+        )
         a = b.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
         c = b.select(F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket")
         cand = (
@@ -300,11 +330,12 @@ def decontaminate_by_embedding(
     if use_lsh:
         if dim is None:
             raise ValueError("use_lsh=True requires dim")
-        cb = hyperplane_lsh_multi(corpus, dim, n_planes, n_tables, vec_col=vec_col).select(
-            F.col(id_col), F.col(vec_col), "lsh_table", "lsh_bucket"
-        )
+        cb = hyperplane_lsh_multi(
+            corpus, dim, n_planes, n_tables, vec_col=vec_col, id_col=id_col
+        ).select(F.col(id_col), F.col(vec_col), "lsh_table", "lsh_bucket")
         hb = hyperplane_lsh_multi(
-            h.withColumnRenamed("h_vec", vec_col), dim, n_planes, n_tables, vec_col=vec_col
+            h.withColumnRenamed("h_vec", vec_col),
+            dim, n_planes, n_tables, vec_col=vec_col, id_col="h_id",
         ).select(F.col(vec_col).alias("h_vec"), "lsh_table", "lsh_bucket")
         pairs = cb.join(hb, ["lsh_table", "lsh_bucket"])
     else:

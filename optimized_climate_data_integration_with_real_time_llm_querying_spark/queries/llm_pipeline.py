@@ -343,8 +343,11 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       FROM documents WHERE trim(text) <> ''
     ), shm AS (
-      -- MULTISET shingles: no DISTINCT — occurrence counts matter here
-      SELECT doc_id, sh FROM (
+      -- MULTISET shingles: no DISTINCT — occurrence counts matter
+      -- here; md5-hashed to 8-byte join keys (rule 6, the
+      -- tfidf_doc_similarity 'tm' precedent)
+      SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS sh
+      FROM (
         SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
         FROM (
           SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
@@ -389,7 +392,8 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weighted_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True)
     pairs = dedup.weighted_jaccard_pairs(
-        d, k=3, min_jaccard=0.0, max_shingle_df=100, hash_family=None
+        d, k=3, min_jaccard=0.0, max_shingle_df=100,
+        hash_family=dedup.md5_hash64,
     )
     return (
         pairs.orderBy(F.col("w_jaccard").desc(), "id_a", "id_b")

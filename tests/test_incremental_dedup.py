@@ -49,7 +49,8 @@ def test_incremental_equals_full_restricted(spark, sf_oracle):
         old_index, old_docs, new_docs, min_jaccard=0.5
     )
     got = sorted((r.id_a, r.id_b, r.jaccard) for r in inc.collect())
-    inc.cache_handle.unpersist()
+    for h in inc.cache_handles:
+        h.unpersist()
     assert got == want
 
 
@@ -68,13 +69,15 @@ def test_incremental_index_parquet_roundtrip(spark, sf_oracle, tmp_path):
         dedup.minhash_index(old_docs), old_docs, new_docs, min_jaccard=0.5
     )
     live = sorted((r.id_a, r.id_b, r.jaccard) for r in inc_live.collect())
-    inc_live.cache_handle.unpersist()
+    for h in inc_live.cache_handles:
+        h.unpersist()
 
     inc_disk = dedup.incremental_minhash_near_duplicates(
         reloaded, old_docs, new_docs, min_jaccard=0.5
     )
     disk = sorted((r.id_a, r.id_b, r.jaccard) for r in inc_disk.collect())
-    inc_disk.cache_handle.unpersist()
+    for h in inc_disk.cache_handles:
+        h.unpersist()
     assert disk == live and live
 
 
@@ -89,6 +92,7 @@ def test_incremental_old_text_cut_before_shingling(spark, sf_oracle):
         dedup.minhash_index(old_docs), old_docs, new_docs, min_jaccard=0.5
     )
     plan = inc._jdf.queryExecution().executedPlan().toString()
-    inc.cache_handle.unpersist()
+    for h in inc.cache_handles:
+        h.unpersist()
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
