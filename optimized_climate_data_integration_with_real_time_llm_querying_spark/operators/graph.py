@@ -218,9 +218,23 @@ def pagerank(
     rows, never adjacency lists, and the symmetrized edge frame is
     persisted once (returned via ``cache_handles``).
     """
+    # Symmetrize with ONE scan of the edge frame: a union of two
+    # selects would evaluate the (often expensive — e.g. an n-gram
+    # pair join) edge lineage twice on first materialization.
     sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
