@@ -110,6 +110,9 @@ HEADLINE = [
     "purchase_followup_counts", # bucketed bounded-interval join
     "embedding_lsh_topk",       # multi-table hyperplane LSH ANN
     "embedding_cosine_topk_int8",  # integer-cosine search over int8
+    "cdc_chunk_dedup",          # content-defined chunk-level dedup
+    "similarity_pagerank",      # PageRank over the near-dup graph
+    "gopher_quality_flags",     # Gopher rule battery (map-only)
 ]
 
 

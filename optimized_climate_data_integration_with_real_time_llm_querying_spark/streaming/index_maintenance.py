@@ -1,0 +1,77 @@
+"""Streaming maintenance of the MinHash LSH index.
+
+The batch side of incremental curation
+(``operators.dedup.incremental_minhash_near_duplicates``) consumes a
+persisted (id, band, bucket) index; this module keeps that index
+CURRENT as new documents stream in. Each micro-batch computes the
+signatures/buckets of ONLY its own documents (signatures are
+per-document, so a batch never needs the rest of the corpus) and
+appends them to the index directory — the foreachBatch pattern for
+maintaining derived artifacts a plain streaming sink can't express.
+
+Exactly-once note: foreachBatch is at-least-once under retries; the
+append is idempotent at the reader because the incremental dedup path
+dedups candidate PAIRS (a re-appended (id, band, bucket) row creates
+no new pair ids). For byte-level idempotence, production would write
+per-batch subdirectories keyed by batch_id and clean on replay — the
+same recipe as the checkpoint-restart test in
+tests/test_streaming_restart.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators import dedup
+
+
+def index_update_writer(
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    hash_family=None,
+):
+    """A foreachBatch function appending each micro-batch's
+    (id, band, bucket) rows to the Parquet index at ``index_path``.
+    Pass to ``writeStream.foreachBatch``. ``hash_family=None`` uses
+    the production xxhash64 family."""
+    from pyspark.sql import functions as F
+
+    fam = hash_family if hash_family is not None else F.xxhash64
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = dedup.minhash_index(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+            hash_family=fam,
+        )
+        rows.write.mode("append").parquet(index_path)
+
+    return write_batch
+
+
+def run_index_maintenance_available_now(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    **index_kwargs,
+) -> None:
+    """Drain an availableNow document stream through the index
+    writer. ``docs_stream`` is a streaming DataFrame of documents
+    (e.g. ``spark.readStream.schema(...).parquet(dir)``)."""
+    q = (
+        docs_stream.writeStream.foreachBatch(
+            index_update_writer(index_path, **index_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
