@@ -174,8 +174,6 @@ def pq_assign(
 
     The returned frame carries ``cache_handles`` for release.
     """
-    from pyspark.sql import Window as W
-
     spark = df.sparkSession
     # (sub, sdim) long form: dim // d_sub, dim % d_sub
     first = df.select(F.size(vec_col).alias("d")).first()
@@ -192,6 +190,22 @@ def pq_assign(
         )
         .persist()
     )
+    out, centroids = _pq_lloyd(e, id_col, k, n_iter, spark)
+    out.cache_handles = [e]
+    out.centroids = centroids
+    return out
+
+
+def _pq_lloyd(
+    e: DataFrame, id_col: str, k: int, n_iter: int, spark
+) -> tuple[DataFrame, list[tuple[int, int, int, float]]]:
+    """The shared multi-subspace Lloyd core: ``e`` is a PERSISTED
+    (id, sub, sdim, val) frame (raw subvectors for plain PQ, residual
+    subvectors for IVF residual PQ). Seeds = the k lowest ids in
+    ``e``; same 6-dp grid and lowest-code tie-break as
+    :func:`kmeans_assign`. Returns (final assignment, codebook rows).
+    On failure the caller's persist is released here."""
+    from pyspark.sql import Window as W
 
     def assign(cent_rows: list[tuple[int, int, int, float]]) -> DataFrame:
         cent = spark.createDataFrame(
@@ -222,7 +236,8 @@ def pq_assign(
 
     try:
         seeded = (
-            df.select(F.col(id_col))
+            e.select(F.col(id_col))
+            .distinct()
             .orderBy(id_col)
             .limit(k)
             .withColumn(
@@ -252,9 +267,7 @@ def pq_assign(
     except BaseException:
         e.unpersist()
         raise
-    out.cache_handles = [e]
-    out.centroids = centroids
-    return out
+    return out, centroids
 
 
 def pq_adc_topk(
@@ -399,6 +412,111 @@ def ivf_pq_topk(
         .limit(topk)
     )
     out.cache_handles = list(cells.cache_handles) + list(codes.cache_handles)
+    return out
+
+
+def ivf_residual_pq_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the actual FAISS IndexIVFPQ
+    formulation: PQ is trained on r_v = v - centroid(cell(v)) rather
+    than on raw vectors. Residuals concentrate around the origin
+    (the coarse quantizer removed the between-cell variance), so the
+    same m x k codebook spends its codes on within-cell detail —
+    the reason residual PQ dominates plain PQ at equal bits.
+
+    Search: probe the nprobe nearest cells; for EACH probed cell the
+    query forms its own residual q - c_cell and a per-cell LUT; a
+    candidate's distance sums its own cell's LUT entries over its
+    code. All deterministic given the (oracled) trainings — the full
+    two-level residual pipeline replays in DuckDB. Plan shape: one
+    extra broadcast join (coarse centroids into the exploded frame)
+    over :func:`ivf_pq_topk`; LUTs stay (nprobe x m x k) broadcast
+    rows.
+    """
+    cells = kmeans_assign(df, n_cells, n_iter, vec_col, id_col)
+    spark = df.sparkSession
+    cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
+    dim_first = df.select(F.size(vec_col).alias("d")).first()
+    d_sub = int(dim_first["d"]) // m
+
+    # Residual subvectors: v - centroid(cell(v)), exact IEEE (cval is
+    # the same 6-dp double on both engines; no extra rounding needed).
+    e_full = _exploded(df, vec_col, id_col)
+    res = (
+        e_full.join(cells.select(id_col, "cluster"), id_col)
+        .join(F.broadcast(cent), ["cluster", "dim"])
+        .select(
+            F.col(id_col),
+            (F.col("dim") / d_sub).cast("int").alias("sub"),
+            (F.col("dim") % d_sub).cast("int").alias("sdim"),
+            (F.col("val") - F.col("cval")).alias("val"),
+        )
+        .persist()
+    )
+    codes, codebook = _pq_lloyd(res, id_col, k, n_iter, spark)
+    cb = spark.createDataFrame(codebook, "code int, sub int, sdim int, cval double")
+
+    qfull = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.posexplode(F.col(vec_col)).alias("dim", "qval"))
+        .select("dim", F.col("qval").cast("double").alias("qval"))
+    )
+    probe = (
+        cent.join(F.broadcast(qfull), "dim")
+        .groupBy("cluster")
+        .agg(
+            F.round(
+                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
+                6,
+            ).alias("d2")
+        )
+        .orderBy("d2", "cluster")
+        .limit(nprobe)
+        .select("cluster")
+    )
+    # Per-probed-cell query residual and LUT.
+    qr = (
+        probe.join(cent, "cluster")
+        .join(qfull, "dim")
+        .select(
+            "cluster",
+            (F.col("dim") / d_sub).cast("int").alias("sub"),
+            (F.col("dim") % d_sub).cast("int").alias("sdim"),
+            (F.col("qval") - F.col("cval")).alias("qrval"),
+        )
+    )
+    lut = (
+        qr.join(F.broadcast(cb), ["sub", "sdim"])
+        .groupBy("cluster", "sub", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("qrval") - F.col("cval")) * (F.col("qrval") - F.col("cval"))
+                ),
+                6,
+            ).alias("lut_d")
+        )
+    )
+    out = (
+        codes.join(cells.select(id_col, "cluster"), id_col)
+        .join(F.broadcast(lut), ["cluster", "sub", "code"])
+        .filter(F.col(id_col) != query_id)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("lut_d"), 6).alias("adc_dist2"))
+        .orderBy("adc_dist2", id_col)
+        .limit(topk)
+    )
+    out.cache_handles = list(cells.cache_handles) + [res]
     return out
 
 
