@@ -113,6 +113,7 @@ HEADLINE = [
     "cdc_chunk_dedup",          # content-defined chunk-level dedup
     "similarity_pagerank",      # PageRank over the near-dup graph
     "gopher_quality_flags",     # Gopher rule battery (map-only)
+    "ivf_residual_pq_topk",     # residual IVF-PQ (FAISS formulation)
 ]
 
 
