@@ -197,6 +197,193 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_WP_ROUNDS, _WP_VOCAB_K, _WP_MAX_SUB = 12, 50, 6
+
+
+def _wordpiece_oracle(n_rounds: int, vocab_k: int, max_sub: int) -> str:
+    """Unrolled greedy longest-match segmentation: vocabulary = all
+    single characters plus the top-``vocab_k`` substrings (length <=
+    ``max_sub``) by occurrence-weighted frequency (ties to the
+    lexicographically smaller substring), then ``n_rounds`` rounds of
+    'take the longest vocab prefix at the cursor' per distinct word.
+    The same CTE-unroll recipe as the BPE learner."""
+    parts = [
+        rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents WHERE trim(text) <> ''
+    ), words AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> '' GROUP BY word
+    ), subs AS (
+      SELECT substr(word, CAST(i AS BIGINT), CAST(l AS BIGINT)) AS sub, cnt
+      FROM (
+        SELECT word, cnt, i,
+               unnest(range(1, LEAST({max_sub}, len(word) - i + 1) + 1)) AS l
+        FROM (
+          SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i FROM words
+        )
+      )
+    ), weights AS MATERIALIZED (
+      SELECT sub, CAST(SUM(cnt) AS BIGINT) AS w FROM subs GROUP BY sub
+    ), top AS (
+      SELECT sub FROM weights ORDER BY w DESC, sub LIMIT {vocab_k}
+    ), vocab AS MATERIALIZED (
+      SELECT DISTINCT sub, len(sub) AS l FROM (
+        SELECT sub FROM top
+        UNION ALL
+        SELECT sub FROM weights WHERE len(sub) = 1
+      )
+    ), s0 AS (
+      SELECT word, len(word) AS wl, 1 AS pos FROM words
+    )"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""", m{i} AS (
+      SELECT s.word, s.wl, s.pos, v.sub, v.l
+      FROM s{i - 1} s
+      JOIN vocab v ON substr(s.word, CAST(s.pos AS BIGINT), CAST(v.l AS BIGINT)) = v.sub
+    ), b{i} AS MATERIALIZED (
+      SELECT word, wl, pos, sub, l FROM m{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY word, pos ORDER BY l DESC, sub DESC) = 1
+    ), s{i} AS (
+      SELECT word, wl, pos + l AS pos FROM b{i} WHERE pos + l <= wl
+    )"""
+        )
+    pieces = "\n      UNION ALL\n      ".join(
+        f"SELECT word, {i} AS piece_idx, sub AS piece FROM b{i}"
+        for i in range(1, n_rounds + 1)
+    )
+    parts.append(
+        f"""
+    SELECT word, CAST(piece_idx AS INT) AS piece_idx, piece FROM (
+      {pieces}
+    )
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "wordpiece_greedy_segments",
+    _wordpiece_oracle(_WP_ROUNDS, _WP_VOCAB_K, _WP_MAX_SUB),
+    doc="WordPiece greedy longest-match segmentation — the BERT "
+    "tokenizer RUNTIME, complementing the repo's BPE family (which "
+    "applies merges in learned order; WordPiece instead takes the "
+    "longest vocabulary prefix at each cursor). Vocabulary = every "
+    f"single character + the top-{_WP_VOCAB_K} corpus substrings "
+    f"(length <= {_WP_MAX_SUB}) by occurrence-weighted frequency with "
+    "lexicographic tie-breaks; segmentation unrolls "
+    f"{_WP_ROUNDS} rounds over the DISTINCT-WORD table only (the "
+    "encode-on-vocabulary trick: corpus scale never multiplies the "
+    "iteration, and doc-level encoding is a broadcast join away). "
+    "Single-char coverage guarantees termination; every round's "
+    "longest-prefix choice replays in DuckDB. Reconstruction "
+    "(concat(pieces) == word, every word) is property-tested.",
+)
+def wordpiece_greedy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    w = d.select(F.explode(tokens("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    words = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    subs = (
+        words.select(
+            "word", "cnt", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+        )
+        .select(
+            "word",
+            "cnt",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(_WP_MAX_SUB), F.length("word") - F.col("i") + 1),
+                )
+            ).alias("l"),
+        )
+        .select(F.expr("substring(word, i, l)").alias("sub"), "cnt")
+    )
+    weights = subs.groupBy("sub").agg(F.sum("cnt").alias("w"))
+    top = weights.orderBy(F.desc("w"), "sub").limit(_WP_VOCAB_K).select("sub")
+    chars = weights.filter(F.length("sub") == 1).select("sub")
+    vocab = (
+        top.unionByName(chars)
+        .distinct()
+        .withColumn("l", F.length("sub"))
+        .persist()
+    )
+    state = words.select("word", F.length("word").alias("wl"), F.lit(1).alias("pos"))
+    pieces = []
+    for r in range(1, _WP_ROUNDS + 1):
+        m = state.join(
+            F.broadcast(vocab), F.expr("substring(word, pos, l) = sub")
+        )
+        best = (
+            m.groupBy("word", "wl", "pos")
+            .agg(F.max(F.struct("l", "sub")).alias("b"))
+            .select(
+                "word", "wl", "pos",
+                F.col("b.sub").alias("piece"), F.col("b.l").alias("l"),
+            )
+        )
+        pieces.append(
+            best.select("word", F.lit(r).cast("int").alias("piece_idx"), "piece")
+        )
+        state = best.filter(F.col("pos") + F.col("l") <= F.col("wl")).select(
+            "word", "wl", (F.col("pos") + F.col("l")).alias("pos")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    out.cache_handle = vocab
+    return out
+
+
+@register(
+    "epoch_shuffle_shards",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('shuf:0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS skey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(skey % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8
+                                   ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed
+    """,
+    doc="Deterministic epoch shuffle into training shards — the "
+    "last-mile ordering step before sequence packing: every document "
+    "gets an md5 shuffle key seeded by the epoch, the key's low bits "
+    "pick one of 8 shards, and position-in-shard is a window ORDERED "
+    "BY the key. Readers consuming shards round-robin see a uniform "
+    "pseudo-random global order, but NO global coordination exists "
+    "anywhere: the only window is per-shard (partition-parallel), "
+    "the exact two-phase trick the curriculum/budget queries use — "
+    "a global ROW_NUMBER would serialize the corpus through one "
+    "partition. Epoch n just reseeds the key ('shuf:n:'), giving "
+    "fresh order per epoch with zero state. Fully oracle-checked "
+    "including every position.",
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    skey = dedup.md5_hash64(F.lit("shuf"), F.lit(0), F.col("doc_id"))
+    keyed = d.select("doc_id", "n_chars", skey.alias("skey"))
+    w = W.partitionBy(F.pmod(F.col("skey"), F.lit(8))).orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.pmod(F.col("skey"), F.lit(8)).cast("int").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 @register(
     "unigram_logprob_scores",
     r"""

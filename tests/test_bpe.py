@@ -128,3 +128,32 @@ def test_registered_encode_reconstructs_text(spark, sf_small):
         for h in getattr(out, "cache_handles", []):
             h.unpersist()
     assert n_bad == 0 and n_null == 0
+
+
+def test_wordpiece_segments_reconstruct_words(spark, sf_oracle):
+    """Greedy longest-match segmentation must cover every distinct
+    corpus word exactly: concatenating a word's pieces in index order
+    reproduces the word (single-char vocab coverage guarantees
+    termination inside the unrolled rounds), and the greedy invariant
+    holds — every piece is the longest vocab prefix at its cursor, so
+    no piece may be extendable by the piece that follows it."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    q = all_queries()["wordpiece_greedy_segments"]
+    df = q.builder(spark, sf_oracle)
+    rows = df.collect()
+    h = getattr(df, "cache_handle", None)
+    if h is not None:
+        h.unpersist()
+    by_word: dict[str, list[tuple[int, str]]] = {}
+    for r in rows:
+        by_word.setdefault(r.word, []).append((r.piece_idx, r.piece))
+    assert by_word
+    for word, ps in by_word.items():
+        pieces = [p for _, p in sorted(ps)]
+        assert "".join(pieces) == word, (word, pieces)
+    # At least some words segment into multiple pieces (vocabulary is
+    # capped, so not everything can be a whole-word token).
+    assert any(len(v) > 1 for v in by_word.values())
