@@ -339,6 +339,94 @@ def write_zorder_layout(
     laid.drop("_z").write.mode("overwrite").parquet(path)
 
 
+def publish_curated(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    manifest_name: str = "_manifest.json",
+) -> dict:
+    """The pipeline's last mile: publish a curated dataset as Parquet
+    plus a machine-readable manifest — row count, per-file sizes,
+    schema, and a deterministic content fingerprint (xor of per-row
+    xxhash64 over all columns: order- and partitioning-invariant, so
+    re-publishing the same rows from any cluster layout yields the
+    same fingerprint). Consumers (trainers, auditors) can verify a
+    delivery without re-reading the data; the fingerprint recomputes
+    with one map-side pass + a scalar aggregate at any scale.
+
+    Returns the manifest dict (also written to ``path/_manifest.json``).
+    """
+    import json
+    import os
+
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+    written = df.sparkSession.read.parquet(path)
+    fp_rows = written.select(
+        F.xxhash64(*[F.col(c).cast("string") for c in sorted(written.columns)]).alias(
+            "h"
+        )
+    )
+    agg = fp_rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        # BIT_XOR is order/partitioning-invariant; sum would be too
+        # but xor also cancels accidental double-writes of a full
+        # duplicate batch into a visible fingerprint change.
+        F.expr("bit_xor(h)").alias("fp"),
+    ).first()
+    files = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                files.append(
+                    {
+                        "file": os.path.relpath(p, path),
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+    manifest = {
+        "rows": int(agg["n"]),
+        "content_fingerprint": int(agg["fp"]) if agg["fp"] is not None else 0,
+        "schema": written.schema.jsonValue(),
+        "files": sorted(files, key=lambda f: f["file"]),
+        "partition_by": partition_by or [],
+    }
+    with open(os.path.join(path, manifest_name), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def verify_published(spark, path: str, manifest_name: str = "_manifest.json") -> bool:
+    """Re-derive the manifest's row count and content fingerprint from
+    the published files and compare — the consumer-side delivery
+    check. Raises AssertionError with the mismatching field."""
+    import json
+    import os
+
+    with open(os.path.join(path, manifest_name)) as fh:
+        manifest = json.load(fh)
+    df = spark.read.parquet(path)
+    agg = (
+        df.select(
+            F.xxhash64(
+                *[F.col(c).cast("string") for c in sorted(df.columns)]
+            ).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("fp"))
+        .first()
+    )
+    assert int(agg["n"]) == manifest["rows"], (
+        f"row count drifted: {agg['n']} != {manifest['rows']}"
+    )
+    got_fp = int(agg["fp"]) if agg["fp"] is not None else 0
+    assert got_fp == manifest["content_fingerprint"], "content fingerprint drifted"
+    return True
+
+
 def box_pruning_stats(
     path: str, preds: list[tuple[str, int, int]]
 ) -> tuple[int, int]:

@@ -330,3 +330,45 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     sy, _ = files_touched(xpath, "y", 0, 63)
     assert sx <= max(2, stotal // 8)  # single-key layout: near-perfect on x
     assert sy >= stotal - 1, "y unexpectedly pruned in x-sorted layout"
+
+
+def test_publish_curated_manifest_roundtrip(spark, tmp_path):
+    """publish_curated writes data + manifest; verify_published
+    re-derives rows and the content fingerprint from the files. The
+    fingerprint must be partitioning-invariant (same rows, different
+    layout -> same fingerprint) and sensitive to a changed row."""
+    df = spark.range(0, 5_000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+    )
+    p1 = str(tmp_path / "pub1")
+    m1 = ingest.publish_curated(df, p1)
+    assert m1["rows"] == 5_000 and m1["files"]
+    assert ingest.verify_published(spark, p1)
+
+    # Same rows, different partitioning/layout -> identical fingerprint.
+    p2 = str(tmp_path / "pub2")
+    m2 = ingest.publish_curated(df.repartition(13), p2, partition_by=["grp"])
+    assert m2["content_fingerprint"] == m1["content_fingerprint"]
+    assert m2["rows"] == m1["rows"]
+
+    # A single changed row flips the fingerprint and fails verify.
+    p3 = str(tmp_path / "pub3")
+    tampered = df.withColumn(
+        "text", F.when(F.col("id") == 42, F.lit("TAMPERED")).otherwise(F.col("text"))
+    )
+    m3 = ingest.publish_curated(tampered, p3)
+    assert m3["content_fingerprint"] != m1["content_fingerprint"]
+    import json
+    import os
+
+    mpath = os.path.join(p3, "_manifest.json")
+    doctored = json.load(open(mpath))
+    doctored["content_fingerprint"] = m1["content_fingerprint"]
+    json.dump(doctored, open(mpath, "w"))
+    try:
+        ingest.verify_published(spark, p3)
+        raise RuntimeError("verify_published accepted a tampered delivery")
+    except AssertionError:
+        pass
