@@ -103,6 +103,7 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect populates the registry.
     from . import (  # noqa: F401
         advanced,
+        analytics,
         clustering,
         composed,
         corpus_ops,
