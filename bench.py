@@ -114,6 +114,17 @@ HEADLINE = [
     "similarity_pagerank",      # PageRank over the near-dup graph
     "gopher_quality_flags",     # Gopher rule battery (map-only)
     "ivf_residual_pq_topk",     # residual IVF-PQ (FAISS formulation)
+    "wordpiece_greedy_segments",  # WordPiece longest-match encode
+    "epoch_shuffle_shards",     # deterministic epoch shuffle-to-shards
+    # Round-8 second half:
+    "funnel_conversion",        # ordered-funnel over events
+    "cohort_retention",         # weekly cohort retention
+    "scd2_priority_history",    # SCD2 gaps-and-islands build
+    "orders_lineitem_reconcile",  # full-outer reconciliation audit
+    "hll_distinct_md5",         # HyperLogLog, oracle-recomputed registers
+    "cms_heavy_hitters",        # Count-Min sketch point queries
+    "dsir_select",              # DSIR importance selection
+    "kneser_ney_bigram_scores", # interpolated KN bigram LM scoring
 ]
 
 

@@ -107,9 +107,11 @@ def all_queries() -> dict[str, Query]:
         clustering,
         composed,
         corpus_ops,
+        datasel,
         llm_pipeline,
         relational,
         retrieval,
+        sketches,
         streaming_shapes,
     )
 
