@@ -135,6 +135,11 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 1024
         ).alias("bucket"),
     )
+    # Four consumers (target counts, raw counts, bucket grid, scorer)
+    # would each re-run the tokenize+window pass; persist the compact
+    # (doc_id, lang, bucket) frame once. Released by the bench/driver
+    # adapters via cache_handles.
+    bg = bg.persist()
     tgt = bg.filter(F.col("lang") == "en").groupBy("bucket").agg(
         F.count(F.lit(1)).alias("tc")
     )
@@ -173,7 +178,9 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("llr"), 4).alias("logw"),
         )
     )
-    return scored.orderBy(F.desc("logw"), "doc_id").limit(100)
+    out = scored.orderBy(F.desc("logw"), "doc_id").limit(100)
+    out.cache_handles = [bg]
+    return out
 
 
 @register(
@@ -238,7 +245,11 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("text")) != ""
     )
     bg = _doc_bigrams(d).select("doc_id", "w1", "w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    # c2 has four consumers (left/right stats, the total, the model
+    # join); persist the model-sized pair frame, not the corpus-sized
+    # bg (same trade the add-1 twin makes — at 100 TB the pair frame
+    # is vocabulary-bounded, bg is corpus-bounded).
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
     left_stats = c2.groupBy("w1").agg(
         F.sum("n2").alias("n1"), F.count(F.lit(1)).alias("n1f")
     )
@@ -262,7 +273,7 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logp"),
         )
     )
-    return (
+    out = (
         bg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
@@ -270,3 +281,5 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg("logp"), 4).alias("kn_neg_logp"),
         )
     )
+    out.cache_handles = [c2]
+    return out

@@ -44,6 +44,11 @@ def plan_of(spark, sf_oracle, name: str) -> str:
         # Round-7 additions: rank stages are heaps, not global sorts.
         ("pmi_collocations", r"TakeOrderedAndProject"),
         ("priority_weighted_sample", r"TakeOrderedAndProject"),
+        # Round-8b additions: top-n selections stay heaps; the DSIR
+        # scorer joins the 1,024-row ratio table by broadcast.
+        ("dsir_select", r"TakeOrderedAndProject"),
+        ("dsir_select", r"BroadcastHashJoin"),
+        ("cms_heavy_hitters", r"TakeOrderedAndProject"),
     ],
 )
 def test_plan_shape(spark, sf_oracle, name, pattern):
@@ -450,3 +455,15 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_and_scd2_single_exchange(spark, sf_oracle):
+    """The funnel's three window passes + per-user collapse and the
+    SCD2 build's lag-filter + three post-collapse windows must all
+    reuse ONE hash exchange on their natural key — adding analysis
+    stages must not add shuffles."""
+    import re
+
+    for name in ("funnel_conversion", "scd2_priority_history"):
+        plan = plan_of(spark, sf_oracle, name)
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, name
