@@ -125,6 +125,9 @@ HEADLINE = [
     "cms_heavy_hitters",        # Count-Min sketch point queries
     "dsir_select",              # DSIR importance selection
     "kneser_ney_bigram_scores", # interpolated KN bigram LM scoring
+    "hybrid_rrf_topk",          # BM25 + QL reciprocal-rank fusion
+    "rolling_distinct_users",   # trailing-7d WAU via contribution explode
+    "basket_part_affinity",     # co-occurrence support/lift pairs
 ]
 
 

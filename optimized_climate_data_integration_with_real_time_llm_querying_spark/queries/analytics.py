@@ -372,3 +372,145 @@ def doc_length_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.percent_rank().over(ord_w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(ord_w), 6).alias("cume_dist"),
     )
+
+
+@register(
+    "rolling_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    ), contrib AS (
+      SELECT du.user_id, du.day + CAST(i AS INT) AS target_day
+      FROM du, (SELECT unnest(range(0, 7)) AS i)
+    )
+    SELECT d.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau_7d
+    FROM days d JOIN contrib c ON c.target_day = d.day
+    GROUP BY d.day
+    """,
+    doc="Trailing 7-day distinct active users per day (the 'WAU "
+    "curve'). COUNT(DISTINCT) over a sliding RANGE window has no "
+    "scalable direct form (Spark forbids distinct aggregates over "
+    "windows outright; a naive per-day self-join rescans 7x); the "
+    "scale formulation used here is contribution-explosion: each "
+    "(user, active-day) pair is exploded into the 7 target days it "
+    "contributes to, then one plain two-phase count-distinct per "
+    "target day. Input to the explode is the already-deduped "
+    "(user, day) frame — 7x THAT, not 7x the raw event stream. Days "
+    "with zero activity don't appear (semi-join against observed "
+    "days keeps the domain honest). At 100 TB: dedup shuffles "
+    "(user, day) pairs once, the explode is map-side, and the final "
+    "distinct-count is the standard two-phase Spark plan.",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    du = e.dropDuplicates(["user_id", "day"])
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("i")).alias("target_day"))
+    return (
+        contrib.join(
+            F.broadcast(days), contrib.target_day == days.day
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+
+
+@register(
+    "basket_part_affinity",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pc AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM op GROUP BY l_partkey
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM op
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           ROUND(CAST(p.n_ab AS DOUBLE) * n.n_baskets
+                 / (ca.n_orders * cb.n_orders), 4) AS lift
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY p.n_ab DESC, lift DESC, p.part_a, p.part_b
+    LIMIT 25
+    """,
+    doc="Market-basket affinity over order contents: co-occurrence "
+    "counts and lift = N*c(a,b)/(c(a)*c(b)) for part pairs appearing "
+    "together in >= 2 orders, top-25 by (support, lift, keys). The "
+    "association-rule-mining counting core (the support/lift half of "
+    "Apriori) as one relational plan. Scale: the pair generation is "
+    "a self-equi-join WITHIN order keys, so pair volume is "
+    "sum-over-orders of lines^2 (bounded by basket size, ~4 here — "
+    "never corpus-quadratic; the same bounded-blocking argument as "
+    "SemDeDup's within-cluster pairs); the a<b guard halves it and "
+    "kills self-pairs; per-part counts broadcast back onto the "
+    "surviving pairs; top-k is a heap.",
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            pc.withColumnRenamed("l_partkey", "part_a").withColumnRenamed(
+                "n_orders", "ca"
+            ),
+            "part_a",
+        )
+        .join(
+            pc.withColumnRenamed("l_partkey", "part_b").withColumnRenamed(
+                "n_orders", "cb"
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("ca") * F.col("cb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), F.desc("lift"), "part_a", "part_b")
+        .limit(25)
+    )

@@ -283,3 +283,125 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.cache_handles = [c2]
     return out
+
+
+def _lr_oracle() -> str:
+    """Unrolled 8-iteration full-batch GD oracle for the logistic
+    quality classifier. Generated (not hand-written) so the Spark
+    loop and the SQL chain stay structurally identical; chained CTEs
+    are MATERIALIZED per oracle-hygiene rule 9."""
+    dims = ["x0", "x1", "x2", "x3"]
+    sql = [
+        r"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), feats AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(lang = 'en' AS INT) AS y,
+             1.0 AS x0,
+             ROUND(n_chars / 500.0, 6) AS x1,
+             ROUND(len(t) / 100.0, 6) AS x2,
+             ROUND(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS x3
+      FROM tk
+    ), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    for t in range(8):
+        dot = " + ".join(f"w.w{j} * f.{d}" for j, d in enumerate(dims))
+        grads = ", ".join(
+            f"ROUND(AVG(f.{d} * (1.0 / (1.0 + EXP(-({dot}))) - f.y)), 6)"
+            f" AS g{j}"
+            for j, d in enumerate(dims)
+        )
+        # no ROUND on the update: 0.5*g halves a 6-dp-grid double
+        # (exact) and the subtraction is correctly-rounded IEEE, so
+        # the weights stay bit-identical across engines; re-rounding
+        # would LAND half the updates exactly on .5e-6 boundaries
+        # where engine rounding modes disagree (observed 2/500 flip)
+        ws = ", ".join(
+            f"w.w{j} - 0.5 * g.g{j} AS w{j}" for j in range(len(dims))
+        )
+        sql.append(
+            f", g{t + 1} AS MATERIALIZED (SELECT {grads} FROM feats f, w{t} w)"
+        )
+        sql.append(
+            f", w{t + 1} AS MATERIALIZED (SELECT {ws} FROM w{t} w, g{t + 1} g)"
+        )
+    dot8 = " + ".join(f"w.w{j} * f.{d}" for j, d in enumerate(dims))
+    sql.append(
+        f"""
+    SELECT f.doc_id, f.y,
+           ROUND(1.0 / (1.0 + EXP(-({dot8}))), 4) AS p_en,
+           CAST(1.0 / (1.0 + EXP(-({dot8}))) >= 0.5 AS INT) AS pred
+    FROM feats f, w8 w
+    """
+    )
+    return "".join(sql)
+
+
+@register(
+    "quality_classifier_train",
+    _lr_oracle(),
+    doc="A fastText/LR-style quality classifier trained IN the engine "
+    "by full-batch gradient descent — the published pretraining-data "
+    "filter design (GPT-3's WebText-vs-CommonCrawl LR filter, Brown "
+    "et al. 2020 App. A; CCNet's fastText stage): features are "
+    "cheap per-doc stats (char count and token count scaled into [0,1] so lr=0.5 sits safely under the 2/L descent bound, type-token "
+    "ratio, bias), target is the lang='en' indicator, 8 Lloyd-style "
+    "iterations of w -= 0.5 * mean(x * (sigmoid(w.x) - y)). "
+    "Determinism contract (the kmeans/BPE precedent): features and "
+    "every gradient component are rounded to 6 dp each iteration; "
+    "the weight update itself stays UNrounded — halving a 6-dp-grid "
+    "double and subtracting are exact/correctly-rounded IEEE ops, so "
+    "weights are bit-identical across engines, whereas re-rounding "
+    "would land half the updates exactly on .5e-6 boundaries where "
+    "engine rounding modes disagree (observed 2/500 flips). The "
+    "whole trajectory is thereby pinned and "
+    "the DuckDB oracle replays it as 8 generated MATERIALIZED-CTE "
+    "rounds (the oracle SQL is GENERATED by the same loop shape the "
+    "engine runs — they cannot drift apart). Per iteration the "
+    "cluster does one map-side-combined aggregate producing FOUR "
+    "scalars; only those cross to the driver (the MLlib iteration "
+    "shape — at 100 TB each epoch is one pass, driver traffic is "
+    "4 doubles). Scoring is a stateless map over the persisted "
+    "feature frame. tests/test_sketches.py asserts the training "
+    "loss actually decreases over the 8 rounds.",
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.trim(F.col("text")) != ""
+    )
+    t = tokens("text")
+    feats = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(F.col("n_chars") / 500.0, 6).alias("x1"),
+        F.round(F.size(t) / 100.0, 6).alias("x2"),
+        F.round(
+            F.size(F.array_distinct(t)) / F.size(t).cast("double"), 6
+        ).alias("x3"),
+    ).persist()
+    dims = ["x0", "x1", "x2", "x3"]
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(8):
+        margin = sum(F.col(dim) * F.lit(wj) for dim, wj in zip(dims, w))
+        err = 1.0 / (1.0 + F.exp(-margin)) - F.col("y")
+        grad_row = feats.agg(
+            *[
+                F.round(F.avg(F.col(dim) * err), 6).alias(f"g{j}")
+                for j, dim in enumerate(dims)
+            ]
+        ).collect()[0]
+        w = [wj - 0.5 * grad_row[f"g{j}"] for j, wj in enumerate(w)]
+    margin8 = sum(F.col(dim) * F.lit(wj) for dim, wj in zip(dims, w))
+    p = 1.0 / (1.0 + F.exp(-margin8))
+    out = feats.select(
+        "doc_id",
+        "y",
+        F.round(p, 4).alias("p_en"),
+        (p >= 0.5).cast("int").alias("pred"),
+    )
+    out.cache_handles = [feats]
+    return out

@@ -155,3 +155,142 @@ def contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hit_rate"),
         )
     )
+
+
+@register(
+    "hybrid_rrf_topk",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks
+    ), ctf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS ctf
+      FROM toks WHERE token IN ({_TERMS_SQL}) GROUP BY token
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({_TERMS_SQL})
+      GROUP BY doc_id, token
+    ), cand AS (
+      SELECT DISTINCT doc_id FROM tf
+    ), bm25 AS (
+      SELECT t.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5))
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ), 4) AS bm25
+      FROM tf t
+      JOIN (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfc
+            FROM toks WHERE token IN ({_TERMS_SQL}) GROUP BY token) d
+        ON t.token = d.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ), ql AS (
+      SELECT c.doc_id,
+             ROUND(SUM(
+               ln((COALESCE(tf.tf, 0) + 100.0 * ctf.ctf / co.n_tok)
+                  / (l.dl + 100.0))
+             ), 4) AS ql
+      FROM cand c
+      CROSS JOIN ctf
+      LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.token = ctf.token
+      JOIN dl l ON l.doc_id = c.doc_id
+      CROSS JOIN corpus co
+      GROUP BY c.doc_id
+    ), ranked AS (
+      SELECT b.doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY b.bm25 DESC, b.doc_id)
+                  AS INT) AS rank_bm25,
+             CAST(ROW_NUMBER() OVER (ORDER BY q.ql DESC, q.doc_id)
+                  AS INT) AS rank_ql
+      FROM bm25 b JOIN ql q ON q.doc_id = b.doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_ql,
+           ROUND(1.0 / (60 + rank_bm25) + 1.0 / (60 + rank_ql), 6)
+             AS rrf_score
+    FROM ranked
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "2009, k=60): fuse BM25 (the lexical ranker the registry already "
+    "exposes standalone) with a Dirichlet-smoothed query-likelihood "
+    "model (Zhai & Lafferty 2001, mu=100) — two genuinely different "
+    "published rankers — by summing 1/(60+rank) over both rankings "
+    "for the shared candidate set (docs matching >= 1 query term). "
+    "Scores are rounded to 4 dp BEFORE ranking with a doc_id "
+    "tie-break, so ranks (and therefore the fusion) are "
+    "FP-order-independent. RRF is what production hybrid search "
+    "(lexical + vector) ships, expressed here entirely relationally: "
+    "two scoring aggregates over the same tf/dl frames, two "
+    "rank windows over the query-bounded candidate set (never the "
+    "corpus), one fuse join, one top-k heap.",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    qt = toks.filter(F.col("token").isin(BM25_TERMS))
+    ctf = qt.groupBy("token").agg(F.count(F.lit(1)).alias("ctf"))
+    tf = qt.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    cand = tf.select("doc_id").distinct()
+    bm25 = bm25_scores(d, BM25_TERMS)
+    ql = (
+        cand.crossJoin(F.broadcast(ctf))
+        .join(tf, ["doc_id", "token"], "left")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_tok))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (
+                            F.coalesce(F.col("tf"), F.lit(0))
+                            + 100.0 * F.col("ctf") / F.col("n_tok")
+                        )
+                        / (F.col("dl") + 100.0)
+                    )
+                ),
+                4,
+            ).alias("ql")
+        )
+    )
+    ranked = bm25.join(ql, "doc_id").select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("int")
+        .alias("rank_bm25"),
+        F.row_number()
+        .over(W.orderBy(F.desc("ql"), "doc_id"))
+        .cast("int")
+        .alias("rank_ql"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "rank_bm25",
+            "rank_ql",
+            F.round(
+                1.0 / (60 + F.col("rank_bm25")) + 1.0 / (60 + F.col("rank_ql")),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(20)
+    )

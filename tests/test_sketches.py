@@ -103,3 +103,30 @@ def test_kneser_ney_is_a_proper_distribution():
     assert rows
     for w1, total_p in rows:
         assert abs(total_p - 1.0) < 1e-9, (w1, total_p)
+
+
+def test_quality_classifier_loss_decreases():
+    """Full-batch GD on the (convex) logistic loss with lr=0.5 over
+    scaled features must reduce training loss vs the zero-weight
+    start (whose loss is exactly ln 2). Replays the generated oracle
+    in DuckDB and compares mean log-loss at w0 vs w8."""
+    import duckdb
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        datasel,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW documents AS
+            SELECT * FROM read_parquet('{SF_ORACLE}/documents.parquet')"""
+    )
+    rows = con.execute(datasel._lr_oracle()).fetchall()
+    assert rows
+    eps = 1e-12
+    loss8 = -sum(
+        math.log(max(p, eps)) if y == 1 else math.log(max(1 - p, eps))
+        for (_, y, p, _pred) in rows
+    ) / len(rows)
+    loss0 = math.log(2.0)
+    assert loss8 < loss0, (loss8, loss0)
