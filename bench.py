@@ -128,6 +128,10 @@ HEADLINE = [
     "hybrid_rrf_topk",          # BM25 + QL reciprocal-rank fusion
     "rolling_distinct_users",   # trailing-7d WAU via contribution explode
     "basket_part_affinity",     # co-occurrence support/lift pairs
+    "quality_classifier_train", # 8-round GD logistic quality filter
+    "classifier_calibration",   # reliability-diagram bins
+    "doremi_domain_weights",    # DoReMi softmax domain mixing
+    "hard_negative_mining",     # per-anchor top-5 cross-label cosines
 ]
 
 

@@ -285,12 +285,16 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _lr_oracle() -> str:
-    """Unrolled 8-iteration full-batch GD oracle for the logistic
-    quality classifier. Generated (not hand-written) so the Spark
-    loop and the SQL chain stay structurally identical; chained CTEs
-    are MATERIALIZED per oracle-hygiene rule 9."""
-    dims = ["x0", "x1", "x2", "x3"]
+_LR_DIMS = ["x0", "x1", "x2", "x3"]
+
+
+def _lr_oracle_prefix() -> str:
+    """The shared unrolled 8-iteration full-batch GD chain (feature
+    CTEs + w0..w8). Generated (not hand-written) so the Spark loop
+    and the SQL chain stay structurally identical; chained CTEs are
+    MATERIALIZED per oracle-hygiene rule 9. Tails that SELECT from
+    (feats, w8) are appended by the individual oracles."""
+    dims = _LR_DIMS
     sql = [
         r"""
     WITH tk AS MATERIALIZED (
@@ -328,16 +332,40 @@ def _lr_oracle() -> str:
         sql.append(
             f", w{t + 1} AS MATERIALIZED (SELECT {ws} FROM w{t} w, g{t + 1} g)"
         )
-    dot8 = " + ".join(f"w.w{j} * f.{d}" for j, d in enumerate(dims))
-    sql.append(
-        f"""
+    return "".join(sql)
+
+
+def _lr_dot8() -> str:
+    return " + ".join(f"w.w{j} * f.{d}" for j, d in enumerate(_LR_DIMS))
+
+
+def _lr_oracle() -> str:
+    return (
+        _lr_oracle_prefix()
+        + f"""
     SELECT f.doc_id, f.y,
-           ROUND(1.0 / (1.0 + EXP(-({dot8}))), 4) AS p_en,
-           CAST(1.0 / (1.0 + EXP(-({dot8}))) >= 0.5 AS INT) AS pred
+           ROUND(1.0 / (1.0 + EXP(-({_lr_dot8()}))), 4) AS p_en,
+           CAST(1.0 / (1.0 + EXP(-({_lr_dot8()}))) >= 0.5 AS INT) AS pred
     FROM feats f, w8 w
     """
     )
-    return "".join(sql)
+
+
+def _lr_calibration_oracle() -> str:
+    return (
+        _lr_oracle_prefix()
+        + f"""
+    , scored AS (
+      SELECT f.y, ROUND(1.0 / (1.0 + EXP(-({_lr_dot8()}))), 4) AS p
+      FROM feats f, w8 w
+    )
+    SELECT CAST(LEAST(FLOOR(p * 200), 199) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p), 4) AS mean_p,
+           ROUND(AVG(CAST(y AS DOUBLE)), 4) + 0.0 AS frac_pos
+    FROM scored GROUP BY bin
+    """
+    )
 
 
 @register(
@@ -369,6 +397,23 @@ def _lr_oracle() -> str:
     "loss actually decreases over the 8 rounds.",
 )
 def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, w = _train_lr(spark, sf_dir)
+    margin8 = sum(F.col(dim) * F.lit(wj) for dim, wj in zip(_LR_DIMS, w))
+    p = 1.0 / (1.0 + F.exp(-margin8))
+    out = feats.select(
+        "doc_id",
+        "y",
+        F.round(p, 4).alias("p_en"),
+        (p >= 0.5).cast("int").alias("pred"),
+    )
+    out.cache_handles = [feats]
+    return out
+
+
+def _train_lr(spark: SparkSession, sf_dir: str):
+    """Shared training loop: persisted feature frame + the 8-round
+    GD trajectory. Returns (feats, final_weights); the CALLER owns
+    releasing feats (attach it as a cache_handle)."""
     d = load_table(spark, sf_dir, "documents", rebalance=True).filter(
         F.trim(F.col("text")) != ""
     )
@@ -383,25 +428,268 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(t)) / F.size(t).cast("double"), 6
         ).alias("x3"),
     ).persist()
-    dims = ["x0", "x1", "x2", "x3"]
     w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(8):
-        margin = sum(F.col(dim) * F.lit(wj) for dim, wj in zip(dims, w))
-        err = 1.0 / (1.0 + F.exp(-margin)) - F.col("y")
-        grad_row = feats.agg(
-            *[
-                F.round(F.avg(F.col(dim) * err), 6).alias(f"g{j}")
-                for j, dim in enumerate(dims)
-            ]
-        ).collect()[0]
-        w = [wj - 0.5 * grad_row[f"g{j}"] for j, wj in enumerate(w)]
-    margin8 = sum(F.col(dim) * F.lit(wj) for dim, wj in zip(dims, w))
-    p = 1.0 / (1.0 + F.exp(-margin8))
-    out = feats.select(
-        "doc_id",
-        "y",
-        F.round(p, 4).alias("p_en"),
-        (p >= 0.5).cast("int").alias("pred"),
+    try:
+        for _ in range(8):
+            margin = sum(F.col(dim) * F.lit(wj) for dim, wj in zip(_LR_DIMS, w))
+            err = 1.0 / (1.0 + F.exp(-margin)) - F.col("y")
+            grad_row = feats.agg(
+                *[
+                    F.round(F.avg(F.col(dim) * err), 6).alias(f"g{j}")
+                    for j, dim in enumerate(_LR_DIMS)
+                ]
+            ).collect()[0]
+            w = [wj - 0.5 * grad_row[f"g{j}"] for j, wj in enumerate(w)]
+    except BaseException:
+        feats.unpersist()
+        raise
+    return feats, w
+
+
+@register(
+    "classifier_calibration",
+    _lr_calibration_oracle(),
+    doc="Reliability-diagram bins for the GD-trained quality "
+    "classifier: predicted probabilities bucketed into 0.005-wide "
+    "bins (floor(200p), top bin closed — decile bins would "
+    "collapse to one row here because weak synthetic features "
+    "keep p near the 0.436 base rate), with per-bin count, mean "
+    "prediction, and observed positive rate — the calibration table "
+    "every deployed data-filter classifier ships with (a filter "
+    "thresholded at p>=0.5 is only meaningful if p is calibrated). "
+    "Shares the exact training trajectory with "
+    "quality_classifier_train via the same generated CTE prefix "
+    "(engine: the same _train_lr loop), so the two queries cannot "
+    "disagree about the model. Binning happens on the 4-dp-rounded p "
+    "both engines already agree on; the bin aggregate is a 10-row "
+    "output regardless of corpus size.",
+)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, w = _train_lr(spark, sf_dir)
+    margin8 = sum(F.col(dim) * F.lit(wj) for dim, wj in zip(_LR_DIMS, w))
+    p = F.round(1.0 / (1.0 + F.exp(-margin8)), 4)
+    out = (
+        feats.select("y", p.alias("p"))
+        .groupBy(
+            F.least(F.floor(F.col("p") * 200), F.lit(199))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p"), 4).alias("mean_p"),
+            (F.round(F.avg(F.col("y").cast("double")), 4) + F.lit(0.0)).alias(
+                "frac_pos"
+            ),
+        )
     )
     out.cache_handles = [feats]
     return out
+
+
+@register(
+    "doremi_domain_weights",
+    r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, t, unnest(range(1, len(t) + 1)) AS i
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE trim(text) <> '')
+    ), tk AS MATERIALIZED (
+      SELECT doc_id, source, i, t[i] AS token FROM toks
+    ), bg AS MATERIALIZED (
+      SELECT doc_id, source, w1, w2 FROM (
+        SELECT doc_id, source, token AS w1,
+               LEAD(token) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM tk
+      ) WHERE w2 IS NOT NULL
+    ), uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY token),
+    un AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tk),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bg GROUP BY w1),
+    nll_u AS (
+      SELECT tk.source, -AVG(LN((uc.c + 1.0) / (un.n + un.v))) AS nll_uni
+      FROM tk JOIN uc ON uc.token = tk.token CROSS JOIN un
+      GROUP BY tk.source
+    ), nll_b AS (
+      SELECT bg.source, -AVG(LN((c2.n2 + 1.0) / (c1.n1 + un.v))) AS nll_bi
+      FROM bg JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+      JOIN c1 ON c1.w1 = bg.w1 CROSS JOIN un
+      GROUP BY bg.source
+    ), nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE trim(text) <> '' GROUP BY source
+    ), ex AS (
+      SELECT u.source, nd.n_docs,
+             ROUND(u.nll_uni, 4) AS nll_uni,
+             ROUND(b.nll_bi, 4) AS nll_bi,
+             ROUND(GREATEST(u.nll_uni - b.nll_bi, 0), 6) AS excess
+      FROM nll_u u
+      JOIN nll_b b ON b.source = u.source
+      JOIN nd ON nd.source = u.source
+    ), z AS (
+      SELECT SUM(EXP(1.0 * excess)) AS zsum,
+             CAST(COUNT(*) AS BIGINT) AS k FROM ex
+    )
+    SELECT ex.source, ex.n_docs, ex.nll_uni, ex.nll_bi, ex.excess,
+           ROUND(0.9 * EXP(1.0 * ex.excess) / z.zsum + 0.1 / z.k, 6)
+             AS weight
+    FROM ex CROSS JOIN z
+    """,
+    doc="DoReMi-style domain reweighting (Xie et al. 2023, 'Doremi: "
+    "Optimizing Data Mixtures', simplified to one exponentiated-"
+    "gradient step over STATIC excess losses — with a fixed proxy "
+    "the EG recursion has the closed softmax form, so the unrolled "
+    "rounds would be theater): per-source excess loss = mean add-1 "
+    "unigram NLL minus mean add-1 bigram NLL, clipped at 0 (domains "
+    "where the stronger model helps most have the most learnable "
+    "structure and get upweighted), then weight = 0.9 * "
+    "softmax(excess) + 0.1/K uniform smoothing — DoReMi's mixing "
+    "rule. Everything is per-(source) aggregates over the shared "
+    "token/bigram model frames; the softmax runs over K=#sources "
+    "rows. At 100 TB the models shuffle token/pair keys once and "
+    "the domain table is K rows — this is the op that decides how "
+    "much of each crawl source the training mix takes.",
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = d.select(
+        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            "doc_id",
+            "source",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .persist()
+    )
+    tk = tok.persist()
+    uc = tk.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    un = tk.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("token").alias("v")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    nll_u = (
+        tk.join(F.broadcast(uc), "token")
+        .crossJoin(F.broadcast(un))
+        .groupBy("source")
+        .agg(
+            (-F.avg(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))))).alias(
+                "nll_uni_raw"
+            )
+        )
+    )
+    nll_b = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(un))
+        .groupBy("source")
+        .agg(
+            (
+                -F.avg(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v"))))
+            ).alias("nll_bi_raw")
+        )
+    )
+    nd = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    ex = (
+        nll_u.join(nll_b, "source")
+        .join(nd, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round("nll_uni_raw", 4).alias("nll_uni"),
+            F.round("nll_bi_raw", 4).alias("nll_bi"),
+            F.round(
+                F.greatest(
+                    F.col("nll_uni_raw") - F.col("nll_bi_raw"), F.lit(0.0)
+                ),
+                6,
+            ).alias("excess"),
+        )
+    )
+    z = ex.agg(
+        F.sum(F.exp(1.0 * F.col("excess"))).alias("zsum"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    out = ex.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "nll_uni",
+        "nll_bi",
+        "excess",
+        F.round(
+            0.9 * F.exp(1.0 * F.col("excess")) / F.col("zsum")
+            + 0.1 / F.col("k"),
+            6,
+        ).alias("weight"),
+    )
+    out.cache_handles = [bg, tk]
+    return out
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS q_vec
+      FROM embeddings WHERE vec_id < 20
+    ), s AS (
+      SELECT q.q_id, e.vec_id AS neg_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.q_vec AS DOUBLE[])), 6)
+               AS cosine_sim
+      FROM embeddings e JOIN q ON e.label <> q.q_label
+    )
+    SELECT q_id, neg_id, cosine_sim, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine_sim DESC, neg_id
+      ) AS rnk FROM s
+    )
+    WHERE rnk <= 5
+    """,
+    doc="Hard-negative mining for contrastive/embedding training "
+    "(the ANCE/Contriever recipe): for each anchor in a 20-vector "
+    "query batch, the top-5 highest-cosine vectors with a DIFFERENT "
+    "label — maximally confusing negatives, the ones that actually "
+    "move a contrastive loss. Engine: the batch joins the corpus as "
+    "a broadcast (batch x corpus pair stream, linear in corpus per "
+    "batch), cosines run through the codegen'd posexplode path (no "
+    "interpreted HOF lambdas), and the per-anchor cut is a "
+    "rank-window over each anchor's partition. At 100 TB the exact "
+    "batch-vs-corpus sweep is what you run per training step on a "
+    "sharded corpus; the IVF/LSH candidate routes in this registry "
+    "are the sublinear variants when the batch is large.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import exploded_pairwise_cosine
+
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("vec_a"),
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            "vec_a",
+            F.col("embedding").alias("vec_b"),
+        )
+    )
+    scored = exploded_pairwise_cosine(pairs, key_cols=("q_id", "neg_id"))
+    rw = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neg_id", "cosine_sim", "rank")
+    )
