@@ -17,6 +17,8 @@ optional only').
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -459,3 +461,72 @@ def box_pruning_stats(
     total = len(per_file)
     touched = sum(1 for hit in per_file.values() if hit)
     return touched, total
+
+
+def compact_small_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    preserve_order_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory so output
+    files are ~``target_bytes`` each.
+
+    The small-files problem is the dominant operational failure mode
+    of long-running ingest at 100 TB: streaming sinks and per-batch
+    jobs leave thousands of KB-sized files per partition, and every
+    downstream scan pays one task + one footer fetch + one open per
+    file (a 100k-file table can spend more time in scheduling than
+    IO). Compaction is the standing maintenance job (Delta OPTIMIZE /
+    Iceberg rewrite_data_files do exactly this); this is the plain-
+    parquet form.
+
+    Sizing: output file count = ceil(input_bytes / target_bytes),
+    measured from the actual on-disk input (compressed) so the target
+    tracks real file sizes, not in-memory estimates. The rewrite uses
+    ``coalesce`` when shrinking (a partition-merge NARROW dependency:
+    no shuffle, each output task reads whole input files) and falls
+    back to ``repartition`` only when the input has FEWER partitions
+    than requested (never the compaction direction). With
+    ``preserve_order_cols`` the rewrite instead range-partitions +
+    sorts on those columns — compaction and the sorted-layout sink
+    (write_sorted_layout) in one pass, so footer-pruning survives the
+    rewrite.
+
+    Returns {files_before, files_after, bytes_total} for the caller
+    to assert on; content equality is the test's job
+    (tests/test_compaction.py round-trips and diffs).
+    """
+    import glob
+    import math
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(in_path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    bytes_total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_total / target_bytes))
+    df = spark.read.parquet(in_path)
+    if preserve_order_cols:
+        (
+            df.repartitionByRange(n_out, *preserve_order_cols)
+            .sortWithinPartitions(*preserve_order_cols)
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+    else:
+        n_in = df.rdd.getNumPartitions()
+        out = df.coalesce(n_out) if n_in >= n_out else df.repartition(n_out)
+        out.write.mode("overwrite").parquet(out_path)
+    files_after = [
+        f
+        for f in glob.glob(os.path.join(out_path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(files_after),
+        "bytes_total": bytes_total,
+    }
