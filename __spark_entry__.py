@@ -34,6 +34,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries whose oracles were upgraded rows-only -> FULL this round,
 # and 29 of the 49 round-7 sit-outs.
 #
+# ROUND-9 WINDOW PLAN (write it down while it's true): the 30 new
+# round-8 queries sit mid-registry with zero driver rows — 13 from
+# the first half (pq_codes, pq_adc_topk, ivf_pq_topk,
+# ivf_residual_pq_topk, similarity_pagerank,
+# wordpiece_greedy_segments, epoch_shuffle_shards,
+# gopher_quality_flags, psi_source_drift, weighted_jaccard_top_pairs,
+# cdc_chunk_dedup, sensor_linear_interp, purchase_followup_counts)
+# and 17 from the second (funnel_conversion, cohort_retention,
+# scd2_priority_history, orders_lineitem_reconcile,
+# doc_length_distribution_ranks, hll_distinct_md5, cms_heavy_hitters,
+# dsir_select, kneser_ney_bigram_scores, hybrid_rrf_topk,
+# rolling_distinct_users, basket_part_affinity,
+# quality_classifier_train, classifier_calibration,
+# doremi_domain_weights, hard_negative_mining, plus this round's
+# oracle twins). They MUST lead the round-9 window, with the
+# 20-entry deferred tier (head of _DEMOTE) taking the remaining
+# slots as promised below. All 30 are green in the local parity
+# suite (tests/test_oracle_parity.py) every run in the meantime.
+#
 # CAPACITY NOTE (one-time bubble turned steady state): the registry
 # has outgrown the 2-round x 50-slot cadence — 118 entries > 100, so
 # 66+ entries are owed rows each round and 50 fit. 20 of the round-7
