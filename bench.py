@@ -132,6 +132,8 @@ HEADLINE = [
     "classifier_calibration",   # reliability-diagram bins
     "doremi_domain_weights",    # DoReMi softmax domain mixing
     "hard_negative_mining",     # per-anchor top-5 cross-label cosines
+    "entity_resolution_clusters",  # fuzzy pairs -> components -> survivorship
+    "longest_user_streaks",     # gaps-and-islands engagement streaks
 ]
 
 

@@ -514,3 +514,158 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), F.desc("lift"), "part_a", "part_b")
         .limit(25)
     )
+
+
+@register(
+    "entity_resolution_clusters",
+    """
+    WITH RECURSIVE n AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_name
+    ), p AS (
+      SELECT p_name, cnt,
+             string_split(p_name, ' ')[1]  AS w1,
+             string_split(p_name, ' ')[-1] AS w2
+      FROM n
+    ), pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM p a JOIN p b
+        ON (a.w1 = b.w1 OR a.w2 = b.w2) AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS (
+      SELECT name_a AS a, name_b AS b FROM pairs
+      UNION
+      SELECT name_b AS a, name_a AS b FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+      SELECT a AS p_name, LEAST(a, MIN(b)) AS canonical FROM reach GROUP BY a
+    ), assigned AS (
+      SELECT n.p_name, n.cnt, COALESCE(l.canonical, n.p_name) AS canonical
+      FROM n LEFT JOIN labels l ON l.p_name = n.p_name
+    ), surv AS (
+      SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_variants,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows
+      FROM assigned GROUP BY canonical
+    )
+    SELECT a.p_name, a.canonical, s.n_variants, s.total_rows,
+           CAST(a.p_name = a.canonical AS INT) AS is_canonical
+    FROM assigned a JOIN surv s ON s.canonical = a.canonical
+    WHERE s.n_variants > 1
+    """,
+    doc="Entity resolution end to end (the MDM/record-linkage "
+    "pipeline): the blocked fuzzy pairs (fuzzy_name_match_pairs "
+    "semantics: block on either name word, Levenshtein <= 2) become "
+    "an undirected match graph, connected components assign every "
+    "variant its cluster, and survivorship elects the "
+    "lexicographically-least name as canonical with variant/row "
+    "counts — the merge table a dedup job applies to the dimension. "
+    "Output keeps only multi-variant clusters (the singleton "
+    "majority is noise for a merge review). Engine: the same "
+    "min-label propagation operator the near-dup clusters use "
+    "(operators/graph.py — string node ids propagate through "
+    "MIN/LEAST exactly like longs), over edges whose volume the "
+    "blocking keys bound; oracle replays the fixpoint as a "
+    "recursive CTE (the dedup_clusters precedent).",
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from .relational import fuzzy_name_match_pairs
+
+    pairs = fuzzy_name_match_pairs(spark, sf_dir).select("name_a", "name_b")
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    n = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assigned = n.join(
+        comp.withColumnRenamed("node", "p_name").withColumnRenamed(
+            "component", "canonical"
+        ),
+        "p_name",
+        "left",
+    ).select(
+        "p_name",
+        "cnt",
+        F.coalesce(F.col("canonical"), F.col("p_name")).alias("canonical"),
+    )
+    surv = assigned.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.sum("cnt").alias("total_rows"),
+    )
+    out = (
+        assigned.join(surv, "canonical")
+        .filter(F.col("n_variants") > 1)
+        .select(
+            "p_name",
+            "canonical",
+            "n_variants",
+            "total_rows",
+            (F.col("p_name") == F.col("canonical")).cast("int").alias(
+                "is_canonical"
+            ),
+        )
+    )
+    out.cache_handles = list(getattr(comp, "cache_handles", []))
+    return out
+
+
+@register(
+    "longest_user_streaks",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS INT) AS anchor
+      FROM du
+    ), runs AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS streak_len,
+             MIN(day) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    ), best AS (
+      SELECT user_id, streak_len, streak_start,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_len DESC, streak_start
+             ) AS rn
+      FROM runs
+    )
+    SELECT user_id, streak_len, streak_start
+    FROM best WHERE rn = 1
+    """,
+    doc="Longest consecutive-day activity streak per user: the "
+    "day-minus-row_number gaps-and-islands anchor groups consecutive "
+    "days into runs, the longest run wins (earliest start breaks "
+    "ties). The engagement metric next to cohort_retention, and the "
+    "date-typed sibling of the islands trick SCD2 uses on value "
+    "changes. One user_id exchange; both windows and both aggregates "
+    "reuse it.",
+)
+def longest_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    du = e.dropDuplicates(["user_id", "day"])
+    seq = W.partitionBy("user_id").orderBy("day")
+    grp = du.withColumn(
+        "anchor",
+        F.date_sub(F.col("day"), F.row_number().over(seq)),
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = W.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), "streak_start"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_len", "streak_start")
+    )
