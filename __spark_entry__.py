@@ -48,10 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # rolling_distinct_users, basket_part_affinity,
 # quality_classifier_train, classifier_calibration,
 # doremi_domain_weights, hard_negative_mining, plus this round's
-# oracle twins). They MUST lead the round-9 window, with the
-# 20-entry deferred tier (head of _DEMOTE) taking the remaining
-# slots as promised below. All 30 are green in the local parity
-# suite (tests/test_oracle_parity.py) every run in the meantime.
+# oracle twins), joined later in the round by
+# entity_resolution_clusters / longest_user_streaks and the 8
+# third-wave warehouse entries (dq_constraint_report,
+# cdc_snapshot_merge, open_orders_concurrency,
+# pareto_frontier_parts, seasonal_decompose_daily,
+# copurchase_triangles, join_skew_audit, diversified_topk_docs) —
+# 40 never-rowed entries total. They MUST lead the round-9 window,
+# with the 20-entry deferred tier (head of _DEMOTE) taking the
+# remaining slots as promised below. All are green in the local
+# parity suite (tests/test_oracle_parity.py) every run meanwhile.
 #
 # CAPACITY NOTE (one-time bubble turned steady state): the registry
 # has outgrown the 2-round x 50-slot cadence — 118 entries > 100, so

@@ -134,6 +134,15 @@ HEADLINE = [
     "hard_negative_mining",     # per-anchor top-5 cross-label cosines
     "entity_resolution_clusters",  # fuzzy pairs -> components -> survivorship
     "longest_user_streaks",     # gaps-and-islands engagement streaks
+    # Round-8 third wave (warehouse/lakehouse maintenance):
+    "dq_constraint_report",     # Deequ-style one-pass constraint suite
+    "cdc_snapshot_merge",       # MERGE INTO last-writer-wins apply
+    "open_orders_concurrency",  # two-phase sweep-line concurrency
+    "pareto_frontier_parts",    # banded distributed 2-D skyline
+    "seasonal_decompose_daily", # exact-integer seasonal decomposition
+    "copurchase_triangles",     # triangle enumeration, support>=2 edges
+    "join_skew_audit",          # per-key skew diagnostic (3 keys)
+    "diversified_topk_docs",    # quota top-k via WindowGroupLimit
 ]
 
 

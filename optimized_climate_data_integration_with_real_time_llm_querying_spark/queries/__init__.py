@@ -113,6 +113,7 @@ def all_queries() -> dict[str, Query]:
         retrieval,
         sketches,
         streaming_shapes,
+        warehouse,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,731 @@
+"""Warehouse / lakehouse maintenance shapes (round 8, third wave).
+
+The reference runs its tables as static SQLite files refreshed by
+re-running ETL notebooks end to end (``noaa_disaster_db.ipynb:cell6``
+``if_exists="replace"`` — the whole table is dropped and rebuilt).
+A 100 TB lake cannot do that; it needs the standing maintenance and
+audit operators every production pipeline runs between ingest and
+query. This module adds them, each as ONE declarative plan:
+
+- a Deequ-style data-quality constraint suite evaluated in a single
+  pass (completeness, uniqueness, range, domain, referential),
+- CDC snapshot merge: apply an ordered change log (insert / update /
+  delete, last-writer-wins per key) to a snapshot — the MERGE INTO
+  semantics of a lakehouse table format,
+- a two-phase sweep-line for interval concurrency (max open orders
+  per day) — the scale-safe rewrite of a global running sum,
+- a distributed 2-D Pareto frontier (skyline) via banded carry-in,
+- exact seasonal decomposition of the daily event series (integer
+  arithmetic until two final divisions, so it is FP-order-free),
+- triangle enumeration over the co-purchase graph,
+- a join-skew audit (the diagnostic you run before choosing salting
+  or AQE skew hints on a 100 TB join),
+- diversified top-k (per-group quota then global rank).
+
+Scale notes are per query; the common theme is that every global
+ordering here runs over a pre-aggregated tiny domain (days, price
+bands, per-key count tables), never over the fact table itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..catalog import load_table
+from ..operators.sampling import md5_bucket
+from . import register
+
+# DuckDB twin of operators.sampling.md5_bucket (oracle-hygiene rule 6).
+_DUCK_BUCKET = (
+    "CAST(('0x' || substr(md5('{seed}:' || CAST({col} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+@register(
+    "dq_constraint_report",
+    """
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(o_custkey) AS BIGINT) AS n_custkey,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_key,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice >= 0) AS BIGINT) AS n_price_ok,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('O','F','P')) AS BIGINT)
+               AS n_status_ok
+      FROM orders
+    ), ref AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphan
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT constraint_name,
+           ROUND(metric, 6) + 0.0 AS metric,
+           CAST(metric >= 1.0 AS INT) AS passed
+    FROM (
+      SELECT 'completeness_o_custkey' AS constraint_name,
+             CAST(n_custkey AS DOUBLE) / n_rows AS metric FROM agg
+      UNION ALL
+      SELECT 'uniqueness_o_orderkey',
+             CAST(n_distinct_key AS DOUBLE) / n_rows FROM agg
+      UNION ALL
+      SELECT 'range_o_totalprice_nonneg',
+             CAST(n_price_ok AS DOUBLE) / n_rows FROM agg
+      UNION ALL
+      SELECT 'domain_o_orderstatus',
+             CAST(n_status_ok AS DOUBLE) / n_rows FROM agg
+      UNION ALL
+      SELECT 'referential_o_custkey',
+             1.0 - CAST(n_orphan AS DOUBLE) / n_rows FROM agg, ref
+    )
+    """,
+    doc="Deequ-style declarative data-quality suite over the orders "
+    "fact, evaluated as ONE job: completeness(o_custkey), "
+    "uniqueness(o_orderkey), range(o_totalprice >= 0), "
+    "domain(o_orderstatus), and referential integrity of o_custkey "
+    "against the customer dimension. The reference has no data-quality "
+    "layer at all — its ETL silently fillna(0)s and replaces whole "
+    "tables (noaa_disaster_db.ipynb:cell2,cell6); this is the audit "
+    "that layer needs. Spark side: one partial+final aggregate pass "
+    "computes four constraints; the referential check is a left join "
+    "counted on the probe side (at 100 TB the dimension side stays a "
+    "broadcast or a shuffle join on c_custkey — either way the report "
+    "is 5 rows regardless of input size). All metrics are exact "
+    "ratios of BIGINT counts — FP-order-free by construction.",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_orderkey").alias("n_distinct_key"),
+        F.sum(F.when(F.col("o_totalprice") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_price_ok"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_status_ok"),
+    )
+    ref = (
+        o.select("o_custkey")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan")
+        )
+    )
+    one = agg.crossJoin(ref)  # 1 row x 1 row
+    n = F.col("n_rows").cast("double")
+    rows = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("completeness_o_custkey").alias("constraint_name"),
+                    (F.col("n_custkey").cast("double") / n).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("uniqueness_o_orderkey").alias("constraint_name"),
+                    (F.col("n_distinct_key").cast("double") / n).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("range_o_totalprice_nonneg").alias("constraint_name"),
+                    (F.col("n_price_ok").cast("double") / n).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("domain_o_orderstatus").alias("constraint_name"),
+                    (F.col("n_status_ok").cast("double") / n).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("referential_o_custkey").alias("constraint_name"),
+                    (F.lit(1.0) - F.col("n_orphan").cast("double") / n).alias(
+                        "metric"
+                    ),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.constraint_name").alias("constraint_name"),
+        (F.round(F.col("r.metric"), 6) + F.lit(0.0)).alias("metric"),
+        (F.col("r.metric") >= 1.0).cast("int").alias("passed"),
+    )
+
+
+_CDC_BUCKET = _DUCK_BUCKET.format(seed=7, col="o_orderkey") + " % 5"
+
+@register(
+    "cdc_snapshot_merge",
+    f"""
+    WITH tagged AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             {_CDC_BUCKET} AS b
+      FROM orders
+    ), base AS (
+      SELECT o_orderkey, o_custkey, cents FROM tagged WHERE b <> 0
+    ), changes AS (
+      SELECT o_orderkey, o_custkey, 'I' AS op, 1 AS seq, cents AS new_cents
+      FROM tagged WHERE b = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U', 1, (cents * 110) // 100
+      FROM tagged WHERE b = 1
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U', 1, (cents * 110) // 100
+      FROM tagged WHERE b = 2
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U', 2, (cents * 120) // 100
+      FROM tagged WHERE b = 2
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'D', 1, NULL
+      FROM tagged WHERE b = 3
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+           COALESCE(b.o_custkey, l.o_custkey) AS o_custkey,
+           ROUND(CAST(CASE WHEN l.op IN ('U','I') THEN l.new_cents
+                      ELSE b.cents END AS DOUBLE) / 100.0, 2) + 0.0 AS price,
+           CASE WHEN l.op = 'U' THEN 'updated'
+                WHEN l.op = 'I' THEN 'inserted'
+                ELSE 'unchanged' END AS version
+    FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    doc="CDC snapshot merge — the MERGE INTO semantics of a lakehouse "
+    "table format, expressed as one plan: a deterministic change log "
+    "(md5 bucket of o_orderkey splits orders into base rows, inserts, "
+    "single and double updates, deletes) is collapsed to its "
+    "last-writer-wins row per key (ROW_NUMBER over seq DESC), then "
+    "full-outer-joined against the base snapshot; deletes drop, "
+    "updates/inserts take the log's values, untouched rows pass "
+    "through. The reference's only refresh strategy is DROP-and-"
+    "rebuild (to_sql if_exists='replace', noaa_disaster_db.ipynb:"
+    "cell6) — this is the incremental alternative it lacks. Spark "
+    "side: one shuffle on o_orderkey shared by the change-collapse "
+    "window and the merge join (same key -> Catalyst reuses the "
+    "exchange); at 100 TB the change log is orders of magnitude "
+    "smaller than the snapshot, so the log side broadcasts or "
+    "shuffles cheap while the snapshot never moves twice. Money "
+    "arithmetic runs in exact integer cents with floor division "
+    "(naive ROUND(price*1.1, 2) diverged cross-engine on half-cent "
+    "boundaries: Spark rounds the shortest decimal representation, "
+    "DuckDB the binary double — caught live by the parity suite).",
+)
+def cdc_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tagged = o.withColumn("b", md5_bucket(F.col("o_orderkey"), seed=7) % 5)
+    base = tagged.where(F.col("b") != 0).drop("b")
+    p = F.col("cents")
+    up1 = F.expr("(cents * 110) div 100")
+    up2 = F.expr("(cents * 120) div 100")
+    ops = tagged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.when(
+                F.col("b") == 0,
+                F.array(
+                    F.struct(
+                        F.lit("I").alias("op"),
+                        F.lit(1).alias("seq"),
+                        p.alias("new_cents"),
+                    )
+                ),
+            )
+            .when(
+                F.col("b") == 1,
+                F.array(
+                    F.struct(
+                        F.lit("U").alias("op"),
+                        F.lit(1).alias("seq"),
+                        up1.alias("new_cents"),
+                    )
+                ),
+            )
+            .when(
+                F.col("b") == 2,
+                F.array(
+                    F.struct(
+                        F.lit("U").alias("op"),
+                        F.lit(1).alias("seq"),
+                        up1.alias("new_cents"),
+                    ),
+                    F.struct(
+                        F.lit("U").alias("op"),
+                        F.lit(2).alias("seq"),
+                        up2.alias("new_cents"),
+                    ),
+                ),
+            )
+            .when(
+                F.col("b") == 3,
+                F.array(
+                    F.struct(
+                        F.lit("D").alias("op"),
+                        F.lit(1).alias("seq"),
+                        F.lit(None).cast("long").alias("new_cents"),
+                    )
+                ),
+            )
+            # b == 4: no change row; explode(NULL) yields no rows
+        ).alias("c"),
+    ).select("o_orderkey", "o_custkey", "c.op", "c.seq", "c.new_cents")
+    w = W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    latest = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    merged = base.alias("b").join(
+        latest.alias("l"), on="o_orderkey", how="full_outer"
+    )
+    op = F.col("l.op")
+    return merged.where(op.isNull() | (op != "D")).select(
+        F.col("o_orderkey"),
+        F.coalesce(F.col("b.o_custkey"), F.col("l.o_custkey")).alias("o_custkey"),
+        (
+            F.round(
+                F.when(op.isin("U", "I"), F.col("l.new_cents"))
+                .otherwise(F.col("b.cents"))
+                .cast("double")
+                / 100.0,
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("price"),
+        F.when(op == "U", "updated")
+        .when(op == "I", "inserted")
+        .otherwise("unchanged")
+        .alias("version"),
+    )
+
+
+@register(
+    "open_orders_concurrency",
+    """
+    WITH deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 7 + 1 AS INT) AS day,
+             -1
+      FROM orders
+    ), per_day AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(SUM(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM per_day
+    """,
+    doc="Max-concurrency sweep-line: each order is open for "
+    "(o_orderkey % 7 + 1) days from its order date; the query reports "
+    "how many orders are simultaneously open on every day. The naive "
+    "formulation is a running sum over a GLOBAL ordering of 2x the "
+    "fact table — a single-partition window that dies at 100 TB. The "
+    "scale-safe two-phase rewrite used here: phase 1 reduces +1/-1 "
+    "deltas to one net-change row per DAY (partial+final aggregate, "
+    "fully parallel); phase 2 runs the cumulative sum over that "
+    "per-day frame, whose size is the calendar domain (~2,400 rows "
+    "here) — corpus-size independent, so the single-partition window "
+    "is over provably tiny data. Same pattern as the winsorized "
+    "two-phase grade histogram (VERDICT r6). The reference has no "
+    "interval analytics; its closest shape is per-year point counts "
+    "(noaa_disaster_db.ipynb:cell9).",
+)
+def open_orders_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    start = o.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).alias("delta")
+    )
+    end = o.select(
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.col("o_orderkey") % 7 + 1).cast("int"),
+        ).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    per_day = (
+        start.unionByName(end)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day", F.sum("net").over(w).cast("long").alias("open_orders")
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+    SELECT p_partkey, ROUND(p_retailprice, 2) + 0.0 AS price, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    doc="2-D Pareto frontier (skyline) of parts: minimize retail "
+    "price, maximize size; a part survives iff no other part is at "
+    "least as cheap AND at least as large with one strict. The oracle "
+    "is the independent NOT-EXISTS definition; the engine uses the "
+    "distributed banded rewrite: prices (exact cents, the table is "
+    "2-dp) are bucketed into $10 bands; per-band max sizes (tiny "
+    "aggregate) produce a carry-in running max over strictly-lower "
+    "bands; within each band two RANGE-framed windows on the integer "
+    "cent key compute max-size-over-strictly-cheaper and "
+    "max-size-over-cheaper-or-equal, and dominance is a comparison "
+    "against greatest(carry, window). No all-pairs join anywhere: "
+    "cost is one band-partitioned sort + a band-count-sized "
+    "broadcast, so the skyline of 10^12 rows is the same plan with "
+    "more bands. Equal (price,size) duplicates correctly co-survive "
+    "(neither strictly dominates).",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    p = part.withColumn("cents", cents).withColumn(
+        "band", (F.col("cents") / F.lit(1000)).cast("long")
+    )
+    band_max = p.groupBy("band").agg(F.max("p_size").alias("band_max"))
+    wb = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    carry = band_max.select(
+        "band", F.max("band_max").over(wb).alias("carry_max")
+    )
+    p = p.join(F.broadcast(carry), "band")
+    w_lt = (
+        W.partitionBy("band").orderBy("cents").rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_le = (
+        W.partitionBy("band")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    neg_inf = F.lit(-(1 << 31))
+    max_lt = F.greatest(
+        F.coalesce(F.max("p_size").over(w_lt), neg_inf),
+        F.coalesce(F.col("carry_max"), neg_inf),
+    )
+    max_le = F.greatest(
+        F.coalesce(F.max("p_size").over(w_le), neg_inf),
+        F.coalesce(F.col("carry_max"), neg_inf),
+    )
+    dominated = (max_lt >= F.col("p_size")) | (max_le > F.col("p_size"))
+    return (
+        p.withColumn("dominated", dominated)
+        .where(~F.col("dominated"))
+        .select(
+            "p_partkey",
+            (F.round(F.col("p_retailprice"), 2) + F.lit(0.0)).alias("price"),
+            "p_size",
+        )
+    )
+
+
+@register(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), trended AS (
+      SELECT *,
+             CASE WHEN COUNT(*) OVER w7 = 7
+                  THEN CAST(SUM(cnt) OVER w7 AS BIGINT) END AS trend7,
+             dayofweek(day) AS dow
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), seasonal AS (
+      SELECT *,
+             CAST(SUM(7 * cnt - trend7) OVER wd AS BIGINT) AS s_sum,
+             CAST(COUNT(trend7) OVER wd AS BIGINT) AS s_n
+      FROM trended
+      WINDOW wd AS (PARTITION BY event_type, dow)
+    )
+    SELECT event_type, day, cnt, dow,
+           ROUND(CAST(trend7 AS DOUBLE) / 7.0, 4) + 0.0 AS trend,
+           ROUND(CAST(s_sum AS DOUBLE) / (7.0 * s_n), 4) + 0.0 AS seasonal,
+           ROUND(cnt - CAST(trend7 AS DOUBLE) / 7.0
+                     - CAST(s_sum AS DOUBLE) / (7.0 * s_n), 4) + 0.0
+             AS remainder
+    FROM seasonal
+    """,
+    doc="Classical seasonal decomposition of the per-(event_type, "
+    "day) count series: trend = centered 7-day moving average "
+    "(defined only where the full 7-row frame exists), seasonal = "
+    "day-of-week mean of the detrended series, remainder = the rest. "
+    "FP-discipline: everything stays in BIGINT (7*cnt - trend7 is an "
+    "exact integer; its day-of-week sum is an exact integer) until "
+    "exactly two final IEEE divisions — so the result is bit-stable "
+    "under any partitioning and accumulation order, unlike a naive "
+    "avg-of-doubles seasonal (segment-tree vs linear accumulation "
+    "would differ at 1e-16 and round unpredictably). Spark side: the "
+    "windows run over the per-day PRE-AGGREGATE (days x types rows, "
+    "corpus-size independent) — the only full-data pass is the "
+    "partial+final daily count. dow is Sunday=0 on both engines "
+    "(Spark dayofweek()-1, DuckDB dayofweek). The reference's "
+    "closest shape is the monthly group-mean "
+    "(ERA5_preprocessing.ipynb:cell8) with no trend/seasonal split.",
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend7",
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("cnt").over(w7)).cast(
+            "long"
+        ),
+    ).withColumn("dow", (F.dayofweek("day") - 1).cast("long"))
+    wd = W.partitionBy("event_type", "dow")
+    seasonal = trended.withColumn(
+        "s_sum",
+        F.sum(F.lit(7) * F.col("cnt") - F.col("trend7")).over(wd).cast("long"),
+    ).withColumn("s_n", F.count("trend7").over(wd).cast("long"))
+    trend = F.col("trend7").cast("double") / 7.0
+    seas = F.col("s_sum").cast("double") / (7.0 * F.col("s_n"))
+    return seasonal.select(
+        "event_type",
+        "day",
+        "cnt",
+        "dow",
+        (F.round(trend, 4) + F.lit(0.0)).alias("trend"),
+        (F.round(seas, 4) + F.lit(0.0)).alias("seasonal"),
+        (F.round(F.col("cnt") - trend - seas, 4) + F.lit(0.0)).alias("remainder"),
+    )
+
+
+@register(
+    "copurchase_triangles",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    ), e AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2
+    )
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM e e1
+    JOIN e e2 ON e1.pb = e2.pa
+    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+    doc="Triangle enumeration over the co-purchase graph: nodes are "
+    "parts, an edge joins two parts bought together in >= 2 distinct "
+    "orders, and a triangle is three mutually co-purchased parts "
+    "(a < b < c by key, so each triangle appears exactly once). The "
+    "classic distributed formulation: pair volume is bounded by "
+    "within-order blocking (sum of basket_size^2, never corpus-"
+    "quadratic — the same guard as basket_part_affinity), the "
+    "support>=2 filter sparsifies edges BEFORE the triangle joins, "
+    "and the two equi-joins on ordered endpoints shuffle only the "
+    "edge list (8-byte key pairs). At 100 TB one additionally orders "
+    "endpoints by degree instead of id (halves the heaviest "
+    "adjacency); id-ordering is the deterministic, oracle-matched "
+    "variant. The reference has no graph capability; this extends "
+    "the dedup-graph family (dedup_clusters, similarity_pagerank) "
+    "with the local-clustering primitive.",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    c = li.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb")
+    )
+    e = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+    )
+    return tri.select(
+        F.col("e1.pa").alias("a"),
+        F.col("e1.pb").alias("b"),
+        F.col("e2.pb").alias("c"),
+    )
+
+
+@register(
+    "join_skew_audit",
+    """
+    WITH stats AS (
+      SELECT key_col, n_keys, total, max_cnt,
+             ROUND(CAST(total AS DOUBLE) / n_keys, 6) + 0.0 AS avg_cnt,
+             ROUND(max_cnt * CAST(n_keys AS DOUBLE) / total, 4) + 0.0
+               AS skew_ratio
+      FROM (
+        SELECT key_col, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM (
+          SELECT 'l_orderkey' AS key_col, l_orderkey AS k, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'l_partkey', l_partkey, COUNT(*) FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'l_suppkey', l_suppkey, COUNT(*) FROM lineitem GROUP BY 1, 2
+        ) GROUP BY key_col
+      )
+    ), top10 AS (
+      SELECT key_col, CAST(SUM(cnt) AS BIGINT) AS top10_cnt
+      FROM (
+        SELECT key_col, cnt,
+               ROW_NUMBER() OVER (PARTITION BY key_col
+                                  ORDER BY cnt DESC, k) AS rn
+        FROM (
+          SELECT 'l_orderkey' AS key_col, l_orderkey AS k, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'l_partkey', l_partkey, COUNT(*) FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'l_suppkey', l_suppkey, COUNT(*) FROM lineitem GROUP BY 1, 2
+        )
+      ) WHERE rn <= 10 GROUP BY key_col
+    )
+    SELECT s.key_col, n_keys, total, max_cnt, avg_cnt, skew_ratio,
+           ROUND(CAST(top10_cnt AS DOUBLE) / total, 6) + 0.0 AS top10_share
+    FROM stats s JOIN top10 USING (key_col)
+    """,
+    doc="Join-skew audit over the three lineitem join keys — the "
+    "diagnostic a 100 TB join runs BEFORE choosing between plain "
+    "shuffle, salting, and AQE skew hints (the repo's "
+    "salted_agg_equivalence is the cure; this is the thermometer). "
+    "Per key: distinct-key count, total rows, max per-key count, "
+    "mean per-key count, skew ratio (max/mean — >> 1 means a hot "
+    "key), and the row share of the 10 heaviest keys (deterministic "
+    "tie-break by key). Spark side: one partial+final count per key "
+    "column (three scans pruned to single columns), TakeOrdered for "
+    "the top-10 — the audit output is 3 rows regardless of input "
+    "size, and per-key count tables never leave the executors except "
+    "as 10-row heaps and 4-scalar aggregates.",
+)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for key in ["l_orderkey", "l_partkey", "l_suppkey"]:
+        grp = li.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        stats = grp.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("total"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+        )
+        top10 = (
+            grp.orderBy(F.col("cnt").desc(), F.col("k"))
+            .limit(10)
+            .agg(F.sum("cnt").cast("long").alias("top10_cnt"))
+        )
+        row = stats.crossJoin(top10).select(
+            F.lit(key).alias("key_col"),
+            "n_keys",
+            "total",
+            "max_cnt",
+            (
+                F.round(F.col("total").cast("double") / F.col("n_keys"), 6)
+                + F.lit(0.0)
+            ).alias("avg_cnt"),
+            (
+                F.round(
+                    F.col("max_cnt")
+                    * F.col("n_keys").cast("double")
+                    / F.col("total"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("skew_ratio"),
+            (
+                F.round(F.col("top10_cnt").cast("double") / F.col("total"), 6)
+                + F.lit(0.0)
+            ).alias("top10_share"),
+        )
+        outs.append(row)
+    out = outs[0]
+    for other in outs[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+@register(
+    "diversified_topk_docs",
+    """
+    SELECT doc_id, source, n_chars, src_rank
+    FROM (
+      SELECT doc_id, source, n_chars, src_rank,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS g_rank
+      FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS src_rank
+        FROM documents
+      ) WHERE src_rank <= 2
+    ) WHERE g_rank <= 10
+    """,
+    doc="Diversified top-k: the 10 longest documents subject to a "
+    "quota of at most 2 per source — the result-diversification "
+    "shape every retrieval/search surface needs (plain top-k lets "
+    "one dominant source fill the page; the reference's ORDER BY "
+    "Year LIMIT 20, new_disaster_c.py:256-259, has no such control). "
+    "Two ranking passes: a per-source ROW_NUMBER window (parallel "
+    "across sources) prunes to 2 rows per source BEFORE the global "
+    "rank, so the final ordering runs over at most 2x|sources| rows "
+    "— at 100 TB the global stage sees hundreds of rows, not the "
+    "corpus. Both ranks carry unique doc_id tie-breaks "
+    "(oracle-hygiene rule 4).",
+)
+def diversified_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w_src = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    quota = (
+        d.withColumn("src_rank", F.row_number().over(w_src).cast("long"))
+        .where(F.col("src_rank") <= 2)
+    )
+    w_g = W.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        quota.withColumn("g_rank", F.row_number().over(w_g))
+        .where(F.col("g_rank") <= 10)
+        .select("doc_id", "source", "n_chars", "src_rank")
+    )
