@@ -143,6 +143,9 @@ HEADLINE = [
     "copurchase_triangles",     # triangle enumeration, support>=2 edges
     "join_skew_audit",          # per-key skew diagnostic (3 keys)
     "diversified_topk_docs",    # quota top-k via WindowGroupLimit
+    "incremental_agg_merge",    # MV maintenance: partial-agg merge
+    "brand_part_catalog",       # ordered string_agg (rank-sorted concat)
+    "duplicate_span_removal",   # Lee et al. substring-span rewrite
 ]
 
 

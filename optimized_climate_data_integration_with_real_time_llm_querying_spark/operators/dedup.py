@@ -956,3 +956,133 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    hash_family=F.xxhash64,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the second half of Lee et al.
+    2022 (arXiv:2107.06499): :func:`char_ngram_dup_profile` measures
+    how much of a document is duplicated; this rewrites the corpus
+    with those spans cut out. A position ``p`` in a document starts a
+    duplicated span iff the char ``k``-gram at ``p`` occurs in MORE
+    THAN ONE document; overlapping/adjacent duplicated k-gram
+    intervals ``[p, p+k)`` are merged (gaps-and-islands over
+    positions), the merged spans are removed, and the surviving
+    segments are stitched back in order. Documents shorter than ``k``
+    are treated as one whole-text gram (a cross-doc short duplicate
+    empties the document). Returns one row per input document:
+    ``(id, n_spans, removed_chars, clean_len, clean_text)`` —
+    untouched documents pass through with ``n_spans = 0``.
+
+    Plan shape: the gram/dup stages are char_ngram_dup_profile's
+    (8-byte hashed keys shuffle, two-phase distinct-doc counts); the
+    interval merge is two window passes over the (doc, position)
+    frame partitioned by document; stitching concatenates the per-doc
+    kept segments via a rank-sorted collect_list (bounded: one
+    struct per surviving span + tail, not per character). At 100 TB
+    every stage is linear in corpus chars and partitioned by doc_id;
+    nothing global. ``hash_family=md5_hash64`` makes the whole
+    rewrite DuckDB-replayable, collisions included (rule 6).
+    """
+    from pyspark.sql import Window as W
+
+    n = F.length(text_col)
+    long_g = (
+        df.filter(n >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), n - (k - 1))).alias("p"),
+            F.lit(k).alias("k_eff"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.col("p"),
+            F.col("k_eff"),
+            hash_family(F.expr(f"substring({text_col}, p, {k})")).alias("gh"),
+        )
+    )
+    short_g = df.filter((n > 0) & (n < k)).select(
+        F.col(id_col),
+        F.lit(1).alias("p"),
+        n.alias("k_eff"),
+        hash_family(F.col(text_col)).alias("gh"),
+    )
+    g = long_g.unionAll(short_g)
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    dpos = g.join(dup, "gh").select(id_col, "p", "k_eff").distinct()
+
+    w_prev = (
+        W.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("p") + F.col("k_eff")).over(w_prev)
+    marked = dpos.withColumn(
+        "new_s",
+        F.when(F.col("p") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    w_run = W.partitionBy(id_col).orderBy("p").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    islands = marked.withColumn("isl", F.sum("new_s").over(w_run))
+    spans = islands.groupBy(id_col, "isl").agg(
+        F.min("p").alias("s"),
+        F.max(F.col("p") + F.col("k_eff")).alias("e"),
+    )
+
+    w_s = W.partitionBy(id_col).orderBy("s")
+    head_pieces = spans.select(
+        id_col,
+        F.coalesce(F.lag("e").over(w_s), F.lit(1)).alias("ks"),
+        F.col("s").alias("ke"),
+    )
+    tail_pieces = spans.groupBy(id_col).agg(F.max("e").alias("ks")).select(
+        id_col, "ks", F.lit(None).cast("long").alias("ke")
+    )
+    pieces = head_pieces.unionByName(tail_pieces)
+    texts = df.select(id_col, text_col)
+    cut = pieces.join(texts, id_col).select(
+        id_col,
+        F.col("ks"),
+        F.expr(
+            f"substring({text_col}, ks, "
+            f"coalesce(ke, length({text_col}) + 1) - ks)"
+        ).alias("piece"),
+    )
+    clean = cut.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ks, piece)))"
+            ", x -> x.piece), '')"
+        ).alias("clean_text")
+    )
+    stats = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("removed_chars"),
+    )
+    return (
+        df.select(id_col, text_col)
+        .join(clean, id_col, "left")
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("removed_chars"), F.lit(0))
+            .cast("long")
+            .alias("removed_chars"),
+            F.length(F.coalesce(F.col("clean_text"), F.col(text_col)))
+            .cast("long")
+            .alias("clean_len"),
+            F.coalesce(F.col("clean_text"), F.col(text_col)).alias("clean_text"),
+        )
+    )

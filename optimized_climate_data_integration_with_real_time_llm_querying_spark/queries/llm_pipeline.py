@@ -1538,3 +1538,86 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "duplicate_span_removal",
+    r"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, CAST(p AS INT) AS p, 50 AS k_eff,
+             CAST(('0x' || substr(md5(substr(text, CAST(p AS INT), 50)), 1, 8))
+               AS BIGINT) AS gh
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) - 48)) AS p
+            FROM documents WHERE length(text) >= 50)
+      UNION ALL
+      SELECT doc_id, 1 AS p, length(text) AS k_eff,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS gh
+      FROM documents WHERE length(text) > 0 AND length(text) < 50
+    ), dup AS MATERIALIZED (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1
+    ), dpos AS MATERIALIZED (
+      SELECT DISTINCT g.doc_id, g.p, g.k_eff FROM g JOIN dup USING (gh)
+    ), marked AS MATERIALIZED (
+      SELECT doc_id, p, k_eff,
+             CASE WHEN p > COALESCE(MAX(p + k_eff) OVER
+                  (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_s
+      FROM dpos
+    ), islands AS MATERIALIZED (
+      SELECT doc_id, p, k_eff,
+             SUM(new_s) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    ), spans AS MATERIALIZED (
+      SELECT doc_id, isl, MIN(p) AS s, MAX(p + k_eff) AS e
+      FROM islands GROUP BY doc_id, isl
+    ), pieces AS MATERIALIZED (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+             s AS ke
+      FROM spans
+      UNION ALL
+      SELECT doc_id, MAX(e) AS ks, NULL AS ke FROM spans GROUP BY doc_id
+    ), cleaned AS MATERIALIZED (
+      SELECT p.doc_id,
+             string_agg(substr(d.text, CAST(ks AS INT),
+                        CAST(COALESCE(ke, length(d.text) + 1) - ks AS INT)),
+                        '' ORDER BY ks) AS clean_text
+      FROM pieces p JOIN documents d USING (doc_id) GROUP BY p.doc_id
+    ), stats AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s) AS BIGINT) AS removed_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+           CAST(length(COALESCE(c.clean_text, d.text)) AS BIGINT) AS clean_len,
+           COALESCE(c.clean_text, d.text) AS clean_text
+    FROM documents d
+    LEFT JOIN cleaned c USING (doc_id)
+    LEFT JOIN stats st USING (doc_id)
+    """,
+    doc="Exact-substring span removal — the rewrite half of Lee et "
+    "al. 2022 (arXiv:2107.06499), completing substring_dup_profile "
+    "(which only measures): every char 50-gram occurring in more "
+    "than one document marks its interval, overlapping/adjacent "
+    "intervals merge by gaps-and-islands, merged spans are cut out "
+    "and the survivors stitched in order; untouched docs pass "
+    "through. FULL oracle via the md5 gram family: DuckDB replays "
+    "grams, dup set, interval merge, and the stitched clean_text "
+    "byte for byte (collisions included). Spark side: the gram/dup "
+    "stages are the profile's (8-byte keys shuffle, two-phase "
+    "distinct-doc counts); the merge is two doc-partitioned window "
+    "passes; stitching is a rank-sorted collect_list over one "
+    "struct per surviving span — bounded per doc, never per char. "
+    "At 100 TB every stage is linear in corpus chars; this plus the "
+    "keeper-join family makes the engine's dedup story "
+    "measure -> pair -> cluster -> REWRITE complete.",
+)
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return dedup.remove_duplicate_spans(
+        d, k=50, hash_family=dedup.md5_hash64
+    )

@@ -729,3 +729,132 @@ def diversified_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("g_rank") <= 10)
         .select("doc_id", "source", "n_chars", "src_rank")
     )
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 AS DOUBLE) / 100.0, 2) + 0.0 AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+           CAST(MAX(l_shipdate) AS DATE) AS last_ship,
+           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+             + 0.0 AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Incremental aggregate maintenance (materialized-view "
+    "refresh): the pricing-summary rollup is maintained as mergeable "
+    "PARTIALS — the base state aggregates shipments before "
+    "1997-01-01, the delta batch aggregates the rest, and a full-"
+    "outer merge combines them (sum+sum, count+count, least/"
+    "greatest for the date extrema) with AVG re-derived from merged "
+    "sums, never averaged-of-averages. The ORACLE is the semantic "
+    "definition — one direct aggregation over all rows — so the "
+    "driver check proves merge-of-partials == recompute-from-"
+    "scratch, the algebraic property that makes incremental refresh "
+    "sound. At 100 TB this is the difference between scanning a "
+    "day's partition and rescanning the lake: the base state is "
+    "group-cardinality-sized (here 6 rows), so maintenance cost is "
+    "O(delta) regardless of history size. The reference's only "
+    "refresh is DROP-and-rebuild (to_sql if_exists='replace'). "
+    "FP note: partials are kept in exact integers (quantities are "
+    "integral, prices converted to BIGINT cents at the scan), so "
+    "partial merging is truly associative — merging DOUBLE partial "
+    "sums would NOT be (2-dp prices are binary-inexact and addition "
+    "order matters), which is exactly the bug this query's oracle "
+    "property would catch in a sloppy MV implementation.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.to_date("l_shipdate").alias("ship_day"),
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("qty").alias("p_qty"),
+            F.sum("cents").alias("p_price"),
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.min("ship_day").alias("p_first"),
+            F.max("ship_day").alias("p_last"),
+        )
+
+    base = partials(li.where(F.col("ship_day") < cutoff))
+    delta = partials(li.where(F.col("ship_day") >= cutoff))
+    merged = base.alias("b").join(
+        delta.alias("d"), on=["l_returnflag", "l_linestatus"], how="full_outer"
+    )
+
+    def comb(colname: str, how) -> F.Column:
+        b, d = F.col(f"b.{colname}"), F.col(f"d.{colname}")
+        return F.when(b.isNull(), d).when(d.isNull(), b).otherwise(how(b, d))
+
+    sum_qty = comb("p_qty", lambda a, b: a + b)
+    sum_price = comb("p_price", lambda a, b: a + b)
+    cnt = comb("p_cnt", lambda a, b: a + b)
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.cast("long").alias("sum_qty"),
+        (F.round(sum_price.cast("double") / 100.0, 2) + F.lit(0.0)).alias(
+            "sum_price"
+        ),
+        cnt.cast("long").alias("cnt"),
+        comb("p_first", F.least).alias("first_ship"),
+        comb("p_last", F.greatest).alias("last_ship"),
+        (F.round(sum_qty.cast("double") / cnt, 6) + F.lit(0.0)).alias("avg_qty"),
+    )
+
+
+@register(
+    "brand_part_catalog",
+    """
+    WITH ranked AS (
+      SELECT p_brand, p_name,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_name) AS rn
+      FROM part
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           string_agg(p_name, ', ' ORDER BY rn) AS top_parts
+    FROM ranked WHERE rn <= 5
+    GROUP BY p_brand
+    """,
+    doc="Ordered string aggregation: the five most expensive part "
+    "names per brand, concatenated in rank order — the LISTAGG / "
+    "string_agg shape (catalog rows, alert digests, prompt "
+    "assembly). Spark has no ordered string_agg; the deterministic "
+    "equivalent used here is collect_list of (rank, name) structs, "
+    "array_sort (struct ordering sorts by rank first), transform to "
+    "names, array_join — order pinned by the rank, NOT by "
+    "collect_list's nondeterministic arrival order, which is the "
+    "classic correctness trap in distributed GROUP_CONCAT. The "
+    "WindowGroupLimit quota prune (same shape as "
+    "diversified_topk_docs) keeps at most 5 rows per brand ahead of "
+    "the shuffle, so the concat inputs are bounded regardless of "
+    "catalog size.",
+)
+def brand_part_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_name", "p_retailprice"
+    )
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_name")
+    )
+    top = p.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    return top.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(rn, p_name)))"
+            ", x -> x.p_name), ', ')"
+        ).alias("top_parts"),
+    )
