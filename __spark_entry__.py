@@ -55,7 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # pareto_frontier_parts, seasonal_decompose_daily,
 # copurchase_triangles, join_skew_audit, diversified_topk_docs,
 # incremental_agg_merge, brand_part_catalog,
-# duplicate_span_removal) — 43 never-rowed entries total. They MUST lead the round-9 window,
+# duplicate_span_removal, small_qty_below_avg,
+# customer_revenue_gini, user_lifecycle_summary) — 46 never-rowed
+# entries total. They MUST lead the round-9 window,
 # with the 20-entry deferred tier (head of _DEMOTE) taking the
 # remaining slots as promised below. All are green in the local
 # parity suite (tests/test_oracle_parity.py) every run meanwhile.

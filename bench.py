@@ -146,6 +146,9 @@ HEADLINE = [
     "incremental_agg_merge",    # MV maintenance: partial-agg merge
     "brand_part_catalog",       # ordered string_agg (rank-sorted concat)
     "duplicate_span_removal",   # Lee et al. substring-span rewrite
+    "small_qty_below_avg",      # Q17-shape decorrelated avg subquery
+    "customer_revenue_gini",    # exact-cents Gini per nation
+    "user_lifecycle_summary",   # first/nth/last_value full-frame windows
 ]
 
 

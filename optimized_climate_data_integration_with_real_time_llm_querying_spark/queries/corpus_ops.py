@@ -909,7 +909,12 @@ def _bpe_encode_oracle(n_merges: int, doc_mod: int) -> str:
     "oracle unrolls all 12 induction rounds as a generated CTE chain "
     "(like the k-means oracle), so the learned merge LIST itself is "
     "hash-checked, not just the encoding. Encoding is map-only "
-    "replace/substring arithmetic — no shuffle, no UDFs.",
+    "replace/substring arithmetic — no shuffle, no UDFs. 100 TB "
+    "note: merge LEARNING is the expensive half (one corpus pass per "
+    "merge); production tokenizers learn merges on a sample and only "
+    "ENCODE the full corpus — the encode path here is already "
+    "sample-independent, so that variant is a filter on the learn "
+    "input, not a different plan.",
 )
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe

@@ -858,3 +858,191 @@ def brand_part_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             ", x -> x.p_name), ', ')"
         ).alias("top_parts"),
     )
+
+
+@register(
+    "small_qty_below_avg",
+    """
+    SELECT l.l_partkey AS p_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                 AS DOUBLE) / 100.0, 2) + 0.0 AS small_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < 0.5 * (
+        SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    GROUP BY l.l_partkey
+    """,
+    doc="TPC-H Q17 shape — revenue from unusually small orders: for "
+    "one brand's parts, the lineitems whose quantity is below half "
+    "that part's average quantity, aggregated per part. The ORACLE "
+    "is the textbook CORRELATED aggregate subquery (per-row "
+    "re-aggregation); the engine runs the decorrelated two-pass "
+    "plan a distributed engine must use instead: per-part averages "
+    "as ONE partial+final aggregate over the fact table, joined "
+    "back to the facts on l_partkey — so the driver check proves "
+    "the decorrelation is semantics-preserving. The brand dimension "
+    "filter broadcasts (part is the small side); the per-part "
+    "average stays in exact integers until one IEEE division, so "
+    "the 0.5x threshold compare is bit-identical on both engines. "
+    "At 100 TB: two shuffles on l_partkey (agg + join), both AQE-"
+    "coalesced; the correlated form would be one scan per outer "
+    "row.",
+)
+def small_qty_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li_b = li.join(
+        F.broadcast(brand_parts),
+        li.l_partkey == F.col("p_partkey"),
+    ).drop("p_partkey")
+    avgs = li_b.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    small = li_b.join(avgs, "l_partkey").where(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return small.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        (F.round(F.sum("cents").cast("double") / 100.0, 2) + F.lit(0.0)).alias(
+            "small_revenue"
+        ),
+    )
+
+
+@register(
+    "customer_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+               AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ), ranked AS (
+      SELECT n.n_name, cents,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                  ORDER BY cents, c_custkey) AS rk
+      FROM rev JOIN nation n ON n.n_nationkey = rev.c_nationkey
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) + 0.0
+             AS total_revenue,
+           ROUND((2.0 * SUM(rk * cents)) / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) + 0.0 AS gini
+    FROM ranked
+    GROUP BY n_name
+    """,
+    doc="Revenue inequality per nation: the Gini coefficient of "
+    "customer lifetime revenue (zero-revenue customers included via "
+    "the left join — excluding them understates inequality), using "
+    "the rank formula G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n over "
+    "ascending revenue with a unique custkey tie-break. Everything "
+    "stays in exact integer cents (rank*cents products and their "
+    "sums are exact BIGINTs) until the two final IEEE divisions, so "
+    "the statistic is bit-stable under any partitioning; at extreme "
+    "scale the SUM(rk*cents) accumulator is the one to widen to "
+    "DECIMAL(38). Spark side: per-customer rollup shuffles on "
+    "c_custkey, the nation dimension broadcasts, and the rank "
+    "window partitions by nation — per-nation sorted domains, no "
+    "global ordering anywhere. The reference's closest shape is the "
+    "client-side group-and-total dict (EDGARclient.py:318-359).",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"))
+    )
+    ranked = rev.join(
+        F.broadcast(n), rev.c_nationkey == n.n_nationkey
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("n_name").orderBy("cents", "c_custkey")
+        ),
+    )
+    cnt = F.count(F.lit(1))
+    sum_c = F.sum("cents")
+    sum_rc = F.sum(F.col("rk") * F.col("cents"))
+    return ranked.groupBy("n_name").agg(
+        cnt.cast("long").alias("n_customers"),
+        (F.round(sum_c.cast("double") / 100.0, 2) + F.lit(0.0)).alias(
+            "total_revenue"
+        ),
+        (
+            F.round(
+                (2.0 * sum_rc) / (cnt * sum_c.cast("double"))
+                - (cnt + F.lit(1.0)) / cnt,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
+
+
+@register(
+    "user_lifecycle_summary",
+    """
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_event,
+           NTH_VALUE(event_type, 2) OVER w AS second_event,
+           LAST_VALUE(event_type) OVER w AS last_event,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events,
+           CAST(FIRST_VALUE(ts) OVER w AS DATE) AS first_day,
+           CAST(LAST_VALUE(ts) OVER w AS DATE) AS last_day
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Per-user lifecycle summary via the ordered-selection window "
+    "family this registry had not yet exercised — first_value, "
+    "nth_value(2), last_value over the full per-user frame (with "
+    "the event_id tie-break all event windows in this repo use): "
+    "first/second/last event types and first/last active days. "
+    "last_value carries the classic footgun this query pins: the "
+    "DEFAULT window frame ends at CURRENT ROW, making last_value "
+    "return the current row; the explicit UNBOUNDED FOLLOWING frame "
+    "is required on both engines, and the oracle would diverge "
+    "instantly if either side lost it. One user_id exchange; the "
+    "DISTINCT collapse reuses the window's partitioning.",
+)
+def user_lifecycle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.nth_value("event_type", 2).over(w).alias("second_event"),
+        F.last("event_type").over(w).alias("last_event"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events"),
+        F.to_date(F.first("ts").over(w)).alias("first_day"),
+        F.to_date(F.last("ts").over(w)).alias("last_day"),
+    ).distinct()

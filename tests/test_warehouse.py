@@ -295,3 +295,95 @@ def test_skew_audit_and_topk_plans(spark, sf_oracle):
     assert "TakeOrderedAndProject(limit=10" in plan
     assert "Exchange SinglePartition" not in plan
     assert "Exchange hashpartitioning(source" in plan
+
+
+# ------------------------------------------------------------ wave 5
+
+
+def test_small_qty_below_avg_brute_force(spark, sf_small):
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").collect()
+    parts = {
+        r.p_partkey
+        for r in spark.read.parquet(f"{sf_small}/part.parquet").collect()
+        if r.p_brand == "Brand#12"
+    }
+    per_part = defaultdict(list)
+    for r in li:
+        if r.l_partkey in parts:
+            per_part[r.l_partkey].append(r)
+    expected = {}
+    for pk, rs in per_part.items():
+        avg = sum(int(r.l_quantity) for r in rs) / len(rs)
+        small = [r for r in rs if r.l_quantity < 0.5 * avg]
+        if small:
+            cents = sum(round(r.l_extendedprice * 100) for r in small)
+            expected[pk] = (len(small), round(cents / 100.0, 2))
+    got = {
+        r.p_partkey: (r.n_small, r.small_revenue)
+        for r in QUERIES["small_qty_below_avg"].builder(spark, sf_small).collect()
+    }
+    assert got == expected and got
+
+
+def test_small_qty_plan_decorrelated(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "small_qty_below_avg")
+    # The brand dim broadcasts; the per-part average is a two-phase
+    # aggregate joined back — one decorrelated pass, no per-row scan.
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"partial_sum|partial_count", plan)
+
+
+def test_gini_properties_and_brute_force(spark, sf_small):
+    cust = spark.read.parquet(f"{sf_small}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").collect()
+    nations = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{sf_small}/nation.parquet").collect()
+    }
+    rev = {c.c_custkey: 0 for c in cust}
+    for o in orders:
+        if o.o_custkey in rev:
+            rev[o.o_custkey] += round(o.o_totalprice * 100)
+    by_nation = defaultdict(list)
+    for c in cust:
+        by_nation[nations[c.c_nationkey]].append((rev[c.c_custkey], c.c_custkey))
+    got = {
+        r.n_name: r
+        for r in QUERIES["customer_revenue_gini"].builder(spark, sf_small).collect()
+    }
+    assert set(got) == {n for n, cs in by_nation.items() if cs}
+    for name, cs in by_nation.items():
+        if not cs:
+            continue
+        cs.sort()
+        n = len(cs)
+        sx = sum(x for x, _ in cs)
+        sixi = sum((i + 1) * x for i, (x, _) in enumerate(cs))
+        gini = (2.0 * sixi) / (n * float(sx)) - (n + 1.0) / n
+        r = got[name]
+        assert r.n_customers == n
+        assert abs(r.gini - round(gini, 6)) < 1e-9
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_user_lifecycle_brute_force(spark, sf_small):
+    events = spark.read.parquet(f"{sf_small}/events.parquet")
+    rows = events.selectExpr(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    got = {
+        r.user_id: r
+        for r in QUERIES["user_lifecycle_summary"].builder(spark, sf_small).collect()
+    }
+    assert set(got) == set(per_user)
+    for uid, rs in per_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        g = got[uid]
+        assert g.first_event == rs[0].event_type
+        assert g.last_event == rs[-1].event_type
+        assert g.second_event == (rs[1].event_type if len(rs) > 1 else None)
+        assert g.n_events == len(rs)
+        assert g.first_day == rs[0].ts.date() and g.last_day == rs[-1].ts.date()
