@@ -286,7 +286,10 @@ def wordpiece_greedy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.select(F.explode(tokens("text")).alias("word")).filter(
         F.col("word") != ""
     )
-    words = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # Persisted: every union branch below starts its lazy chain from
+    # this frame — without the persist each branch re-runs the corpus
+    # tokenize+explode for a word table that is vocabulary-sized.
+    words = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).persist()
     subs = (
         words.select(
             "word", "cnt", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
@@ -319,6 +322,14 @@ def wordpiece_greedy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = state.join(
             F.broadcast(vocab), F.expr("substring(word, pos, l) = sub")
         )
+        # NOT persisted: round r's lazy plan replays rounds 1..r-1,
+        # but the replayed frames are word-vocabulary-sized, and
+        # measurement showed per-round persistence costs MORE than
+        # the recomputation (9.4 s -> 17.4 s at sf0.1: 12 extra
+        # materialization barriers vs replaying tiny joins). The
+        # wall cost here is the 12-round stage count itself — the
+        # inherent shape of greedy segmentation, same family as the
+        # BPE merge loop.
         best = (
             m.groupBy("word", "wl", "pos")
             .agg(F.max(F.struct("l", "sub")).alias("b"))
@@ -336,7 +347,7 @@ def wordpiece_greedy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    out.cache_handle = vocab
+    out.cache_handles = [vocab, words]
     return out
 
 
