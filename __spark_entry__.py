@@ -56,8 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # copurchase_triangles, join_skew_audit, diversified_topk_docs,
 # incremental_agg_merge, brand_part_catalog,
 # duplicate_span_removal, small_qty_below_avg,
-# customer_revenue_gini, user_lifecycle_summary) — 46 never-rowed
-# entries total. They MUST lead the round-9 window,
+# customer_revenue_gini, user_lifecycle_summary,
+# copurchase_hop_distance, maintenance_end_to_end,
+# null_ordering_ranks) — 49 never-rowed entries total: they fill
+# 49 of the round-9 window's 50 slots, the deferred tier leads
+# round 10. They MUST lead the round-9 window,
 # with the 20-entry deferred tier (head of _DEMOTE) taking the
 # remaining slots as promised below. All are green in the local
 # parity suite (tests/test_oracle_parity.py) every run meanwhile.

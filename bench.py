@@ -149,6 +149,9 @@ HEADLINE = [
     "small_qty_below_avg",      # Q17-shape decorrelated avg subquery
     "customer_revenue_gini",    # exact-cents Gini per nation
     "user_lifecycle_summary",   # first/nth/last_value full-frame windows
+    "copurchase_hop_distance",  # bounded BFS over support>=2 edges
+    "maintenance_end_to_end",   # CDC -> incremental rollup -> reconcile
+    "null_ordering_ranks",      # explicit NULLS FIRST/LAST rank pin
 ]
 
 

@@ -1046,3 +1046,330 @@ def user_lifecycle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.first("ts").over(w)).alias("first_day"),
         F.to_date(F.last("ts").over(w)).alias("last_day"),
     ).distinct()
+
+
+@register(
+    "copurchase_hop_distance",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    ), e0 AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2
+    ), e AS MATERIALIZED (
+      SELECT pa, pb FROM e0 UNION ALL SELECT pb, pa FROM e0
+    ), h0 AS (
+      SELECT MIN(pa) AS node FROM e
+    ), h1 AS MATERIALIZED (
+      SELECT DISTINCT e.pb AS node FROM e JOIN h0 ON e.pa = h0.node
+    ), h2 AS MATERIALIZED (
+      SELECT DISTINCT e.pb AS node FROM e JOIN h1 ON e.pa = h1.node
+    ), h3 AS (
+      SELECT DISTINCT e.pb AS node FROM e JOIN h2 ON e.pa = h2.node
+    )
+    SELECT node, CAST(MIN(hop) AS INT) AS hop
+    FROM (
+      SELECT node, 0 AS hop FROM h0
+      UNION ALL SELECT node, 1 FROM h1
+      UNION ALL SELECT node, 2 FROM h2
+      UNION ALL SELECT node, 3 FROM h3
+    ) GROUP BY node
+    """,
+    doc="Bounded BFS over the co-purchase graph: hop distance 0..3 "
+    "from the smallest part key in the support>=2 edge set, "
+    "completing the graph family (connected components = "
+    "dedup_clusters, centrality = similarity_pagerank, local "
+    "clustering = copurchase_triangles, traversal = this). Each hop "
+    "is one frontier-to-edges equi-join on the symmetric edge list; "
+    "min-hop-per-node over the unioned levels makes revisits "
+    "harmless without a visited-set anti-join, so the unrolled "
+    "3-round plan is exactly the DuckDB CTE chain and the per-round "
+    "work is bounded by frontier x degree — the Pregel round shape, "
+    "here as plain relational joins. At 100 TB one adds the "
+    "visited-set semi-join once frontiers stop growing; at bounded "
+    "depth the min-hop collapse is cheaper than the extra join.",
+)
+def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    c = li.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb"))
+    e0 = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select("pa", "pb")
+    )
+    e = e0.unionByName(
+        e0.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).persist()
+    levels = [e.agg(F.min("pa").alias("node"))]
+    for _ in range(3):
+        frontier = levels[-1].select(F.col("node").alias("f"))
+        nxt = (
+            e.join(frontier, e.pa == F.col("f"))
+            .select(F.col("pb").alias("node"))
+            .distinct()
+        )
+        levels.append(nxt)
+    out = None
+    for hop, lvl in enumerate(levels):
+        tagged = lvl.select("node", F.lit(hop).alias("hop"))
+        out = tagged if out is None else out.unionByName(tagged)
+    result = out.groupBy("node").agg(F.min("hop").cast("int").alias("hop"))
+    result.cache_handle = e
+    return result
+
+
+@register(
+    "maintenance_end_to_end",
+    f"""
+    WITH tagged AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             {_CDC_BUCKET} AS b
+      FROM orders
+    ), base AS (
+      SELECT o_orderkey, o_custkey, cents FROM tagged WHERE b <> 0
+    ), changes AS (
+      SELECT o_orderkey, o_custkey, 'I' AS op, 1 AS seq, cents AS new_cents
+      FROM tagged WHERE b = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U', 1, (cents * 110) // 100
+      FROM tagged WHERE b = 1
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U', 1, (cents * 110) // 100
+      FROM tagged WHERE b = 2
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U', 2, (cents * 120) // 100
+      FROM tagged WHERE b = 2
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'D', 1, NULL
+      FROM tagged WHERE b = 3
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) rn
+        FROM changes
+      ) WHERE rn = 1
+    ), merged AS MATERIALIZED (
+      SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+             COALESCE(b.o_custkey, l.o_custkey) AS o_custkey,
+             CASE WHEN l.op IN ('U','I') THEN l.new_cents
+                  ELSE b.cents END AS cents,
+             CASE WHEN l.op IS NULL THEN 0 ELSE 1 END AS touched
+      FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+      WHERE l.op IS NULL OR l.op <> 'D'
+    ), inc_base AS (
+      SELECT o_custkey % 10 AS grp, SUM(cents) AS c, COUNT(*) AS n
+      FROM merged WHERE touched = 0 GROUP BY 1
+    ), inc_delta AS (
+      SELECT o_custkey % 10 AS grp, SUM(cents) AS c, COUNT(*) AS n
+      FROM merged WHERE touched = 1 GROUP BY 1
+    ), incremental AS (
+      SELECT COALESCE(b.grp, d.grp) AS grp,
+             COALESCE(b.c, 0) + COALESCE(d.c, 0) AS c,
+             COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n
+      FROM inc_base b FULL OUTER JOIN inc_delta d ON b.grp = d.grp
+    ), direct AS (
+      SELECT o_custkey % 10 AS grp, SUM(cents) AS c, COUNT(*) AS n
+      FROM merged GROUP BY 1
+    )
+    SELECT i.grp,
+           CAST(i.n AS BIGINT) AS n_rows,
+           ROUND(CAST(i.c AS DOUBLE) / 100.0, 2) + 0.0 AS total_price,
+           CAST(i.c - d.c AS BIGINT) AS incr_minus_direct
+    FROM incremental i JOIN direct d ON i.grp = d.grp
+    """,
+    doc="Composed maintenance DAG — the warehouse sibling of "
+    "curation_end_to_end: apply the CDC change log to the snapshot "
+    "(cdc_snapshot_merge semantics), refresh a per-group rollup "
+    "INCREMENTALLY (untouched-rows partials + touched-rows partials, "
+    "full-outer combined), and reconcile against the direct "
+    "recompute over the merged snapshot — the audit column "
+    "incr_minus_direct must be exactly zero for every group, and is "
+    "part of the hashed result, so the driver check fails if the "
+    "incremental refresh ever drifts from the ground truth. One "
+    "chain, one deliberate persist of the merged snapshot (two "
+    "consumers), integer-cents arithmetic end to end. At 100 TB the "
+    "untouched partials are the stored MV state (never recomputed); "
+    "only the touched partition's partials and the group-cardinality "
+    "merge run per refresh.",
+)
+def maintenance_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tagged = o.withColumn("b", md5_bucket(F.col("o_orderkey"), seed=7) % 5)
+    base = tagged.where(F.col("b") != 0).drop("b")
+    p = F.col("cents")
+    up1 = F.expr("(cents * 110) div 100")
+    up2 = F.expr("(cents * 120) div 100")
+    ops = tagged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.when(
+                F.col("b") == 0,
+                F.array(
+                    F.struct(
+                        F.lit("I").alias("op"),
+                        F.lit(1).alias("seq"),
+                        p.alias("new_cents"),
+                    )
+                ),
+            )
+            .when(
+                F.col("b") == 1,
+                F.array(
+                    F.struct(
+                        F.lit("U").alias("op"),
+                        F.lit(1).alias("seq"),
+                        up1.alias("new_cents"),
+                    )
+                ),
+            )
+            .when(
+                F.col("b") == 2,
+                F.array(
+                    F.struct(
+                        F.lit("U").alias("op"),
+                        F.lit(1).alias("seq"),
+                        up1.alias("new_cents"),
+                    ),
+                    F.struct(
+                        F.lit("U").alias("op"),
+                        F.lit(2).alias("seq"),
+                        up2.alias("new_cents"),
+                    ),
+                ),
+            )
+            .when(
+                F.col("b") == 3,
+                F.array(
+                    F.struct(
+                        F.lit("D").alias("op"),
+                        F.lit(1).alias("seq"),
+                        F.lit(None).cast("long").alias("new_cents"),
+                    )
+                ),
+            )
+        ).alias("c"),
+    ).select("o_orderkey", "o_custkey", "c.op", "c.seq", "c.new_cents")
+    w = W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    latest = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    op = F.col("l.op")
+    merged = (
+        base.alias("b")
+        .join(latest.alias("l"), on="o_orderkey", how="full_outer")
+        .where(op.isNull() | (op != "D"))
+        .select(
+            F.coalesce(F.col("b.o_custkey"), F.col("l.o_custkey")).alias(
+                "o_custkey"
+            ),
+            F.when(op.isin("U", "I"), F.col("l.new_cents"))
+            .otherwise(F.col("b.cents"))
+            .alias("cents"),
+            F.when(op.isNull(), 0).otherwise(1).alias("touched"),
+        )
+        .persist()
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy((F.col("o_custkey") % 10).alias("grp")).agg(
+            F.sum("cents").alias("c"), F.count(F.lit(1)).alias("n")
+        )
+
+    inc_base = rollup(merged.where(F.col("touched") == 0))
+    inc_delta = rollup(merged.where(F.col("touched") == 1))
+    incremental = (
+        inc_base.alias("b")
+        .join(inc_delta.alias("d"), on="grp", how="full_outer")
+        .select(
+            "grp",
+            (
+                F.coalesce(F.col("b.c"), F.lit(0))
+                + F.coalesce(F.col("d.c"), F.lit(0))
+            ).alias("c"),
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n"),
+        )
+    )
+    direct = rollup(merged)
+    out = incremental.alias("i").join(direct.alias("d2"), "grp").select(
+        "grp",
+        F.col("i.n").cast("long").alias("n_rows"),
+        (F.round(F.col("i.c").cast("double") / 100.0, 2) + F.lit(0.0)).alias(
+            "total_price"
+        ),
+        (F.col("i.c") - F.col("d2.c")).cast("long").alias("incr_minus_direct"),
+    )
+    out.cache_handle = merged
+    return out
+
+
+@register(
+    "null_ordering_ranks",
+    """
+    SELECT user_id, event_id,
+           ROUND(v, 2) + 0.0 AS v,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY v DESC NULLS LAST, event_id) AS BIGINT) AS rnk_desc,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY v ASC NULLS FIRST, event_id) AS BIGINT) AS rnk_asc
+    FROM (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+    doc="Cross-engine null-ordering pin: purchase-path values are "
+    "ranked per user with views NULLed out, once DESC NULLS LAST and "
+    "once ASC NULLS FIRST — stated EXPLICITLY on both engines "
+    "because the defaults disagree (Spark places nulls first on ASC "
+    "and last on DESC; DuckDB's default is NULLS LAST for both "
+    "directions), so an implicit ordering here would hash-mismatch "
+    "the moment a null lands mid-partition. Both ranks carry the "
+    "event_id tie-break. This is the registry's explicit regression "
+    "for the trap; every other ranked query avoids nullable sort "
+    "keys entirely.",
+)
+def null_ordering_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w_desc = W.partitionBy("user_id").orderBy(
+        F.col("v").desc_nulls_last(), F.col("event_id")
+    )
+    w_asc = W.partitionBy("user_id").orderBy(
+        F.col("v").asc_nulls_first(), F.col("event_id")
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.round(F.col("v"), 2) + F.lit(0.0)).alias("v"),
+        F.row_number().over(w_desc).cast("long").alias("rnk_desc"),
+        F.row_number().over(w_asc).cast("long").alias("rnk_asc"),
+    )

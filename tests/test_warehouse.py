@@ -387,3 +387,76 @@ def test_user_lifecycle_brute_force(spark, sf_small):
         assert g.second_event == (rs[1].event_type if len(rs) > 1 else None)
         assert g.n_events == len(rs)
         assert g.first_day == rs[0].ts.date() and g.last_day == rs[-1].ts.date()
+
+
+# ------------------------------------------------------------ wave 6
+
+
+def test_hop_distance_brute_force(spark, sf_small):
+    li = (
+        spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), cnt in support.items():
+        if cnt >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    src = min(min(a, b) for (a, b), cnt in support.items() if cnt >= 2)
+    dist = {src: 0}
+    frontier = {src}
+    for hop in (1, 2, 3):
+        frontier = {
+            n for f in frontier for n in adj[f] if n not in dist
+        }
+        for n in frontier:
+            dist[n] = hop
+    got = {
+        r.node: r.hop
+        for r in QUERIES["copurchase_hop_distance"].builder(spark, sf_small).collect()
+    }
+    assert got == dist
+    assert got[src] == 0
+
+
+def test_maintenance_end_to_end_reconciles(spark, sf_small):
+    rows = QUERIES["maintenance_end_to_end"].builder(spark, sf_small).collect()
+    assert rows and len(rows) == 10
+    for r in rows:
+        assert r.incr_minus_direct == 0, r
+        assert r.n_rows > 0 and r.total_price > 0
+
+
+def test_null_ordering_brute_force(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        v = None if r.event_type == "view" else r.value
+        per_user[r.user_id].append((v, r.event_id))
+    got = defaultdict(dict)
+    for r in (
+        QUERIES["null_ordering_ranks"].builder(spark, sf_small).collect()
+    ):
+        got[r.user_id][r.event_id] = (r.rnk_desc, r.rnk_asc)
+    NEG = float("-inf")
+    POS = float("inf")
+    for uid, vs in per_user.items():
+        desc = sorted(vs, key=lambda t: (-(t[0] if t[0] is not None else NEG), t[1]))
+        asc = sorted(vs, key=lambda t: ((t[0] if t[0] is not None else NEG), t[1]))
+        # DESC NULLS LAST: nulls sort as -inf under negated key -> last.
+        for i, (_, eid) in enumerate(desc, 1):
+            assert got[uid][eid][0] == i
+        # ASC NULLS FIRST: nulls as -inf -> first.
+        for i, (_, eid) in enumerate(asc, 1):
+            assert got[uid][eid][1] == i
