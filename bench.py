@@ -152,6 +152,7 @@ HEADLINE = [
     "copurchase_hop_distance",  # bounded BFS over support>=2 edges
     "maintenance_end_to_end",   # CDC -> incremental rollup -> reconcile
     "null_ordering_ranks",      # explicit NULLS FIRST/LAST rank pin
+    "bloom_semi_join_audit",    # broadcast bitmap semi-join + FP audit
 ]
 
 

@@ -1373,3 +1373,158 @@ def null_ordering_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_desc).cast("long").alias("rnk_desc"),
         F.row_number().over(w_asc).cast("long").alias("rnk_asc"),
     )
+
+
+# Bloom layout: 4092 bits as 66 BIGINT words x 62 bits (bit 63 is
+# avoided because DuckDB raises on 1::BIGINT << 63; bit 62 is the
+# highest used), 3 md5-derived hash positions per key.
+_BLOOM_BITS, _BLOOM_WPB, _BLOOM_K = 4092, 62, 3
+_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST({key} AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) % " + str(_BLOOM_BITS)
+)
+
+
+@register(
+    "bloom_semi_join_audit",
+    f"""
+    WITH keys AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ), kpos AS (
+      SELECT DISTINCT {_BLOOM_POS.format(key='c_custkey')} AS pos
+      FROM keys, range(1, {_BLOOM_K} + 1) t(j)
+    ), bloom AS MATERIALIZED (
+      SELECT CAST(pos // {_BLOOM_WPB} AS INT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WPB} AS INT)) AS bits
+      FROM kpos GROUP BY 1
+    ), probes AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             {_BLOOM_POS.format(key='o_custkey')} AS pos
+      FROM orders o, range(1, {_BLOOM_K} + 1) t(j)
+    ), hits AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(COUNT(*) FILTER (WHERE
+               (b.bits & (CAST(1 AS BIGINT)
+                 << CAST(pos % {_BLOOM_WPB} AS INT))) != 0) AS BIGINT) AS n_hit
+      FROM probes p
+      LEFT JOIN bloom b ON b.word = CAST(p.pos // {_BLOOM_WPB} AS INT)
+      GROUP BY o_orderkey, o_custkey
+    ), truth AS (
+      SELECT o_orderkey,
+             CAST(EXISTS (SELECT 1 FROM keys k
+                          WHERE k.c_custkey = h.o_custkey) AS INT) AS is_member
+      FROM hits h
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(COUNT(*) FILTER (WHERE n_hit = {_BLOOM_K}) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(COUNT(*) FILTER (WHERE n_hit = {_BLOOM_K} AND is_member = 0)
+             AS BIGINT) AS n_false_pos,
+           ROUND(CAST(COUNT(*) FILTER (WHERE n_hit = {_BLOOM_K}
+                                         AND is_member = 0) AS DOUBLE)
+                 / NULLIF(COUNT(*) FILTER (WHERE is_member = 0), 0), 6) + 0.0
+             AS fp_rate
+    FROM hits JOIN truth USING (o_orderkey)
+    """,
+    doc="Explicit Bloom-filter semi-join reduction with its own "
+    "false-positive audit: the AUTOMOBILE-segment customer keys are "
+    "folded into a 4092-bit filter (66 BIGINT words, 3 md5-derived "
+    "positions per key — fully deterministic, so DuckDB rebuilds the "
+    "identical bitmap), every order probes it, and the summary "
+    "reports candidates vs exact membership and the observed FP "
+    "rate. This is the MANUAL form of the runtime bloom Catalyst "
+    "injects (pinned in tests/test_plan_quality.py): at 100 TB the "
+    "66-row bitmap broadcasts to the probe side and eliminates the "
+    "shuffle a plain semi-join would need — non-members are dropped "
+    "map-side at the cost of fp_rate extra candidates (here bits/n "
+    "= 4092/~300 keys, k=3 -> sub-1% expected). No bit 63 anywhere: "
+    "DuckDB raises on 1::BIGINT << 63, so the layout uses 62 bits "
+    "per word — the kind of cross-engine edge this registry pins "
+    "rather than documents away. Zero-member guard via NULLIF. The "
+    "build never collects: bit_or partial aggregates produce the "
+    "bitmap distributed, exactly how a real engine builds its "
+    "runtime filter.",
+)
+def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    js = F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("j")
+
+    def pos_of(key: str) -> F.Column:
+        h = F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("j").cast("string"), F.col(key).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        )
+        return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(_BLOOM_BITS))
+
+    kpos = c.select("c_custkey", js).select(
+        pos_of("c_custkey").alias("pos")
+    ).distinct()
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WPB} AS INT))"
+    )
+    bloom = kpos.groupBy(
+        (F.col("pos") / _BLOOM_WPB).cast("int").alias("word")
+    ).agg(F.bit_or(bit).alias("bits"))
+    probes = o.select("o_orderkey", "o_custkey", js).select(
+        "o_orderkey", "o_custkey", pos_of("o_custkey").alias("pos")
+    )
+    hits = (
+        probes.join(
+            F.broadcast(bloom),
+            F.col("word") == (F.col("pos") / _BLOOM_WPB).cast("int"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("bits").bitwiseAND(bit) != 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hit")
+        )
+    )
+    member = hits.join(
+        c.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+            "is_member", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    ).na.fill({"is_member": 0})
+    n_keys = c.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    cand = F.col("n_hit") == _BLOOM_K
+    summary = member.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.when(cand, 1).otherwise(0)).cast("long").alias("n_candidates"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum(F.when(cand & (F.col("is_member") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        (
+            F.round(
+                F.sum(
+                    F.when(cand & (F.col("is_member") == 0), 1).otherwise(0)
+                ).cast("double")
+                / F.nullif(
+                    F.sum(F.when(F.col("is_member") == 0, 1).otherwise(0)),
+                    F.lit(0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fp_rate"),
+    )
+    return n_keys.crossJoin(summary).select(
+        "n_keys", "n_probe", "n_candidates", "n_members", "n_false_pos", "fp_rate"
+    )

@@ -460,3 +460,50 @@ def test_null_ordering_brute_force(spark, sf_small):
         # ASC NULLS FIRST: nulls as -inf -> first.
         for i, (_, eid) in enumerate(asc, 1):
             assert got[uid][eid][1] == i
+
+
+# ------------------------------------------------------------ wave 7
+
+
+def test_bloom_audit_brute_force(spark, sf_small):
+    import hashlib
+
+    BITS, WPB, K = 4092, 62, 3
+    cust = spark.read.parquet(f"{sf_small}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").collect()
+    keys = {c.c_custkey for c in cust if c.c_mktsegment == "AUTOMOBILE"}
+
+    def positions(key):
+        return [
+            int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:8], 16) % BITS
+            for j in range(1, K + 1)
+        ]
+
+    bloom = set()
+    for k in keys:
+        bloom.update(positions(k))
+    n_cand = n_fp = n_mem = 0
+    for o in orders:
+        cand = all(p in bloom for p in positions(o.o_custkey))
+        member = o.o_custkey in keys
+        n_cand += cand
+        n_mem += member
+        n_fp += cand and not member
+        # No false negatives, ever — the Bloom guarantee.
+        if member:
+            assert cand
+    row = QUERIES["bloom_semi_join_audit"].builder(spark, sf_small).collect()[0]
+    assert row.n_keys == len(keys)
+    assert row.n_probe == len(orders)
+    assert row.n_candidates == n_cand
+    assert row.n_members == n_mem
+    assert row.n_false_pos == n_fp
+    assert row.n_candidates >= row.n_members
+    assert row.fp_rate is None or row.fp_rate < 0.05
+
+
+def test_bloom_bitmap_broadcasts(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "bloom_semi_join_audit")
+    # The 66-row bitmap reaches the probe side as a broadcast — the
+    # probe-side fact never shuffles for the filter step.
+    assert "BroadcastHashJoin" in plan
