@@ -153,6 +153,7 @@ HEADLINE = [
     "maintenance_end_to_end",   # CDC -> incremental rollup -> reconcile
     "null_ordering_ranks",      # explicit NULLS FIRST/LAST rank pin
     "bloom_semi_join_audit",    # broadcast bitmap semi-join + FP audit
+    "unigram_lm_segments",      # SentencePiece-style Viterbi-EM tokenizer
 ]
 
 

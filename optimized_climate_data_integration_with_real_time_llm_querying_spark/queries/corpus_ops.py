@@ -1660,3 +1660,340 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result.cache_handle = tf
     return result
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, SentencePiece) — Viterbi-EM variant
+# --------------------------------------------------------------------------
+# Constants shared by builder and oracle generator: seed vocab = top
+# _UNI_TOPK substrings (length <= _UNI_MAXP) by occurrence-weighted
+# frequency plus all single chars; _UNI_MAXW is the corpus's max word
+# length (8, measured; the DP unrolls to it); one EM update (2
+# Viterbi passes). Scores are ROUND(LN(w / T), 6) — the 6-dp round
+# absorbs the <=1-ulp libm ln() divergence between the JVM and
+# DuckDB, and every DP sum is a fixed-order chain of <= _UNI_MAXW
+# additions, so argmax decisions replay identically.
+_UNI_TOPK, _UNI_MAXP, _UNI_MAXW, _UNI_ROUNDS = 40, 6, 8, 2
+
+
+def _unigram_oracle() -> str:
+    maxp, maxw = _UNI_MAXP, _UNI_MAXW
+    parts = [
+        f"""
+    WITH w AS MATERIALIZED (
+      SELECT word, CAST(length(word) AS INT) AS wl,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ), subs AS MATERIALIZED (
+      SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+             CAST(SUM(cnt) AS BIGINT) AS wt
+      FROM (SELECT word, wl, cnt, unnest(range(1, wl + 1)) AS i FROM w),
+           range(1, {maxp} + 1) t(l)
+      WHERE i + l - 1 <= wl
+      GROUP BY 1
+    ), seed AS MATERIALIZED (
+      SELECT piece, wt FROM (
+        SELECT piece, wt,
+               ROW_NUMBER() OVER (ORDER BY wt DESC, piece) AS rn
+        FROM subs
+      ) WHERE rn <= {_UNI_TOPK}
+      UNION
+      SELECT piece, wt FROM subs WHERE length(piece) = 1
+    ), v0 AS MATERIALIZED (
+      SELECT piece, CAST(length(piece) AS INT) AS pl,
+             ROUND(LN(CAST(wt AS DOUBLE) /
+                   (SELECT SUM(wt) FROM seed)), 6) AS lw
+      FROM seed
+    )"""
+    ]
+
+    def viterbi(tag: str, vocab: str) -> list[str]:
+        ctes = [f", dp{tag}_0 AS (SELECT word, wl, cnt, 0 AS i, 0.0 AS score, -1 AS bp FROM w)"]
+        prevs = [f"dp{tag}_0"]
+        for i in range(1, maxw + 1):
+            branches = " UNION ALL ".join(
+                f"SELECT * FROM dp{tag}_{j}" for j in range(max(0, i - maxp), i)
+            )
+            ctes.append(
+                f""", dp{tag}_{i} AS MATERIALIZED (
+      SELECT word, wl, cnt, i, score, bp FROM (
+        SELECT d.word, d.wl, d.cnt, {i} AS i,
+               d.score + v.lw AS score, d.i AS bp,
+               ROW_NUMBER() OVER (PARTITION BY d.word
+                    ORDER BY d.score + v.lw DESC, d.i DESC) AS rn
+        FROM ({branches}) d
+        JOIN {vocab} v
+          ON v.pl = {i} - d.i
+         AND v.piece = substr(d.word, d.i + 1, {i} - d.i)
+        WHERE d.wl >= {i}
+      ) WHERE rn = 1
+    )"""
+            )
+            prevs.append(f"dp{tag}_{i}")
+        all_dp = " UNION ALL ".join(f"SELECT * FROM {p}" for p in prevs)
+        ctes.append(f", dp{tag} AS MATERIALIZED (SELECT * FROM ({all_dp}))")
+        # Backtrack: follow bp from i = wl down to 0.
+        ctes.append(
+            f""", bt{tag}_0 AS (
+      SELECT word, wl, cnt, wl AS pos FROM w
+    )"""
+        )
+        for k in range(1, maxw + 1):
+            ctes.append(
+                f""", bt{tag}_{k} AS MATERIALIZED (
+      SELECT b.word, b.wl, b.cnt, d.bp AS prev,
+             substr(b.word, d.bp + 1, b.pos - d.bp) AS piece,
+             CAST(d.bp + 1 AS INT) AS start
+      FROM bt{tag}_{k - 1} b
+      JOIN dp{tag} d ON d.word = b.word AND d.i = b.pos
+      WHERE b.pos > 0
+    )"""
+            )
+            ctes.append(
+                f""", bt{tag}_{k}n AS (
+      SELECT word, wl, cnt, prev AS pos FROM bt{tag}_{k}
+    )"""
+            )
+            # Rename the chained frame: next step reads bt{tag}_{k}n.
+            ctes[-2] = ctes[-2]
+        # Fix the chain: step k reads bt{tag}_{k-1}n for k >= 2.
+        seg_union = " UNION ALL ".join(
+            f"SELECT word, cnt, start, piece FROM bt{tag}_{k}"
+            for k in range(1, maxw + 1)
+        )
+        ctes.append(f", seg{tag} AS MATERIALIZED (SELECT * FROM ({seg_union}))")
+        return ctes
+
+    # NOTE: backtrack chaining — rewrite pass below substitutes the
+    # correct upstream names (bt{tag}_{k} reads bt{tag}_{k-1}n).
+    sql_parts = parts
+    for tag, vocab in (("a", "v0"), ("b", "v1")):
+        if tag == "b":
+            sql_parts.append(
+                f""", counts AS MATERIALIZED (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS used FROM sega GROUP BY piece
+    ), v1 AS MATERIALIZED (
+      SELECT v0.piece, v0.pl,
+             ROUND(LN(CAST(COALESCE(c.used, 0) + 1 AS DOUBLE) /
+                   (SELECT SUM(COALESCE(c2.used, 0) + 1)
+                    FROM v0 v02 LEFT JOIN counts c2 ON c2.piece = v02.piece)),
+                   6) AS lw
+      FROM v0 LEFT JOIN counts c ON c.piece = v0.piece
+    )"""
+            )
+        sql_parts.extend(viterbi(tag, vocab))
+    sql_parts.append(
+        """
+    SELECT word, CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY start)
+             AS INT) AS piece_idx,
+           piece
+    FROM segb
+    """
+    )
+    sql = "".join(sql_parts)
+    # Chain the backtrack frames: step k's input is step (k-1)'s "n"
+    # projection, except step 1 which starts from bt{tag}_0.
+    for tag in ("a", "b"):
+        for k in range(2, maxw + 1):
+            sql = sql.replace(f"FROM bt{tag}_{k - 1} b", f"FROM bt{tag}_{k - 1}n b", 1)
+    return sql
+
+
+@register(
+    "unigram_lm_segments",
+    _unigram_oracle(),
+    doc="Unigram-LM tokenizer (Kudo 2018 / SentencePiece), Viterbi-EM "
+    "variant, trained and applied IN-ENGINE — completing the "
+    "tokenizer trio (BPE merge induction, WordPiece greedy "
+    "longest-match, and now likelihood-based segmentation): seed "
+    "vocabulary = top-40 substrings by occurrence weight plus all "
+    "single characters (closure guarantee); one EM update — a "
+    "Viterbi pass segments every corpus word under seed "
+    "log-probabilities (the 8-position DP is unrolled as joins with "
+    "an argmax row_number per step, back-pointers and all), piece "
+    "counts from that segmentation re-estimate the distribution "
+    "(Laplace +1 over the fixed vocab), and a second Viterbi pass "
+    "under the re-estimated model produces the output segmentation. "
+    "Differences from full SentencePiece stated honestly: hard "
+    "(Viterbi) E-step instead of forward-backward expected counts, "
+    "and no vocabulary pruning between rounds. The ORACLE replays "
+    "the ENTIRE training: seed selection, both DP tables "
+    "(score-and-backpointer argmax per position), both backtracks, "
+    "and the count re-estimation, as a generated CTE chain — the "
+    "same induction-unrolling discipline as the BPE and k-means "
+    "oracles. FP discipline: scores are ROUND(LN(w/T), 6) so libm "
+    "1-ulp ln() differences cannot flip an argmax, and every DP sum "
+    "is a fixed-order chain of <= 8 additions. Scale: the DP runs "
+    "over the DISTINCT-WORD table (vocabulary-sized, not corpus-"
+    "sized) exactly like production tokenizer training; corpus size "
+    "only enters through the one tokenize+count pass.",
+)
+def unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    wtok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    words = (
+        wtok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("wl", F.length("word").cast("int"))
+        .persist()
+    )
+    subs = (
+        words.select(
+            "word", "wl", "cnt",
+            F.explode(F.sequence(F.lit(1), F.col("wl"))).alias("i"),
+        )
+        .select(
+            "word", "wl", "cnt", "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(_UNI_MAXP), F.col("wl") - F.col("i") + 1),
+                )
+            ).alias("l"),
+        )
+        .select(F.expr("substr(word, i, l)").alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("wt"))
+    )
+    top = (
+        subs.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("wt"), "piece"))
+        )
+        .where(F.col("rn") <= _UNI_TOPK)
+        .select("piece", "wt")
+    )
+    chars = subs.where(F.length("piece") == 1).select("piece", "wt")
+    seed = top.unionByName(chars).distinct().persist()
+    total0 = seed.agg(F.sum("wt").alias("t"))
+    v0 = (
+        seed.crossJoin(F.broadcast(total0))
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("pl"),
+            F.round(
+                F.log(F.col("wt").cast("double") / F.col("t")), 6
+            ).alias("lw"),
+        )
+        .persist()
+    )
+
+    def viterbi(vocab: DataFrame) -> DataFrame:
+        """Returns seg frame (word, cnt, start, piece)."""
+        dp = [
+            words.select(
+                "word", "wl", "cnt",
+                F.lit(0).alias("i"),
+                F.lit(0.0).alias("score"),
+                F.lit(-1).alias("bp"),
+            )
+        ]
+        for i in range(1, _UNI_MAXW + 1):
+            prev = dp[max(0, i - _UNI_MAXP)]
+            for j in range(max(0, i - _UNI_MAXP) + 1, i):
+                prev = prev.unionByName(dp[j])
+            cand = (
+                prev.where(F.col("wl") >= i)
+                .alias("d")
+                .join(
+                    F.broadcast(vocab).alias("v"),
+                    (F.col("v.pl") == i - F.col("d.i"))
+                    & (
+                        F.col("v.piece")
+                        == F.expr(f"substr(d.word, d.i + 1, {i} - d.i)")
+                    ),
+                )
+                .select(
+                    "d.word", "d.wl", "d.cnt",
+                    F.lit(i).alias("i"),
+                    (F.col("d.score") + F.col("v.lw")).alias("score"),
+                    F.col("d.i").alias("bp"),
+                )
+            )
+            w_best = W.partitionBy("word").orderBy(
+                F.desc("score"), F.desc("bp")
+            )
+            # Eager localCheckpoint: dp[i] depends on up to 6 prior
+            # frames; left lazy, the logical plan grows exponentially
+            # in i and the analyzer, not the data (<= |vocab| rows
+            # per frame), dominates the runtime. Same per-iteration
+            # truncation discipline as kmeans/graph.
+            dp.append(
+                cand.withColumn("rn", F.row_number().over(w_best))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+                .coalesce(1)  # <= |distinct words| rows; 1 task per checkpoint
+                .localCheckpoint(eager=True)
+            )
+        dp_all = dp[0]
+        for frame in dp[1:]:
+            dp_all = dp_all.unionByName(frame)
+
+        cur = words.select("word", "wl", "cnt", F.col("wl").alias("pos"))
+        segs = []
+        for _ in range(_UNI_MAXW):
+            step = (
+                cur.where(F.col("pos") > 0)
+                .alias("b")
+                .join(
+                    dp_all.alias("dd"),
+                    (F.col("dd.word") == F.col("b.word"))
+                    & (F.col("dd.i") == F.col("b.pos")),
+                )
+                .select(
+                    "b.word", "b.wl", "b.cnt",
+                    F.col("dd.bp").alias("prev"),
+                    F.expr("substr(b.word, dd.bp + 1, b.pos - dd.bp)").alias(
+                        "piece"
+                    ),
+                    (F.col("dd.bp") + 1).cast("int").alias("start"),
+                )
+            )
+            step = step.coalesce(1).localCheckpoint(eager=True)
+            segs.append(step.select("word", "cnt", "start", "piece"))
+            cur = step.select(
+                "word", "wl", "cnt", F.col("prev").alias("pos")
+            )
+        out = segs[0]
+        for sg in segs[1:]:
+            out = out.unionByName(sg)
+        return out
+
+    seg_a = viterbi(v0)
+    counts = seg_a.groupBy("piece").agg(F.sum("cnt").alias("used"))
+    tot1 = (
+        v0.join(counts, "piece", "left")
+        .select(
+            (F.coalesce(F.col("used"), F.lit(0)) + 1).alias("u")
+        )
+        .agg(F.sum("u").alias("t"))
+    )
+    v1 = (
+        v0.join(counts, "piece", "left")
+        .crossJoin(F.broadcast(tot1))
+        .select(
+            "piece", "pl",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("used"), F.lit(0)) + 1).cast("double")
+                    / F.col("t")
+                ),
+                6,
+            ).alias("lw"),
+        )
+        .persist()
+    )
+    seg_b = viterbi(v1)
+    w_idx = W.partitionBy("word").orderBy("start")
+    result = seg_b.select(
+        "word",
+        F.row_number().over(w_idx).cast("int").alias("piece_idx"),
+        "piece",
+    )
+    result.cache_handles = [words, seed, v0, v1]
+    return result

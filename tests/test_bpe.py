@@ -157,3 +157,39 @@ def test_wordpiece_segments_reconstruct_words(spark, sf_oracle):
     # At least some words segment into multiple pieces (vocabulary is
     # capped, so not everything can be a whole-word token).
     assert any(len(v) > 1 for v in by_word.values())
+
+
+def test_unigram_segments_reconstruct_and_cover(spark, sf_small):
+    """Viterbi-EM unigram segmentation: every distinct corpus word is
+    segmented, pieces concatenate back to the word exactly, and every
+    piece is a substring the model could have scored (length <= 6)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    words = {
+        r.word
+        for r in docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .distinct()
+        .collect()
+    }
+    df = all_queries()["unigram_lm_segments"].builder(spark, sf_small)
+    rows = df.collect()
+    for h in getattr(df, "cache_handles", []):
+        h.unpersist()
+    by_word = defaultdict(list)
+    for r in rows:
+        by_word[r.word].append((r.piece_idx, r.piece))
+    assert set(by_word) == words
+    for word, ps in by_word.items():
+        ps.sort()
+        assert [i for i, _ in ps] == list(range(1, len(ps) + 1))
+        assert "".join(p for _, p in ps) == word
+        assert all(1 <= len(p) <= 6 for _, p in ps)
