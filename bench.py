@@ -154,6 +154,10 @@ HEADLINE = [
     "null_ordering_ranks",      # explicit NULLS FIRST/LAST rank pin
     "bloom_semi_join_audit",    # broadcast bitmap semi-join + FP audit
     "unigram_lm_segments",      # SentencePiece-style Viterbi-EM tokenizer
+    "chi2_lang_source",         # chi-square independence audit
+    "ols_order_size_price",     # exact-integer closed-form OLS
+    "quantity_moments",         # variance/skewness from power sums
+    "frequent_triples",         # A-priori k=3 itemsets (L2-pruned)
 ]
 
 

@@ -112,6 +112,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         retrieval,
         sketches,
+        stats,
         streaming_shapes,
         warehouse,
     )
