@@ -142,29 +142,35 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM xy GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, n,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (n * sxx - sx * sx), 6) + 0.0 AS slope,
-           ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
-                        / (n * sxx - sx * sx) * sx)
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) + 0.0 AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * sx)
                  / CAST(n AS DOUBLE), 4) + 0.0 AS intercept,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 * (n * sxy - sx * sy)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)),
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 * CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
                  6) + 0.0 AS r2
     FROM sums
     """,
     doc="Closed-form OLS per order priority: regress order price "
     "(whole dollars) on line-item count via the normal equations. "
-    "Every power sum (Sx, Sy, Sxy, Sxx, Syy) and every cross term "
-    "(n*Sxy - Sx*Sy, ...) is an EXACT BIGINT — x <= 7, y <= ~6e5, "
-    "so Syy fits int64 up to ~10^5 times this scale factor; doubles "
-    "enter only in the three final divisions, which are identical "
-    "expression trees on both engines, so slope/intercept/r2 are "
-    "bit-stable under any partitioning — the property a naive "
-    "avg-of-doubles regression loses. Two-phase aggregation "
-    "throughout; the per-priority model table is 5 rows regardless "
-    "of input size. The reference has no model fitting at all; its "
-    "closest analytics are static SUM lookups "
+    "Every power sum (Sx, Sy, Sxy, Sxx, Syy) is an EXACT BIGINT, "
+    "and every cross term (n*Sxy - Sx*Sy, ...) is computed EXACTLY "
+    "in wide integers — DECIMAL(38,0) on the Spark side, HUGEINT in "
+    "the oracle — because n*Syy overflows int64 already at sf0.1 "
+    "(~3e20 > 2^63; ANSI Spark raised mid-bench, which is exactly "
+    "the failure mode this discipline exists to surface instead of "
+    "silently wrapping). Each exact cross term converts to double "
+    "ONCE (correctly rounded, hence identical on both engines) "
+    "before the final divisions, whose expression trees match — "
+    "slope/intercept/r2 are bit-stable under any partitioning, the "
+    "property a naive avg-of-doubles regression loses. Two-phase "
+    "aggregation throughout; the per-priority model table is 5 rows "
+    "regardless of input size. The reference has no model fitting "
+    "at all; its closest analytics are static SUM lookups "
     "(EDGARclient.py:233-246).",
 )
 def ols_order_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,28 +194,27 @@ def ols_order_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).cast("long").alias("sxx"),
         F.sum(y * y).cast("long").alias("syy"),
     )
-    n, sx, sy, sxy, sxx, syy = (
-        F.col("n"), F.col("sx"), F.col("sy"),
-        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    dec = "decimal(38,0)"
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    nd, sxd, syd, sxyd, sxxd, syyd = (
+        F.col(c).cast(dec) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
     )
-    cov_n = n * sxy - sx * sy
-    var_n = n * sxx - sx * sx
-    vary_n = n * syy - sy * sy
-    slope = cov_n.cast("double") / var_n
+    # Cross terms EXACT in 38-digit decimals — n*Syy overflows int64
+    # already at sf0.1 (~3e20 > 2^63; caught live by the bench) —
+    # then ONE correctly-rounded conversion to double per term.
+    cov = (nd * sxyd - sxd * syd).cast("double")
+    var_x = (nd * sxxd - sxd * sxd).cast("double")
+    var_y = (nd * syyd - syd * syd).cast("double")
+    slope = cov / var_x
     return sums.select(
         "o_orderpriority",
         "n",
         (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
-        (F.round((sy - slope * sx) / n.cast("double"), 4) + F.lit(0.0)).alias(
-            "intercept"
-        ),
         (
-            F.round(
-                cov_n.cast("double") * cov_n / (var_n.cast("double") * vary_n),
-                6,
-            )
+            F.round((sy.cast("double") - slope * sx) / n.cast("double"), 4)
             + F.lit(0.0)
-        ).alias("r2"),
+        ).alias("intercept"),
+        (F.round(cov * cov / (var_x * var_y), 6) + F.lit(0.0)).alias("r2"),
     )
 
 
