@@ -29,6 +29,10 @@ QUERIES = [
     "semantic_dedup_prune",
     "bpe_encode_docs",
     "kmeans_embedding_clusters",
+    # Round-8 late additions (documents-only, so the twin generator
+    # covers them; measured alphas recorded in BASELINE.md):
+    "duplicate_span_removal",
+    "incremental_minhash_dedup",
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 
