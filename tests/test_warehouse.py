@@ -507,3 +507,42 @@ def test_bloom_bitmap_broadcasts(spark, sf_oracle):
     # The 66-row bitmap reaches the probe side as a broadcast — the
     # probe-side fact never shuffles for the filter step.
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------- late plan-shape pins
+
+
+def test_span_removal_hashes_grams_at_source(spark, sf_oracle):
+    # The 50-gram text never shuffles: the gram frame carries only
+    # the 8-byte md5-derived key (+ ids/positions) into the dup
+    # aggregation, and no cartesian appears anywhere.
+    plan = _plan(spark, sf_oracle, "duplicate_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "conv" in plan or "md5" in plan  # hash computed in the scan stage
+
+
+def test_gini_broadcasts_nation_dim(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "customer_revenue_gini")
+    assert "BroadcastHashJoin" in plan
+    # The rank window partitions by nation — no global ordering.
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_seasonal_windows_run_on_preaggregate(spark, sf_oracle):
+    # Both window families consume the per-(type, day) AGGREGATE;
+    # the raw events frame feeds exactly one partial+final count.
+    plan = _plan(spark, sf_oracle, "seasonal_decompose_daily")
+    assert len(re.findall(r"partial_count", plan)) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_triples_and_hop_reuse_edges(spark, sf_oracle):
+    # Both graph queries sparsify edges with the support>=2 aggregate
+    # BEFORE their joins; neither plans a cartesian.
+    for name in ("frequent_triples", "copurchase_hop_distance"):
+        df = QUERIES[name].builder(spark, sf_oracle)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        h = getattr(df, "cache_handle", None)
+        if h is not None:
+            h.unpersist()
+        assert "CartesianProduct" not in plan, name
