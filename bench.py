@@ -158,6 +158,7 @@ HEADLINE = [
     "ols_order_size_price",     # exact-integer closed-form OLS
     "quantity_moments",         # variance/skewness from power sums
     "frequent_triples",         # A-priori k=3 itemsets (L2-pruned)
+    "media_dedup_report",       # Arrow-path media dedup, oracle-replayed
 ]
 
 

@@ -1621,3 +1621,69 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicate_spans(
         d, k=50, hash_family=dedup.md5_hash64
     )
+
+
+@register(
+    "media_dedup_report",
+    f"""
+    WITH media AS (
+      SELECT doc_id, sha256({_NORM}) AS fingerprint,
+             sha256(sha256({_NORM})) AS feat_hex
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, fingerprint,
+             ROUND(CAST(('0x' || substr(feat_hex, 1, 8)) AS BIGINT)
+                   / 4294967296.0, 6) + 0.0 AS feat0,
+             ROUND(CAST(('0x' || substr(feat_hex, 9, 8)) AS BIGINT)
+                   / 4294967296.0, 6) + 0.0 AS feat1
+      FROM media
+    )
+    SELECT fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(feat0) AS feat0,
+           MIN(feat1) AS feat1
+    FROM feats GROUP BY fingerprint
+    """,
+    doc="Exact MEDIA dedup through the Arrow featurizer — the check "
+    "that welds the multimodal plumbing to the dedup family: media "
+    "payloads (deterministic fakes: sha256-of-text bytes, "
+    "operators/multimodal.py synthesize_media) flow through the "
+    "mapInPandas feature extractor, and identical payloads collapse "
+    "to one keeper row (min doc_id) with the copy count AND the "
+    "first two feature components in the hashed output. The oracle "
+    "replays the mapInPandas UDF bit-for-bit in SQL: DuckDB's "
+    "sha256 reproduces both the payload bytes and the featurizer's "
+    "uint32/2^32 dyadic rationals (exact in double, so the 6-dp "
+    "round is deterministic) — a full cross-engine check ACROSS the "
+    "Python/Arrow boundary, which rows-only checks usually excuse. "
+    "Scale: featurization is Arrow-batched map-side; the dedup "
+    "shuffles 64-hex-char fingerprints, never payload bytes; with a "
+    "real decoder the fingerprint would be the media bytes' own "
+    "hash and nothing else changes.",
+)
+def media_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    # Payloads derive from NORMALIZED text (exact_dedup_docs
+    # semantics) so re-encoded copies of the same document collapse.
+    norm = d.withColumn("text", text.normalize_text("text"))
+    media = multimodal.synthesize_media(norm)
+    feats = multimodal.extract_features(media, decoder="fake")
+    fp = norm.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("fingerprint"),
+    )
+    joined = feats.join(fp, "doc_id").select(
+        "doc_id",
+        "fingerprint",
+        (F.round(F.element_at("features", 1), 6) + F.lit(0.0)).alias("feat0"),
+        (F.round(F.element_at("features", 2), 6) + F.lit(0.0)).alias("feat1"),
+    )
+    return joined.groupBy("fingerprint").agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("feat0").alias("feat0"),
+        F.min("feat1").alias("feat1"),
+    )

