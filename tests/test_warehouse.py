@@ -546,3 +546,41 @@ def test_triples_and_hop_reuse_edges(spark, sf_oracle):
         if h is not None:
             h.unpersist()
         assert "CartesianProduct" not in plan, name
+
+
+def test_pareto_random_points_with_ties(spark, tmp_path):
+    """Adversarial skyline check: random points drawn from a TINY grid
+    so equal-price ties, equal-size ties, and exact duplicates are
+    frequent — the cases where banded carry-in windows are easiest to
+    get wrong. Verified against the quadratic definition."""
+    import random
+
+    for seed in (7, 23, 99):
+        random.seed(seed)
+        pts = [
+            (i + 1, round(random.randrange(9000, 9010) / 1.0, 2), random.randrange(1, 6))
+            for i in range(120)
+        ]
+        spark.createDataFrame(
+            pts, "p_partkey long, p_retailprice double, p_size int"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+
+        def dominated(p):
+            return any(
+                q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+                for q in pts
+            )
+
+        expected = {p[0] for p in pts if not dominated(p)}
+        got = {
+            r.p_partkey
+            for r in QUERIES["pareto_frontier_parts"]
+            .builder(spark, str(tmp_path))
+            .collect()
+        }
+        assert got == expected, f"seed {seed}"
+        # Duplicate optimal points co-survive (neither dominates).
+        frontier_pts = [(p[1], p[2]) for p in pts if p[0] in expected]
+        for fp in set(frontier_pts):
+            same = [p[0] for p in pts if (p[1], p[2]) == fp]
+            assert set(same) <= expected or not (set(same) & expected)
