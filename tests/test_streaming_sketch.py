@@ -1,0 +1,91 @@
+"""Streaming HLL register maintenance: streamed == batch exactly,
+and the append-only protocol is idempotent under replay (the
+MAX-merge algebra absorbs at-least-once duplicates).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+    load_table,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+    all_queries,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.streaming.sketch_maintenance import (
+    batch_registers,
+    estimate_from_registers,
+    register_writer,
+    run_hll_maintenance_available_now,
+)
+
+
+def _drain(spark, drops, registers, ckpt):
+    stream = (
+        spark.readStream.schema("o_orderpriority string, o_custkey long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(drops)
+    )
+    run_hll_maintenance_available_now(
+        stream, registers, ckpt, grp_col="o_orderpriority", key_col="o_custkey"
+    )
+
+
+def test_streamed_hll_equals_batch(spark, sf_oracle, tmp_path):
+    o = load_table(spark, sf_oracle, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    drops = str(tmp_path / "drops")
+    for i in range(3):  # three "event file" arrivals
+        o.filter(F.col("o_custkey") % 3 == i).write.mode("append").parquet(drops)
+
+    registers = str(tmp_path / "registers")
+    _drain(spark, drops, registers, str(tmp_path / "ckpt1"))
+    assert os.path.isdir(registers)
+
+    streamed = {
+        r.grp: r.hll_estimate
+        for r in estimate_from_registers(spark, registers).collect()
+    }
+    batch = {
+        r.priority: r.hll_estimate
+        for r in all_queries()["hll_distinct_md5"].builder(spark, sf_oracle).collect()
+    }
+    assert streamed == batch  # exact equality: same registers, same formula
+
+    # Merged streamed registers == one-shot batch registers, cell for cell.
+    merged = {
+        (r.grp, r.bucket): r.m
+        for r in spark.read.parquet(registers)
+        .groupBy("grp", "bucket")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    }
+    direct = {
+        (r.grp, r.bucket): r.m
+        for r in batch_registers(o, "o_orderpriority", "o_custkey").collect()
+    }
+    assert merged == direct
+
+
+def test_replayed_batch_is_idempotent(spark, sf_oracle, tmp_path):
+    o = load_table(spark, sf_oracle, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    registers = str(tmp_path / "registers")
+    writer = register_writer(registers, "o_orderpriority", "o_custkey")
+    half = o.filter(F.col("o_custkey") % 2 == 0)
+    writer(half, 0)
+    before = {
+        r.grp: r.hll_estimate
+        for r in estimate_from_registers(spark, registers).collect()
+    }
+    writer(half, 0)  # at-least-once replay of the SAME micro-batch
+    after = {
+        r.grp: r.hll_estimate
+        for r in estimate_from_registers(spark, registers).collect()
+    }
+    assert before == after  # MAX-merge absorbs the duplicate append
