@@ -155,6 +155,79 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDC_BUCKET = _DUCK_BUCKET.format(seed=7, col="o_orderkey") + " % 5"
 
+
+def cdc_tagged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in integer cents with the deterministic md5 change
+    bucket (0=insert, 1=update, 2=double update, 3=delete, 4=no-op)
+    — shared by the batch merge query and the streaming
+    merge-on-read twin (streaming/cdc_apply.py)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return o.withColumn("b", md5_bucket(F.col("o_orderkey"), seed=7) % 5)
+
+
+def cdc_change_log(tagged: DataFrame) -> DataFrame:
+    """The ordered change log derived from the tagged orders:
+    (o_orderkey, o_custkey, op, seq, new_cents)."""
+    p = F.col("cents")
+    up1 = F.expr("(cents * 110) div 100")
+    up2 = F.expr("(cents * 120) div 100")
+    return tagged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.when(
+                F.col("b") == 0,
+                F.array(
+                    F.struct(
+                        F.lit("I").alias("op"),
+                        F.lit(1).alias("seq"),
+                        p.alias("new_cents"),
+                    )
+                ),
+            )
+            .when(
+                F.col("b") == 1,
+                F.array(
+                    F.struct(
+                        F.lit("U").alias("op"),
+                        F.lit(1).alias("seq"),
+                        up1.alias("new_cents"),
+                    )
+                ),
+            )
+            .when(
+                F.col("b") == 2,
+                F.array(
+                    F.struct(
+                        F.lit("U").alias("op"),
+                        F.lit(1).alias("seq"),
+                        up1.alias("new_cents"),
+                    ),
+                    F.struct(
+                        F.lit("U").alias("op"),
+                        F.lit(2).alias("seq"),
+                        up2.alias("new_cents"),
+                    ),
+                ),
+            )
+            .when(
+                F.col("b") == 3,
+                F.array(
+                    F.struct(
+                        F.lit("D").alias("op"),
+                        F.lit(1).alias("seq"),
+                        F.lit(None).cast("long").alias("new_cents"),
+                    )
+                ),
+            )
+            # b == 4: no change row; explode(NULL) yields no rows
+        ).alias("c"),
+    ).select("o_orderkey", "o_custkey", "c.op", "c.seq", "c.new_cents")
+
 @register(
     "cdc_snapshot_merge",
     f"""
@@ -217,68 +290,9 @@ _CDC_BUCKET = _DUCK_BUCKET.format(seed=7, col="o_orderkey") + " % 5"
     "DuckDB the binary double — caught live by the parity suite).",
 )
 def cdc_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    tagged = o.withColumn("b", md5_bucket(F.col("o_orderkey"), seed=7) % 5)
+    tagged = cdc_tagged_orders(spark, sf_dir)
     base = tagged.where(F.col("b") != 0).drop("b")
-    p = F.col("cents")
-    up1 = F.expr("(cents * 110) div 100")
-    up2 = F.expr("(cents * 120) div 100")
-    ops = tagged.select(
-        "o_orderkey",
-        "o_custkey",
-        F.explode(
-            F.when(
-                F.col("b") == 0,
-                F.array(
-                    F.struct(
-                        F.lit("I").alias("op"),
-                        F.lit(1).alias("seq"),
-                        p.alias("new_cents"),
-                    )
-                ),
-            )
-            .when(
-                F.col("b") == 1,
-                F.array(
-                    F.struct(
-                        F.lit("U").alias("op"),
-                        F.lit(1).alias("seq"),
-                        up1.alias("new_cents"),
-                    )
-                ),
-            )
-            .when(
-                F.col("b") == 2,
-                F.array(
-                    F.struct(
-                        F.lit("U").alias("op"),
-                        F.lit(1).alias("seq"),
-                        up1.alias("new_cents"),
-                    ),
-                    F.struct(
-                        F.lit("U").alias("op"),
-                        F.lit(2).alias("seq"),
-                        up2.alias("new_cents"),
-                    ),
-                ),
-            )
-            .when(
-                F.col("b") == 3,
-                F.array(
-                    F.struct(
-                        F.lit("D").alias("op"),
-                        F.lit(1).alias("seq"),
-                        F.lit(None).cast("long").alias("new_cents"),
-                    )
-                ),
-            )
-            # b == 4: no change row; explode(NULL) yields no rows
-        ).alias("c"),
-    ).select("o_orderkey", "o_custkey", "c.op", "c.seq", "c.new_cents")
+    ops = cdc_change_log(tagged)
     w = W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
     latest = (
         ops.withColumn("rn", F.row_number().over(w))
