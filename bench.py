@@ -159,6 +159,7 @@ HEADLINE = [
     "quantity_moments",         # variance/skewness from power sums
     "frequent_triples",         # A-priori k=3 itemsets (L2-pruned)
     "media_dedup_report",       # Arrow-path media dedup, oracle-replayed
+    "covariance_power_iteration",  # PCA top direction, integer mat-vecs
 ]
 
 

@@ -597,3 +597,150 @@ def ivf_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query_id=0, n_cells=K, nprobe=NPROBE,
         m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
     )
+
+
+@register(
+    "covariance_power_iteration",
+    """
+    WITH e0 AS (
+      SELECT vec_id, embedding, UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
+    ), st AS (
+      SELECT dim, SUM(val) / COUNT(*) AS mean, COUNT(*) AS n
+      FROM e GROUP BY dim
+    ), sij AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j, SUM(a.val * b.val) AS s
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim
+    ), upper_c AS MATERIALIZED (
+      SELECT s.dim_i, s.dim_j,
+             CAST(ROUND((s.s / si.n - si.mean * sj.mean) * 1e6) AS BIGINT)
+               AS cint
+      FROM sij s
+      JOIN st si ON si.dim = s.dim_i
+      JOIN st sj ON sj.dim = s.dim_j
+    ), cmat AS MATERIALIZED (
+      SELECT dim_i AS i, dim_j AS j, cint FROM upper_c
+      UNION ALL
+      SELECT dim_j, dim_i, cint FROM upper_c WHERE dim_i <> dim_j
+    ), q0 AS (
+      SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS q FROM cmat
+    ), w1 AS MATERIALIZED (
+      SELECT c.i, CAST(SUM(c.cint * q.q) AS BIGINT) AS w
+      FROM cmat c JOIN q0 q ON q.j = c.j GROUP BY c.i
+    ), q1 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(ROUND(CAST(w AS DOUBLE) * 1e6 /
+                  (SELECT MAX(ABS(w)) FROM w1)) AS BIGINT) AS q
+      FROM w1
+    ), w2 AS MATERIALIZED (
+      SELECT c.i, CAST(SUM(c.cint * q.q) AS BIGINT) AS w
+      FROM cmat c JOIN q1 q ON q.j = c.j GROUP BY c.i
+    ), q2 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(ROUND(CAST(w AS DOUBLE) * 1e6 /
+                  (SELECT MAX(ABS(w)) FROM w2)) AS BIGINT) AS q
+      FROM w2
+    ), w3 AS MATERIALIZED (
+      SELECT c.i, CAST(SUM(c.cint * q.q) AS BIGINT) AS w
+      FROM cmat c JOIN q2 q ON q.j = c.j GROUP BY c.i
+    ), q3 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(ROUND(CAST(w AS DOUBLE) * 1e6 /
+                  (SELECT MAX(ABS(w)) FROM w3)) AS BIGINT) AS q
+      FROM w3
+    ), norm AS (
+      SELECT SQRT(CAST(SUM(q * q) AS DOUBLE)) AS nrm FROM q3
+    ), signfix AS (
+      SELECT CASE WHEN q >= 0 THEN 1.0 ELSE -1.0 END AS flip
+      FROM q3 ORDER BY ABS(q) DESC, j LIMIT 1
+    )
+    SELECT q3.j AS dim,
+           ROUND(q3.q * (SELECT flip FROM signfix)
+                 / (SELECT nrm FROM norm), 6) + 0.0 AS loading
+    FROM q3
+    """,
+    doc="Top principal direction of the embedding covariance by "
+    "THREE power-iteration steps — PCA's workhorse expressed "
+    "relationally on top of the oracled covariance: the 6-dp cell "
+    "values scale to EXACT integers, every mat-vec is an exact "
+    "BIGINT sum (products bounded ~1e12, no FP accumulation-order "
+    "dependence — the trap a naive double mat-vec has on BOTH "
+    "engines), and each iteration renormalizes by max|w| back to "
+    "the 1e6 integer grid with one deterministic double division "
+    "per component. Final unit-normalization and a sign convention "
+    "(largest-|component| positive, dim tie-break) pin the "
+    "eigenvector's inherent sign ambiguity. Defined as '3 power "
+    "steps from all-ones', not 'the converged eigenvector' — the "
+    "test corpus is near-isotropic, so convergence is slow and the "
+    "DEFINITION is what the oracle replays. Scale: the corpus "
+    "appears only through the d x d covariance (mapInPandas Gram "
+    "partials, corpus-size independent); iterations touch 64x64 "
+    "scalars. At real scale one runs more steps or Lanczos on the "
+    "same mat-vec primitive.",
+)
+def covariance_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_covariance as cov_op
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    upper = cov_op(emb).select(
+        "dim_i",
+        "dim_j",
+        F.round(F.col("cov") * 1e6).cast("long").alias("cint"),
+    )
+    cmat = upper.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cint"
+    ).unionByName(
+        upper.where(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cint"
+        )
+    ).persist()
+    q = cmat.select(F.col("i").alias("j")).distinct().withColumn(
+        "q", F.lit(1000000).cast("long")
+    )
+    for _ in range(3):
+        w = (
+            cmat.join(q, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cint") * F.col("q")).cast("long").alias("w"))
+        )
+        wmax = w.agg(F.max(F.abs("w")).alias("wmax"))
+        q = (
+            w.crossJoin(F.broadcast(wmax))
+            .select(
+                F.col("i").alias("j"),
+                F.round(
+                    F.col("w").cast("double") * 1e6 / F.col("wmax")
+                )
+                .cast("long")
+                .alias("q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    norm = q.agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("nrm")
+    )
+    signfix = (
+        q.orderBy(F.abs("q").desc(), "j")
+        .limit(1)
+        .select(
+            F.when(F.col("q") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias(
+                "flip"
+            )
+        )
+    )
+    out = (
+        q.crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(signfix))
+        .select(
+            F.col("j").alias("dim"),
+            (
+                F.round(F.col("q") * F.col("flip") / F.col("nrm"), 6)
+                + F.lit(0.0)
+            ).alias("loading"),
+        )
+    )
+    out.cache_handle = cmat
+    return out

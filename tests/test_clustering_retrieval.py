@@ -208,3 +208,50 @@ def test_projected_topk_recall_vs_exact(spark, sf_oracle):
     proj = [r["vec_id"] for r in qs["ann_projected_topk"].builder(spark, sf_oracle).collect()]
     recall = len(set(exact) & set(proj)) / len(exact)
     assert recall >= 0.4, recall
+
+
+def test_power_iteration_matches_numpy_recipe(spark, sf_small):
+    """covariance_power_iteration computes exactly its defined recipe:
+    numpy re-runs the same integer-grid power steps from the same
+    6-dp covariance and must agree to the printed precision."""
+    import numpy as np
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    vecs = np.array(
+        [
+            list(r.embedding)
+            for r in spark.read.parquet(f"{sf_small}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    n, d = vecs.shape
+    mean = vecs.sum(axis=0) / n
+    cov = (vecs.T @ vecs) / n - np.outer(mean, mean)
+    cint = np.round(np.round(cov, 6) * 1e6).astype(np.int64)
+    q = np.full(d, 1_000_000, dtype=np.int64)
+    for _ in range(3):
+        w = cint @ q
+        q = np.round(w.astype(np.float64) * 1e6 / np.abs(w).max()).astype(
+            np.int64
+        )
+    nrm = np.sqrt(float((q.astype(object) ** 2).sum()))
+    flip = 1.0 if q[np.argmax(np.abs(q))] >= 0 else -1.0
+    expected = {i: round(float(q[i]) * flip / nrm, 6) for i in range(d)}
+
+    df = all_queries()["covariance_power_iteration"].builder(spark, sf_small)
+    got = {r.dim: r.loading for r in df.collect()}
+    h = getattr(df, "cache_handle", None)
+    if h is not None:
+        h.unpersist()
+    assert set(got) == set(expected)
+    for i in expected:
+        assert abs(got[i] - expected[i]) < 2e-6, (i, got[i], expected[i])
+    # Unit norm and sign convention hold.
+    assert abs(sum(v * v for v in got.values()) - 1.0) < 1e-6
+    top = max(got, key=lambda i: abs(got[i]))
+    assert got[top] >= 0
