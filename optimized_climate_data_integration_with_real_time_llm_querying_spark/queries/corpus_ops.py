@@ -1756,9 +1756,6 @@ def _unigram_oracle() -> str:
       SELECT word, wl, cnt, prev AS pos FROM bt{tag}_{k}
     )"""
             )
-            # Rename the chained frame: next step reads bt{tag}_{k}n.
-            ctes[-2] = ctes[-2]
-        # Fix the chain: step k reads bt{tag}_{k-1}n for k >= 2.
         seg_union = " UNION ALL ".join(
             f"SELECT word, cnt, start, piece FROM bt{tag}_{k}"
             for k in range(1, maxw + 1)
@@ -1766,8 +1763,8 @@ def _unigram_oracle() -> str:
         ctes.append(f", seg{tag} AS MATERIALIZED (SELECT * FROM ({seg_union}))")
         return ctes
 
-    # NOTE: backtrack chaining — rewrite pass below substitutes the
-    # correct upstream names (bt{tag}_{k} reads bt{tag}_{k-1}n).
+    # Backtrack chaining: the rewrite pass at the end substitutes the
+    # correct upstream names (step k reads step k-1's "n" projection).
     sql_parts = parts
     for tag, vocab in (("a", "v0"), ("b", "v1")):
         if tag == "b":

@@ -579,8 +579,9 @@ def test_pareto_random_points_with_ties(spark, tmp_path):
             .collect()
         }
         assert got == expected, f"seed {seed}"
-        # Duplicate optimal points co-survive (neither dominates).
-        frontier_pts = [(p[1], p[2]) for p in pts if p[0] in expected]
-        for fp in set(frontier_pts):
-            same = [p[0] for p in pts if (p[1], p[2]) == fp]
-            assert set(same) <= expected or not (set(same) & expected)
+        # Duplicate optimal points co-survive (neither dominates), so
+        # every point sharing a frontier (price, size) is kept.
+        frontier_pts = {(p[1], p[2]) for p in pts if p[0] in expected}
+        for fp in frontier_pts:
+            same = {p[0] for p in pts if (p[1], p[2]) == fp}
+            assert same <= expected
