@@ -54,7 +54,10 @@ def run_cdc_apply_available_now(
 
 
 def resolve_snapshot(
-    spark: SparkSession, base: DataFrame, delta_path: str
+    spark: SparkSession,
+    base: DataFrame,
+    delta_path: str,
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """Merge-on-read resolve: (o_orderkey, o_custkey, price, version)
     with the same semantics as the batch cdc_snapshot_merge output.
@@ -62,8 +65,17 @@ def resolve_snapshot(
     ``base`` columns: o_orderkey, o_custkey, cents. Base rows enter
     the window as (batch_id=-1, seq=-1, op='B') so any delta row for
     the same key outranks them; rn=1 per key wins; 'D' winners drop.
+
+    ``as_of_batch`` is TIME TRAVEL for free: because the delta log is
+    append-only and batch-id-stamped, resolving with only rows where
+    ``batch_id <= as_of_batch`` reconstructs the table exactly as it
+    stood after that micro-batch — no snapshots were ever stored.
+    This is the query-side half of what lakehouse formats call
+    version-as-of; compaction bounds how far back it reaches.
     """
     delta = spark.read.parquet(delta_path).distinct()  # replay dedup
+    if as_of_batch is not None:
+        delta = delta.where(F.col("batch_id") <= as_of_batch)
     b = base.select(
         "o_orderkey",
         "o_custkey",

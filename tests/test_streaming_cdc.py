@@ -66,3 +66,42 @@ def test_replayed_delta_append_is_absorbed(spark, sf_oracle, tmp_path):
     writer(log, 0)  # at-least-once replay of the same micro-batch
     after = _canon(resolve_snapshot(spark, base, delta).collect())
     assert before == after
+
+
+def test_as_of_batch_time_travel(spark, sf_oracle, tmp_path):
+    """Resolving the delta log AS OF an earlier batch reconstructs
+    the table as it stood then: after only the seq=1 drop, the
+    double-update keys must show the FIRST update's price; the full
+    log must then show the second's."""
+    tagged = cdc_tagged_orders(spark, sf_oracle)
+    base = tagged.where(F.col("b") != 0).drop("b")
+    log = cdc_change_log(tagged)
+    delta = str(tmp_path / "delta")
+    writer = delta_writer(delta)
+    writer(log.where(F.col("seq") == 1), 0)
+    writer(log.where(F.col("seq") == 2), 1)
+
+    double_keys = {
+        r.o_orderkey
+        for r in tagged.where(F.col("b") == 2).select("o_orderkey").collect()
+    }
+    assert double_keys
+    cents = {
+        r.o_orderkey: r.cents
+        for r in tagged.where(F.col("b") == 2)
+        .select("o_orderkey", "cents")
+        .collect()
+    }
+    as_of_0 = {
+        r.o_orderkey: r.price
+        for r in resolve_snapshot(spark, base, delta, as_of_batch=0).collect()
+        if r.o_orderkey in double_keys
+    }
+    full = {
+        r.o_orderkey: r.price
+        for r in resolve_snapshot(spark, base, delta).collect()
+        if r.o_orderkey in double_keys
+    }
+    for k in double_keys:
+        assert round(as_of_0[k] * 100) == (cents[k] * 110) // 100  # first update
+        assert round(full[k] * 100) == (cents[k] * 120) // 100     # second wins
