@@ -1,4 +1,4 @@
-"""Streaming maintenance of mergeable sketches (HyperLogLog).
+"""Streaming maintenance of mergeable sketches (HLL + Count-Min).
 
 The batch HLL (queries/sketches.py ``hll_distinct_md5``) computes
 per-group registers in one aggregation. Real pipelines maintain the
@@ -10,9 +10,9 @@ micro-batch appends duplicate (group, bucket, rho) rows, and the
 MAX-merge at read time is idempotent to duplicates. No transactional
 sink, no dedup state — the algebra of the sketch absorbs retries.
 (Contrast the MinHash index maintenance next door, which relies on
-pair-level dedup downstream, and SUM-merged sketches like Count-Min,
-which would double-count on replay and DO need batch-id keyed
-writes.)
+pair-level dedup downstream, and the SUM-merged Count-Min in the
+second half of this module, which would double-count on replay and
+therefore uses batch-id-KEYED overwrites instead.)
 
 Each micro-batch computes registers over ONLY its own rows (one
 narrow aggregation) and appends them; the estimate reader re-merges
@@ -120,3 +120,93 @@ def estimate_from_registers(
         F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
     ).otherwise(F.col("e_raw"))
     return est.select("grp", F.round(corrected, 2).alias("hll_estimate"))
+
+
+# ------------------------------------------------------------------
+# Count-Min maintenance — the SUM-merged counterpart
+# ------------------------------------------------------------------
+# CMS cells merge by SUM, so the HLL append-only protocol above is
+# NOT replay-safe here: a re-delivered micro-batch would double-count
+# every cell. The standard fix is batch-id-KEYED writes — each batch
+# OVERWRITES its own partition directory, so replays converge to the
+# same bytes instead of accumulating. This pair of modules is the
+# worked contrast: idempotence from sketch algebra (MAX) vs
+# idempotence from write discipline (keyed overwrite).
+
+_CMS_ROWS = 4
+_CMS_WIDTH = 512
+
+
+def cms_batch_cells(batch_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(r, bucket, cell) partial sketch for ONE micro-batch — same
+    md5 row-hash family as the batch cms_heavy_hitters query, so
+    summed partials equal the one-shot sketch exactly."""
+    from ..operators.text import tokens
+
+    tc = (
+        batch_df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hashed = tc.select(
+        "n",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_ROWS)])).alias("r"),
+        "token",
+    ).withColumn(
+        "bucket",
+        _h32(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token")))
+        % _CMS_WIDTH,
+    )
+    return hashed.groupBy("r", "bucket").agg(F.sum("n").alias("cell"))
+
+
+def cms_cell_writer(cells_path: str, text_col: str = "text"):
+    """foreachBatch function: OVERWRITE this batch's own partition
+    directory (cells_path/batch_id=N). Replays rewrite the same
+    directory with the same deterministic bytes — idempotent by
+    write discipline, since SUM-merge cannot absorb duplicates."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_batch_cells(batch_df, text_col).write.mode("overwrite").parquet(
+            f"{cells_path}/batch_id={batch_id}"
+        )
+
+    return write_batch
+
+
+def run_cms_maintenance_available_now(
+    stream: DataFrame, cells_path: str, checkpoint_path: str
+) -> None:
+    q = (
+        stream.writeStream.foreachBatch(cms_cell_writer(cells_path))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cms_point_estimates(
+    spark: SparkSession, cells_path: str, tokens_df: DataFrame
+) -> DataFrame:
+    """SUM-merge all batch partials, then point-query the given
+    (token) rows: (token, cms_estimate)."""
+    merged = (
+        spark.read.parquet(cells_path)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    probes = tokens_df.select(
+        "token",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_ROWS)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        _h32(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token")))
+        % _CMS_WIDTH,
+    )
+    return (
+        probes.join(merged, ["r", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cms_estimate"))
+    )

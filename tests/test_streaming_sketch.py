@@ -89,3 +89,54 @@ def test_replayed_batch_is_idempotent(spark, sf_oracle, tmp_path):
         for r in estimate_from_registers(spark, registers).collect()
     }
     assert before == after  # MAX-merge absorbs the duplicate append
+
+
+def test_streamed_cms_equals_batch_and_keyed_writes_are_idempotent(
+    spark, sf_oracle, tmp_path
+):
+    """SUM-merged Count-Min maintained with batch-id-KEYED overwrites:
+    streamed point estimates equal the batch sketch exactly, and
+    replaying a micro-batch (rewriting its own directory) changes
+    nothing — the write-discipline counterpart of HLL's MAX-merge
+    idempotence."""
+    from pyspark.sql import functions as F2
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.streaming.sketch_maintenance import (
+        cms_batch_cells,
+        cms_cell_writer,
+        cms_point_estimates,
+        run_cms_maintenance_available_now,
+    )
+
+    d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    drops = str(tmp_path / "drops")
+    for i in range(3):
+        d.filter(F2.col("doc_id") % 3 == i).write.mode("append").parquet(drops)
+
+    cells = str(tmp_path / "cells")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(drops)
+    )
+    run_cms_maintenance_available_now(stream, cells, str(tmp_path / "ckpt"))
+
+    batch_rows = all_queries()["cms_heavy_hitters"].builder(spark, sf_oracle).collect()
+    toks = spark.createDataFrame(
+        [(r.token,) for r in batch_rows], "token string"
+    )
+    streamed = {
+        r.token: r.cms_estimate
+        for r in cms_point_estimates(spark, cells, toks).collect()
+    }
+    for r in batch_rows:
+        assert streamed[r.token] == r.cms_estimate, r.token
+
+    # Replay: rewrite batch 0's directory with the same micro-batch.
+    writer = cms_cell_writer(cells)
+    writer(d.filter(F2.col("doc_id") % 3 == 0), 0)
+    after = {
+        r.token: r.cms_estimate
+        for r in cms_point_estimates(spark, cells, toks).collect()
+    }
+    assert after == streamed
