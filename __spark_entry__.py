@@ -61,9 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # null_ordering_ranks, bloom_semi_join_audit,
 # unigram_lm_segments, chi2_lang_source, ols_order_size_price,
 # quantity_moments, frequent_triples, media_dedup_report,
-# covariance_power_iteration) — 57 never-rowed entries total: 50
-# fill the round-9 window, the remaining 7 join the deferred tier
-# leading round 10. They MUST lead the round-9 window,
+# covariance_power_iteration, revenue_percentile_disc) — 58
+# never-rowed entries total: 50 fill the round-9 window, the
+# remaining 8 join the deferred tier leading round 10. They MUST lead the round-9 window,
 # with the 20-entry deferred tier (head of _DEMOTE) taking the
 # remaining slots as promised below. All are green in the local
 # parity suite (tests/test_oracle_parity.py) every run meanwhile.

@@ -160,6 +160,7 @@ HEADLINE = [
     "frequent_triples",         # A-priori k=3 itemsets (L2-pruned)
     "media_dedup_report",       # Arrow-path media dedup, oracle-replayed
     "covariance_power_iteration",  # PCA top direction, integer mat-vecs
+    "revenue_percentile_disc",  # nearest-rank discrete percentiles
 ]
 
 

@@ -459,3 +459,65 @@ def zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "box filter not pushed to the parquet scan"
     )
     return out
+
+
+@register(
+    "revenue_percentile_disc",
+    """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                          THEN o_totalprice END), 2) + 0.0 AS p50,
+           ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                          THEN o_totalprice END), 2) + 0.0 AS p90,
+           ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                          THEN o_totalprice END), 2) + 0.0 AS p99
+    FROM ranked GROUP BY o_orderstatus
+    """,
+    doc="DISCRETE percentiles (nearest-rank: the smallest data value "
+    "whose rank reaches ceil(p*n)) — the interpolation-free twin of "
+    "revenue_quantiles. Implemented from FIRST PRINCIPLES on both "
+    "engines (row_number + ceil-rank pick) rather than the native "
+    "percentile_disc/quantile_disc aggregates, because nearest-rank "
+    "conventions are exactly the kind of cross-engine edge this "
+    "registry pins explicitly; a test asserts Spark's native "
+    "percentile_disc WITHIN GROUP agrees with the rank formula, so "
+    "the native function is ALSO covered. Discrete percentiles "
+    "return actual data values (exact, no FP interpolation) — for "
+    "monetary SLAs that is usually the right statistic, and it is "
+    "deterministic by construction. Same per-group window shape as "
+    "the registry's other ranked queries; duplicate values make the "
+    "picked VALUE unambiguous regardless of tie order.",
+)
+def revenue_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("o_orderstatus"))
+    )
+
+    def pick(p: float, name: str) -> F.Column:
+        target = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return (
+            F.round(
+                F.max(
+                    F.when(F.col("rn") == target, F.col("o_totalprice"))
+                ),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias(name)
+
+    return ranked.groupBy("o_orderstatus").agg(
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99")
+    )

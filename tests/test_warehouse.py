@@ -585,3 +585,34 @@ def test_pareto_random_points_with_ties(spark, tmp_path):
         for fp in frontier_pts:
             same = {p[0] for p in pts if (p[1], p[2]) == fp}
             assert same <= expected
+
+
+def test_percentile_disc_pins_native_function(spark, sf_oracle):
+    """The rank-formula discrete percentiles equal Spark's native
+    percentile_disc WITHIN GROUP — pinning the native aggregate to
+    nearest-rank semantics so a silent convention change would fail
+    here before it could diverge from the oracle."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    native = {
+        r.o_orderstatus: (r.p50, r.p90, r.p99)
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            *[
+                F.round(
+                    F.expr(
+                        f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+                    ),
+                    2,
+                ).alias(name)
+                for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+            ]
+        )
+        .collect()
+    }
+    mine = {
+        r.o_orderstatus: (r.p50, r.p90, r.p99)
+        for r in QUERIES["revenue_percentile_disc"].builder(spark, sf_oracle).collect()
+    }
+    assert native == mine
