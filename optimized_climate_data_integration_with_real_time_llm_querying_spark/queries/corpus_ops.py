@@ -1840,6 +1840,18 @@ def unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wl", F.length("word").cast("int"))
         .persist()
     )
+    # The DP below unrolls to _UNI_MAXW positions; a longer word
+    # would silently vanish from the segmentation (no dp row at its
+    # final position) on BOTH engines identically, which no parity
+    # check could catch. Fail loudly instead (1-scalar driver
+    # collect, the kmeans/BPE shape).
+    max_wl = words.agg(F.max("wl")).first()[0]
+    if max_wl is not None and max_wl > _UNI_MAXW:
+        raise ValueError(
+            f"unigram_lm_segments: corpus word length {max_wl} exceeds "
+            f"the unrolled DP depth _UNI_MAXW={_UNI_MAXW}; raise the "
+            "constant (and regenerate the oracle) for this corpus"
+        )
     subs = (
         words.select(
             "word", "wl", "cnt",
@@ -1858,12 +1870,12 @@ def unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("cnt").alias("wt"))
     )
-    top = (
-        subs.withColumn(
-            "rn", F.row_number().over(W.orderBy(F.desc("wt"), "piece"))
-        )
-        .where(F.col("rn") <= _UNI_TOPK)
-        .select("piece", "wt")
+    # TakeOrderedAndProject heap, not a global row_number window
+    # (which would plan Exchange SinglePartition over every distinct
+    # substring); the (wt desc, piece) total order keeps the kept
+    # set deterministic.
+    top = subs.orderBy(F.desc("wt"), "piece").limit(_UNI_TOPK).select(
+        "piece", "wt"
     )
     chars = subs.where(F.length("piece") == 1).select("piece", "wt")
     seed = top.unionByName(chars).distinct().persist()

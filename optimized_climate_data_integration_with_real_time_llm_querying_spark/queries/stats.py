@@ -331,25 +331,9 @@ def quantity_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioning.",
 )
 def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .persist()
-    )
-    a = li.alias("a")
-    c = li.alias("c")
-    pairs = a.join(
-        c,
-        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb"))
-    l2 = (
-        pairs.groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .where(F.col("s") >= 2)
-        .select("pa", "pb")
-    )
+    from .warehouse import copurchase_edges
+
+    li, l2 = copurchase_edges(spark, sf_dir)
     e1, e2, e3 = l2.alias("e1"), l2.alias("e2"), l2.alias("e3")
     cand = (
         e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))

@@ -61,7 +61,7 @@ _DUCK_BUCKET = (
     )
     SELECT constraint_name,
            ROUND(metric, 6) + 0.0 AS metric,
-           CAST(metric >= 1.0 AS INT) AS passed
+           CAST(ROUND(metric, 6) >= 1.0 AS INT) AS passed
     FROM (
       SELECT 'completeness_o_custkey' AS constraint_name,
              CAST(n_custkey AS DOUBLE) / n_rows AS metric FROM agg
@@ -149,7 +149,10 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         F.col("r.constraint_name").alias("constraint_name"),
         (F.round(F.col("r.metric"), 6) + F.lit(0.0)).alias("metric"),
-        (F.col("r.metric") >= 1.0).cast("int").alias("passed"),
+        # passed is judged on the SAME 6-dp value the report shows —
+        # a row can never read metric=1.0, passed=0 (the tolerance is
+        # the rounding grain, 5e-7).
+        (F.round(F.col("r.metric"), 6) >= 1.0).cast("int").alias("passed"),
     )
 
 
@@ -463,8 +466,9 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN CAST(SUM(cnt) OVER w7 AS BIGINT) END AS trend7,
              dayofweek(day) AS dow
       FROM daily
-      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
-                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      WINDOW w7 AS (PARTITION BY event_type
+                    ORDER BY datediff('day', DATE '1970-01-01', day)
+                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ), seasonal AS (
       SELECT *,
              CAST(SUM(7 * cnt - trend7) OVER wd AS BIGINT) AS s_sum,
@@ -491,7 +495,10 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avg-of-doubles seasonal (segment-tree vs linear accumulation "
     "would differ at 1e-16 and round unpredictably). Spark side: the "
     "windows run over the per-day PRE-AGGREGATE (days x types rows, "
-    "corpus-size independent) — the only full-data pass is the "
+    "corpus-size independent), and the trend frame is a RANGE over "
+    "calendar-day numbers (a rows-frame would silently span more "
+    "than 7 days across gaps; the count==7 guard doubles as a "
+    "density check) — the only full-data pass is the "
     "partial+final daily count. dow is Sunday=0 on both engines "
     "(Spark dayofweek()-1, DuckDB dayofweek). The reference's "
     "closest shape is the monthly group-mean "
@@ -504,7 +511,16 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    # RANGE frame on the day NUMBER, not a 7-ROW frame: with gaps in
+    # the daily series a rows-frame silently spans >7 calendar days;
+    # the count==7 guard then also enforces density within the
+    # +/-3-day window, so trend is defined exactly where a true
+    # centered 7-day MA exists.
+    w7 = (
+        W.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-3, 3)
+    )
     trended = daily.withColumn(
         "trend7",
         F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("cnt").over(w7)).cast(
@@ -527,6 +543,34 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(seas, 4) + F.lit(0.0)).alias("seasonal"),
         (F.round(F.col("cnt") - trend - seas, 4) + F.lit(0.0)).alias("remainder"),
     )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str, min_support: int = 2):
+    """Shared edge pipeline for the co-purchase graph family
+    (triangles / hop distance / frequent triples): distinct
+    (order, part) baskets and the support>=min_support ordered edge
+    list. Returns (baskets, edges); ``baskets`` is persisted — the
+    caller owns releasing it (attach as cache_handle)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    a = li.alias("a")
+    c = li.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb"))
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("pa", "pb")
+    )
+    return li, edges
 
 
 @register(
@@ -563,26 +607,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the local-clustering primitive.",
 )
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    c = li.alias("c")
-    pairs = a.join(
-        c,
-        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb")
-    )
-    e = (
-        pairs.groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-        .select("pa", "pb")
-    )
+    li, e = copurchase_edges(spark, sf_dir)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -591,11 +616,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e3,
         (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
     )
-    return tri.select(
+    out = tri.select(
         F.col("e1.pa").alias("a"),
         F.col("e1.pb").alias("b"),
         F.col("e2.pb").alias("c"),
     )
+    out.cache_handle = li
+    return out
 
 
 @register(
@@ -1107,24 +1134,7 @@ def user_lifecycle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "depth the min-hop collapse is cheaper than the extra join.",
 )
 def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    c = li.alias("c")
-    pairs = a.join(
-        c,
-        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb"))
-    e0 = (
-        pairs.groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .where(F.col("s") >= 2)
-        .select("pa", "pb")
-    )
+    li, e0 = copurchase_edges(spark, sf_dir)
     e = e0.unionByName(
         e0.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).persist()
@@ -1142,7 +1152,7 @@ def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged = lvl.select("node", F.lit(hop).alias("hop"))
         out = tagged if out is None else out.unionByName(tagged)
     result = out.groupBy("node").agg(F.min("hop").cast("int").alias("hop"))
-    result.cache_handle = e
+    result.cache_handles = [e, li]
     return result
 
 
@@ -1221,67 +1231,9 @@ def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge run per refresh.",
 )
 def maintenance_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    tagged = o.withColumn("b", md5_bucket(F.col("o_orderkey"), seed=7) % 5)
+    tagged = cdc_tagged_orders(spark, sf_dir)
     base = tagged.where(F.col("b") != 0).drop("b")
-    p = F.col("cents")
-    up1 = F.expr("(cents * 110) div 100")
-    up2 = F.expr("(cents * 120) div 100")
-    ops = tagged.select(
-        "o_orderkey",
-        "o_custkey",
-        F.explode(
-            F.when(
-                F.col("b") == 0,
-                F.array(
-                    F.struct(
-                        F.lit("I").alias("op"),
-                        F.lit(1).alias("seq"),
-                        p.alias("new_cents"),
-                    )
-                ),
-            )
-            .when(
-                F.col("b") == 1,
-                F.array(
-                    F.struct(
-                        F.lit("U").alias("op"),
-                        F.lit(1).alias("seq"),
-                        up1.alias("new_cents"),
-                    )
-                ),
-            )
-            .when(
-                F.col("b") == 2,
-                F.array(
-                    F.struct(
-                        F.lit("U").alias("op"),
-                        F.lit(1).alias("seq"),
-                        up1.alias("new_cents"),
-                    ),
-                    F.struct(
-                        F.lit("U").alias("op"),
-                        F.lit(2).alias("seq"),
-                        up2.alias("new_cents"),
-                    ),
-                ),
-            )
-            .when(
-                F.col("b") == 3,
-                F.array(
-                    F.struct(
-                        F.lit("D").alias("op"),
-                        F.lit(1).alias("seq"),
-                        F.lit(None).cast("long").alias("new_cents"),
-                    )
-                ),
-            )
-        ).alias("c"),
-    ).select("o_orderkey", "o_custkey", "c.op", "c.seq", "c.new_cents")
+    ops = cdc_change_log(tagged)
     w = W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
     latest = (
         ops.withColumn("rn", F.row_number().over(w))

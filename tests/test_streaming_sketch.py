@@ -111,7 +111,13 @@ def test_streamed_cms_equals_batch_and_keyed_writes_are_idempotent(
     d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
     drops = str(tmp_path / "drops")
     for i in range(3):
-        d.filter(F2.col("doc_id") % 3 == i).write.mode("append").parquet(drops)
+        # One part-file per drop: the replay step below rewrites batch
+        # 0 with drop 0's FULL contents, which is only the same input
+        # the stream saw for batch 0 if each drop is a single file
+        # under maxFilesPerTrigger=1.
+        d.filter(F2.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(drops)
 
     cells = str(tmp_path / "cells")
     stream = (
