@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # doremi_domain_weights, hard_negative_mining, plus this round's
 # oracle twins), joined later in the round by
 # entity_resolution_clusters / longest_user_streaks and the
-# wave-3-through-12 additions (dq_constraint_report,
+# wave-3-through-13 additions (dq_constraint_report,
 # cdc_snapshot_merge, open_orders_concurrency,
 # pareto_frontier_parts, seasonal_decompose_daily,
 # copurchase_triangles, join_skew_audit, diversified_topk_docs,
@@ -61,12 +61,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # null_ordering_ranks, bloom_semi_join_audit,
 # unigram_lm_segments, chi2_lang_source, ols_order_size_price,
 # quantity_moments, frequent_triples, media_dedup_report,
-# covariance_power_iteration, revenue_percentile_disc).
-# ROUND-9 ALLOCATION: 58 never-rowed entries but only 50 window
+# covariance_power_iteration, revenue_percentile_disc,
+# holt_forecast_daily).
+# ROUND-9 ALLOCATION: 59 never-rowed entries but only 50 window
 # slots — the FIRST 50 names above (list order) fill the round-9
-# window; the last 8 names plus the 20-entry most-stable tier
+# window; the last 9 names plus the 20-entry most-stable tier
 # (head of _DEMOTE) form the deferred tier that leads round 10.
-# All 58 are green in the local parity suite
+# All 59 are green in the local parity suite
 # (tests/test_oracle_parity.py) every run in the meantime.
 #
 # CAPACITY NOTE (one-time bubble turned steady state): the registry

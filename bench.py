@@ -161,6 +161,7 @@ HEADLINE = [
     "media_dedup_report",       # Arrow-path media dedup, oracle-replayed
     "covariance_power_iteration",  # PCA top direction, integer mat-vecs
     "revenue_percentile_disc",  # nearest-rank discrete percentiles
+    "holt_forecast_daily",      # Holt trend forecast, 30-step unroll
 ]
 
 

@@ -661,3 +661,141 @@ def series_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pearson_r"), "id_a", "id_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecasting (exponential smoothing with trend)
+# --------------------------------------------------------------------------
+_HOLT_T = 30          # the events table spans exactly 30 dense days
+_HOLT_ALPHA = 0.75    # dyadic smoothing constants: products with the
+_HOLT_BETA = 0.25     # 6-dp state round deterministically on both engines
+_HOLT_H = 3
+
+
+def _holt_oracle() -> str:
+    a, b_, T = _HOLT_ALPHA, _HOLT_BETA, _HOLT_T
+    parts = [
+        f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), seq AS MATERIALIZED (
+      SELECT event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), s1 AS MATERIALIZED (
+      SELECT y1.event_type,
+             CAST(y1.cnt AS DOUBLE) AS l,
+             CAST(y2.cnt - y1.cnt AS DOUBLE) AS b
+      FROM seq y1 JOIN seq y2
+        ON y2.event_type = y1.event_type AND y1.rn = 1 AND y2.rn = 2
+    )"""
+    ]
+    for t in range(2, T + 1):
+        parts.append(
+            f""", s{t} AS MATERIALIZED (
+      SELECT s.event_type,
+             ROUND({a} * y.cnt + {1 - a} * (s.l + s.b), 6) AS l,
+             ROUND({b_} * (ROUND({a} * y.cnt + {1 - a} * (s.l + s.b), 6) - s.l)
+                   + {1 - b_} * s.b, 6) AS b
+      FROM s{t - 1} s JOIN seq y
+        ON y.event_type = s.event_type AND y.rn = {t}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT s.event_type, CAST(h.h AS INT) AS h,
+           ROUND(s.l, 6) + 0.0 AS level,
+           ROUND(s.b, 6) + 0.0 AS trend,
+           ROUND(s.l + h.h * s.b, 6) + 0.0 AS forecast
+    FROM s{T} s, (SELECT UNNEST(range(1, {_HOLT_H} + 1)) AS h) h
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "holt_forecast_daily",
+    _holt_oracle(),
+    doc="Holt linear-trend forecasting (double exponential smoothing, "
+    "alpha=0.75 / beta=0.25) of the per-type daily event count, with "
+    "a 3-day-ahead forecast — the FORECASTING capability the "
+    "decomposition query (seasonal_decompose_daily) describes but "
+    "does not predict. The 30-step state recursion l_t = a*y_t + "
+    "(1-a)*(l+b); b_t = b*(l_t - l_{t-1}) + (1-b)*b_t-1 is "
+    "inherently sequential, so it is UNROLLED over the per-day "
+    "aggregate exactly like the BPE/k-means/unigram trainings — 30 "
+    "generated CTEs in the oracle, 30 checkpointed 5-row joins in "
+    "the engine. Determinism: the smoothing constants are DYADIC "
+    "(0.75/0.25 are exact in binary), every state value is re-"
+    "rounded to 6 dp each step, and both engines evaluate identical "
+    "expression trees — so the state trajectories agree exactly at "
+    "every step, not just at the end. The guard raises loudly if "
+    "the series is not the expected dense 30 days (an unrolled "
+    "recursion cannot silently adapt — the unigram lesson). Scale: "
+    "the recursion runs over types x 1 state row; the corpus "
+    "appears only through the daily partial+final count.",
+)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    seq = daily.withColumn("rn", F.row_number().over(w)).persist()
+    # Loud shape guard (see docstring): every type must have exactly
+    # _HOLT_T days or the unrolled recursion is wrong, not just off.
+    counts = [r[0] for r in seq.groupBy("event_type").count().select("count").collect()]
+    if counts and (min(counts) != _HOLT_T or max(counts) != _HOLT_T):
+        raise ValueError(
+            f"holt_forecast_daily: expected exactly {_HOLT_T} days per "
+            f"event_type, got {sorted(set(counts))}"
+        )
+    a, b_ = _HOLT_ALPHA, _HOLT_BETA
+    y1 = seq.where(F.col("rn") == 1).select("event_type", F.col("cnt").alias("y1"))
+    y2 = seq.where(F.col("rn") == 2).select("event_type", F.col("cnt").alias("y2"))
+    state = y1.join(y2, "event_type").select(
+        "event_type",
+        F.col("y1").cast("double").alias("l"),
+        (F.col("y2") - F.col("y1")).cast("double").alias("b"),
+    )
+    for t in range(2, _HOLT_T + 1):
+        yt = seq.where(F.col("rn") == t).select("event_type", "cnt")
+        stepped = state.join(yt, "event_type").select(
+            "event_type",
+            F.round(a * F.col("cnt") + (1 - a) * (F.col("l") + F.col("b")), 6).alias(
+                "l_new"
+            ),
+            "l",
+            "b",
+        )
+        state = (
+            stepped.select(
+                "event_type",
+                F.col("l_new").alias("l"),
+                F.round(
+                    b_ * (F.col("l_new") - F.col("l")) + (1 - b_) * F.col("b"), 6
+                ).alias("b"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    out = state.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(_HOLT_H))).alias("h"),
+        "l",
+        "b",
+    ).select(
+        "event_type",
+        F.col("h").cast("int").alias("h"),
+        (F.round(F.col("l"), 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("b"), 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("l") + F.col("h") * F.col("b"), 6) + F.lit(0.0)).alias(
+            "forecast"
+        ),
+    )
+    out.cache_handle = seq
+    return out

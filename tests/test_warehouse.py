@@ -616,3 +616,63 @@ def test_percentile_disc_pins_native_function(spark, sf_oracle):
         for r in QUERIES["revenue_percentile_disc"].builder(spark, sf_oracle).collect()
     }
     assert native == mine
+
+
+def test_holt_forecast_matches_python_recipe(spark, sf_small):
+    """holt_forecast_daily computes exactly its defined recursion: a
+    Python re-run of the same 6-dp-rounded Holt steps from the same
+    daily counts must agree to the printed precision."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_small}/events.parquet")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        # Engine ROUND semantics: HALF_UP on the shortest decimal
+        # representation (Python's round() is banker's and diverges
+        # at exact .5e-6 boundaries, which this recursion does hit).
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r["count"]))
+    expected = {}
+    for et, pts in series.items():
+        pts.sort()
+        ys = [c for _, c in pts]
+        l, b = float(ys[0]), float(ys[1] - ys[0])
+        for y in ys[1:]:
+            l_new = r6(0.75 * y + 0.25 * (l + b))
+            b = r6(0.25 * (l_new - l) + 0.75 * b)
+            l = l_new
+        for h in (1, 2, 3):
+            expected[(et, h)] = (r6(l), r6(b), r6(l + h * b))
+    got = {
+        (r.event_type, r.h): (r.level, r.trend, r.forecast)
+        for r in QUERIES["holt_forecast_daily"].builder(spark, sf_small).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        for g, x in zip(got[k], expected[k]):
+            assert abs(g - x) < 1e-9, (k, got[k], expected[k])
+
+
+def test_holt_guard_rejects_wrong_series_length(spark, sf_small, tmp_path):
+    # Drop one day: the unrolled recursion must refuse, not mis-fit.
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_small}/events.parquet")
+    first_day = e.select(F.min(F.to_date("ts"))).first()[0]
+    e.where(F.to_date("ts") != F.lit(first_day)).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expected exactly 30 days"):
+        QUERIES["holt_forecast_daily"].builder(spark, str(tmp_path)).collect()
