@@ -14,17 +14,23 @@ loop is driver-side but each iteration is one distributed join +
 aggregate — the standard Spark shape for iterative graph algorithms
 (GraphFrames does the same under the hood). Near-dup graphs are
 cliquish (tiny diameter), so the loop converges in 2-4 rounds; the
-``max_iterations`` guard bounds pathological chains, and
-``localCheckpoint`` truncates the lineage each round so the plan
-doesn't grow exponentially.
+``max_iterations`` guard bounds pathological chains.
 
-Resource hygiene: the edge frame persist is released in a
-``finally``, each superseded label checkpoint is freed as soon as the
-next one supersedes it, and the *final* labels checkpoint travels as
-a ``cache_handles``-style release handle so long-lived callers (the
-bench loop, the parity fixture) can free it after materializing —
-without it, repeated invocations would accumulate checkpointed RDD
-blocks until context GC.
+Lineage discipline: the adjacency frame carries an explicit SELF-LOOP
+per node, so one join + one aggregate per round both propagates the
+neighbor minimum AND carries the node's own previous label (the
+``b == a`` row) — the previous labels frame is referenced exactly
+ONCE per iteration. That makes the logical plan grow linearly (not
+exponentially, as the two-reference least(old, nbr_min) form does),
+so plain ``persist()`` suffices and no lineage-truncating checkpoint
+— nor any private-API block release — is needed.
+
+Resource hygiene: the adjacency persist is released in a
+``finally``, each superseded labels persist is released (public
+``unpersist()``) as soon as the next round is materialized, and the
+*final* labels frame travels in ``cache_handles`` so long-lived
+callers (the bench loop, the parity fixture) free it after
+materializing.
 
 At 100 TB the edge list (near-dup pairs) is orders of magnitude
 smaller than the corpus, labels are two longs per node, and every
@@ -38,33 +44,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-class _CheckpointHandle:
-    """Release handle for a localCheckpoint'ed DataFrame, shaped like
-    a persisted frame (``.unpersist()``) so it can ride the existing
-    ``cache_handles`` contract that bench.run_once / the parity
-    fixture already release after materialization."""
-
-    def __init__(self, df: DataFrame):
-        self._df = df
-
-    def unpersist(self) -> None:
-        _release_local_checkpoint(self._df)
-
-
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Free the executor blocks behind ``df.localCheckpoint()``.
-
-    There is no public DataFrame API for this; the checkpointed RDD
-    sits in the LogicalRDD root of the analyzed plan. Best-effort —
-    if the internals move, the blocks are reclaimed by context GC as
-    before, just not promptly.
-    """
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
-
-
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -75,9 +54,10 @@ def connected_components(
     component id is the minimum node id reachable through the
     undirected pair graph.
 
-    The returned frame is localCheckpoint-backed; it carries a
-    ``cache_handles`` list whose entries' ``unpersist()`` frees the
-    checkpoint blocks once the caller has materialized its result.
+    The returned frame is persist-backed; its ``cache_handles`` list
+    holds the persisted labels frame to ``unpersist()`` once the
+    caller has materialized its result (the standard handle
+    discipline — all public API).
 
     Raises if the loop hasn't converged after ``max_iterations`` —
     propagation moves the min along at least one hop per round, so
@@ -87,44 +67,43 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.persist()
+    # Adjacency WITH self-loops: the b == a row lets one aggregate
+    # return both the propagated min and the node's own previous
+    # label, so `labels` enters each round exactly once (see module
+    # doc — this is what keeps the plan linear without checkpoints).
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    adj = sym.unionAll(
+        nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    ).persist()
     labels = None
     new_labels = None
     try:
-        labels = (
-            sym.select(F.col("a").alias("node"))
-            .distinct()
-            .withColumn("component", F.col("node"))
-            .localCheckpoint()
-        )
+        labels = nodes.withColumn("component", F.col("node")).persist()
         for _ in range(max_iterations):
-            nbr_min = (
-                sym.join(labels, sym.b == labels.node)
-                .groupBy("a")
-                .agg(F.min("component").alias("nbr_component"))
-            )
-            # The new label rides WITH a changed flag inside the same
-            # checkpoint, so the convergence probe below is a bare
-            # scan of the checkpointed partitions — not a
-            # labels x new_labels join per iteration.
-            new_c = F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_component"), F.col("component")),
-            )
             new_labels = (
-                labels.join(nbr_min, labels.node == nbr_min.a, "left")
-                .select(
-                    F.col("node"),
-                    new_c.alias("new_component"),
-                    (new_c != F.col("component")).alias("changed"),
+                adj.join(labels, adj.b == labels.node)
+                .groupBy("a")
+                .agg(
+                    F.min("component").alias("component"),
+                    # Only the self-loop row satisfies b == a, so this
+                    # min picks out the node's previous label.
+                    F.min(
+                        F.when(F.col("b") == F.col("a"), F.col("component"))
+                    ).alias("old_component"),
                 )
-                .withColumnRenamed("new_component", "component")
-                .localCheckpoint()
+                .select(
+                    F.col("a").alias("node"),
+                    "component",
+                    (F.col("component") != F.col("old_component")).alias(
+                        "changed"
+                    ),
+                )
+                .persist()
             )
             changed = new_labels.filter("changed").limit(1).count()
-            # The probe above was the last action needing the old
-            # labels checkpoint; free its blocks before looping.
-            _release_local_checkpoint(labels)
+            # The probe materialized new_labels; the old labels frame
+            # has no further reader — release it before looping.
+            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
@@ -134,21 +113,17 @@ def connected_components(
             )
     except BaseException:
         # Failed runs return nothing, so nothing may stay resident:
-        # free BOTH in-flight checkpoints (persist released below).
-        # new_labels is checkpointed eagerly before the changed-probe
-        # count(), so if that count throws, new_labels is neither
-        # `labels` nor yet released by the loop body.
+        # release BOTH in-flight frames (adj released below).
         if new_labels is not None and new_labels is not labels:
-            _release_local_checkpoint(new_labels)
+            new_labels.unpersist()
         if labels is not None:
-            _release_local_checkpoint(labels)
+            labels.unpersist()
         raise
     finally:
-        sym.unpersist()
-    # Strip the probe flag; the release handle stays bound to the
-    # underlying checkpointed frame.
+        adj.unpersist()
+    # Strip the probe flag; the release handle is the persisted frame.
     out = labels.select("node", "component")
-    out.cache_handles = [_CheckpointHandle(labels)]
+    out.cache_handles = [labels]
     return out
 
 

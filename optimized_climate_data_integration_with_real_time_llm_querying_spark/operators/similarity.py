@@ -480,13 +480,27 @@ def embedding_covariance(
 
     Plan shape (the scale-correct one for d x d Gram matrices): each
     partition reduces its rows to ONE d x d partial outer-product
-    block with a vectorized numpy ``M.T @ M`` inside Arrow-batched
-    ``mapInPandas`` — the shuffle then carries d^2 scalars PER
-    PARTITION, independent of row count (the treeAggregate shape
-    MLlib's RowMatrix uses), instead of the d^2-per-VECTOR blow-up a
-    relational explode+self-join would shuffle. Means come from one
-    posexplode aggregate; cov_ij = S_ij/n - mean_i * mean_j, rounded
-    to 6 dp (both engines compute the identical formula).
+    block inside Arrow-batched ``mapInPandas`` — the shuffle then
+    carries d^2 scalars PER PARTITION, independent of row count (the
+    treeAggregate shape MLlib's RowMatrix uses), instead of the
+    d^2-per-VECTOR blow-up a relational explode+self-join would
+    shuffle.
+
+    Determinism: every per-element product x_i*x_j (and every raw
+    value, for the means) is quantized to the 1e-12 grid with
+    floor(p*1e12 + 0.5) BEFORE summation, and the partials are
+    summed as int64 — integer addition is associative, so S_ij and
+    T_i are EXACTLY the same numbers regardless of partition count,
+    Arrow batch boundaries, or accumulation order (a plain double
+    sum of partition partials can flip a 6-dp-rounded cell sitting
+    on a 0.5e-6 boundary between runs — the exact-integer consumers
+    downstream, covariance_power_iteration, would then diverge).
+    cov_ij = round((S/1e12)/n - (T_i/1e12/n)*(T_j/1e12/n), 6); both
+    engines evaluate the identical expression tree over identical
+    integers, so the result is bit-stable cross-engine. Grid bound:
+    |sum| < 2^63 holds for partitions up to ~10^6 unit-scale rows
+    (1e12 * 1e6 = 1e18 < 9.2e18); drop the grid a decade per 10x
+    beyond that.
 
     ``upper_only`` keeps dim_i <= dim_j (the matrix is symmetric).
     """
@@ -496,13 +510,21 @@ def embedding_covariance(
         import numpy as np
         import pandas as pd
 
+        # Sub-chunk so the b x d x d outer-product tensor stays small
+        # (256 * 64 * 64 * 8B = 8 MiB) while the quantize-then-sum
+        # stays exact per element.
+        chunk = 256
         acc = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.array(pdf["v"].tolist(), dtype=np.float64)
-            block = m.T @ m
-            acc = block if acc is None else acc + block
+            for s0 in range(0, len(m), chunk):
+                mm = m[s0 : s0 + chunk]
+                outer = np.einsum("bi,bj->bij", mm, mm)
+                grid = np.floor(outer * 1e12 + 0.5).astype(np.int64)
+                block = grid.sum(axis=0)
+                acc = block if acc is None else acc + block
         if acc is not None:
             d = acc.shape[0]
             ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
@@ -512,7 +534,7 @@ def embedding_covariance(
 
     vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
     sij = (
-        vecs.mapInPandas(partials, "dim_i int, dim_j int, s double")
+        vecs.mapInPandas(partials, "dim_i int, dim_j int, s long")
         .groupBy("dim_i", "dim_j")
         .agg(F.sum("s").alias("s"))
     )
@@ -520,7 +542,7 @@ def embedding_covariance(
         "dim", F.col("val").cast("double").alias("val")
     )
     stats = e.groupBy("dim").agg(
-        (F.sum("val") / F.count(F.lit(1))).alias("mean"),
+        F.sum(F.floor(F.col("val") * 1e12 + F.lit(0.5)).cast("long")).alias("t"),
         F.count(F.lit(1)).alias("n"),
     )
     out = (
@@ -528,7 +550,7 @@ def embedding_covariance(
             F.broadcast(
                 stats.select(
                     F.col("dim").alias("dim_i"),
-                    F.col("mean").alias("mean_i"),
+                    F.col("t").alias("t_i"),
                     F.col("n").alias("n"),
                 )
             ),
@@ -536,7 +558,7 @@ def embedding_covariance(
         )
         .join(
             F.broadcast(
-                stats.select(F.col("dim").alias("dim_j"), F.col("mean").alias("mean_j"))
+                stats.select(F.col("dim").alias("dim_j"), F.col("t").alias("t_j"))
             ),
             "dim_j",
         )
@@ -544,10 +566,14 @@ def embedding_covariance(
             "dim_i",
             "dim_j",
             # + 0.0 normalizes IEEE -0.0 -> +0.0: near-zero covariances
-            # can round to zero with opposite signs across engines
+            # can round to zero with opposite signs across engines.
+            # Division order mirrors the oracle token-for-token.
             (
                 F.round(
-                    F.col("s") / F.col("n") - F.col("mean_i") * F.col("mean_j"), 6
+                    (F.col("s") / F.lit(1e12)) / F.col("n")
+                    - (F.col("t_i") / F.lit(1e12) / F.col("n"))
+                    * (F.col("t_j") / F.lit(1e12) / F.col("n")),
+                    6,
                 )
                 + F.lit(0.0)
             ).alias("cov"),

@@ -472,11 +472,11 @@ def zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderstatus,
-           ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+           ROUND(MAX(CASE WHEN rn = (50 * n + 99) // 100
                           THEN o_totalprice END), 2) + 0.0 AS p50,
-           ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+           ROUND(MAX(CASE WHEN rn = (90 * n + 99) // 100
                           THEN o_totalprice END), 2) + 0.0 AS p90,
-           ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+           ROUND(MAX(CASE WHEN rn = (99 * n + 99) // 100
                           THEN o_totalprice END), 2) + 0.0 AS p99
     FROM ranked GROUP BY o_orderstatus
     """,
@@ -507,7 +507,14 @@ def revenue_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pick(p: float, name: str) -> F.Column:
-        target = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        # ceil(p*n) in EXACT integer arithmetic: (p100*n + 99) div 100
+        # with p100 = 100p. Floating ceil(0.9*n) picks rank p*n+1 when
+        # n is a multiple of 10 because 0.9 is not binary-representable
+        # (0.9*60 = 54.000000000000007 -> ceil 55); both engines use
+        # the integer form so the documented nearest-rank convention
+        # holds exactly on boundaries.
+        p100 = round(p * 100)
+        target = F.expr(f"CAST(({p100} * n + 99) div 100 AS BIGINT)")
         return (
             F.round(
                 F.max(

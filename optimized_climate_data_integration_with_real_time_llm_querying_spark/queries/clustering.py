@@ -292,15 +292,19 @@ def ann_projected_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), e AS (
       SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
     ), st AS (
-      SELECT dim, SUM(val) / COUNT(*) AS mean, COUNT(*) AS n
+      SELECT dim,
+             SUM(CAST(FLOOR(val * 1e12 + 0.5) AS BIGINT)) AS t,
+             COUNT(*) AS n
       FROM e GROUP BY dim
     ), sij AS (
-      SELECT a.dim AS dim_i, b.dim AS dim_j, SUM(a.val * b.val) AS s
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+             SUM(CAST(FLOOR(a.val * b.val * 1e12 + 0.5) AS BIGINT)) AS s
       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
       GROUP BY a.dim, b.dim
     )
     SELECT s.dim_i, s.dim_j,
-           ROUND(s.s / si.n - si.mean * sj.mean, 6) + 0.0 AS cov
+           ROUND((s.s / 1e12) / si.n
+                 - (si.t / 1e12 / si.n) * (sj.t / 1e12 / sj.n), 6) + 0.0 AS cov
     FROM sij s
     JOIN st si ON si.dim = s.dim_i
     JOIN st sj ON sj.dim = s.dim_j
@@ -311,9 +315,12 @@ def ann_projected_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over a vector corpus. Spark reduces each partition to ONE d x d "
     "numpy outer-product block inside Arrow-batched mapInPandas (the "
     "treeAggregate shape MLlib RowMatrix uses), so the shuffle "
-    "carries d^2 scalars per partition, independent of corpus size; "
-    "the oracle replays the same S_ij/n - mean_i*mean_j arithmetic "
-    "relationally. The one mapInPandas here is the RIGHT Python "
+    "carries d^2 scalars per partition, independent of corpus size. "
+    "Every per-element product is quantized to the 1e-12 grid before "
+    "int64 summation, so S_ij is EXACT and partition/accumulation-"
+    "order-free (test: same cells at 1 vs 17 partitions); the oracle "
+    "replays the identical integer arithmetic relationally. The one "
+    "mapInPandas here is the RIGHT Python "
     "boundary: a d x d matrix product per batch is exactly what "
     "numpy's BLAS does orders faster than codegen'd per-row exprs.",
 )
@@ -608,16 +615,20 @@ def ivf_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), e AS (
       SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
     ), st AS (
-      SELECT dim, SUM(val) / COUNT(*) AS mean, COUNT(*) AS n
+      SELECT dim,
+             SUM(CAST(FLOOR(val * 1e12 + 0.5) AS BIGINT)) AS t,
+             COUNT(*) AS n
       FROM e GROUP BY dim
     ), sij AS (
-      SELECT a.dim AS dim_i, b.dim AS dim_j, SUM(a.val * b.val) AS s
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+             SUM(CAST(FLOOR(a.val * b.val * 1e12 + 0.5) AS BIGINT)) AS s
       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
       GROUP BY a.dim, b.dim
     ), upper_c AS MATERIALIZED (
       SELECT s.dim_i, s.dim_j,
-             CAST(ROUND((s.s / si.n - si.mean * sj.mean) * 1e6) AS BIGINT)
-               AS cint
+             CAST(ROUND(((s.s / 1e12) / si.n
+                  - (si.t / 1e12 / si.n) * (sj.t / 1e12 / sj.n)) * 1e6)
+                  AS BIGINT) AS cint
       FROM sij s
       JOIN st si ON si.dim = s.dim_i
       JOIN st sj ON sj.dim = s.dim_j
@@ -677,7 +688,9 @@ def ivf_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "test corpus is near-isotropic, so convergence is slow and the "
     "DEFINITION is what the oracle replays. Scale: the corpus "
     "appears only through the d x d covariance (mapInPandas Gram "
-    "partials, corpus-size independent); iterations touch 64x64 "
+    "partials — themselves exact int64 sums on the 1e-12 grid, so "
+    "cint cannot flip on a 0.5e-6 rounding boundary between runs or "
+    "engines; corpus-size independent); iterations touch 64x64 "
     "scalars. At real scale one runs more steps or Lanczos on the "
     "same mat-vec primitive.",
 )

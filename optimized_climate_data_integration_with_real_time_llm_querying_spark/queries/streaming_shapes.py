@@ -748,12 +748,22 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = daily.withColumn("rn", F.row_number().over(w)).persist()
     # Loud shape guard (see docstring): every type must have exactly
     # _HOLT_T days or the unrolled recursion is wrong, not just off.
-    counts = [r[0] for r in seq.groupBy("event_type").count().select("count").collect()]
-    if counts and (min(counts) != _HOLT_T or max(counts) != _HOLT_T):
-        raise ValueError(
-            f"holt_forecast_daily: expected exactly {_HOLT_T} days per "
-            f"event_type, got {sorted(set(counts))}"
-        )
+    # The guard runs a driver-side collect at BUILD time; if it (or
+    # the raise itself) fires, seq is not yet attached to any
+    # cache_handle, so unpersist before propagating — the loud
+    # failure must not leak a cached RDD.
+    try:
+        counts = [
+            r[0] for r in seq.groupBy("event_type").count().select("count").collect()
+        ]
+        if counts and (min(counts) != _HOLT_T or max(counts) != _HOLT_T):
+            raise ValueError(
+                f"holt_forecast_daily: expected exactly {_HOLT_T} days per "
+                f"event_type, got {sorted(set(counts))}"
+            )
+    except BaseException:
+        seq.unpersist()
+        raise
     a, b_ = _HOLT_ALPHA, _HOLT_BETA
     y1 = seq.where(F.col("rn") == 1).select("event_type", F.col("cnt").alias("y1"))
     y2 = seq.where(F.col("rn") == 2).select("event_type", F.col("cnt").alias("y2"))

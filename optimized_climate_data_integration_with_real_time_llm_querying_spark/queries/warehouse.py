@@ -61,22 +61,27 @@ _DUCK_BUCKET = (
     )
     SELECT constraint_name,
            ROUND(metric, 6) + 0.0 AS metric,
-           CAST(ROUND(metric, 6) >= 1.0 AS INT) AS passed
+           passed
     FROM (
       SELECT 'completeness_o_custkey' AS constraint_name,
-             CAST(n_custkey AS DOUBLE) / n_rows AS metric FROM agg
+             CAST(n_custkey AS DOUBLE) / n_rows AS metric,
+             CAST(n_custkey = n_rows AS INT) AS passed FROM agg
       UNION ALL
       SELECT 'uniqueness_o_orderkey',
-             CAST(n_distinct_key AS DOUBLE) / n_rows FROM agg
+             CAST(n_distinct_key AS DOUBLE) / n_rows,
+             CAST(n_distinct_key = n_rows AS INT) FROM agg
       UNION ALL
       SELECT 'range_o_totalprice_nonneg',
-             CAST(n_price_ok AS DOUBLE) / n_rows FROM agg
+             CAST(n_price_ok AS DOUBLE) / n_rows,
+             CAST(n_price_ok = n_rows AS INT) FROM agg
       UNION ALL
       SELECT 'domain_o_orderstatus',
-             CAST(n_status_ok AS DOUBLE) / n_rows FROM agg
+             CAST(n_status_ok AS DOUBLE) / n_rows,
+             CAST(n_status_ok = n_rows AS INT) FROM agg
       UNION ALL
       SELECT 'referential_o_custkey',
-             1.0 - CAST(n_orphan AS DOUBLE) / n_rows FROM agg, ref
+             1.0 - CAST(n_orphan AS DOUBLE) / n_rows,
+             CAST(n_orphan = 0 AS INT) FROM agg, ref
     )
     """,
     doc="Deequ-style declarative data-quality suite over the orders "
@@ -91,7 +96,10 @@ _DUCK_BUCKET = (
     "counted on the probe side (at 100 TB the dimension side stays a "
     "broadcast or a shuffle join on c_custkey — either way the report "
     "is 5 rows regardless of input size). All metrics are exact "
-    "ratios of BIGINT counts — FP-order-free by construction.",
+    "ratios of BIGINT counts — FP-order-free by construction — and "
+    "passed is judged on the exact integer counts themselves (not "
+    "the 6-dp display metric), so a single violating row among 10M "
+    "still fails its constraint at 100 TB scale.",
 )
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -124,35 +132,52 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit("completeness_o_custkey").alias("constraint_name"),
                     (F.col("n_custkey").cast("double") / n).alias("metric"),
+                    (F.col("n_custkey") == F.col("n_rows"))
+                    .cast("int")
+                    .alias("passed"),
                 ),
                 F.struct(
                     F.lit("uniqueness_o_orderkey").alias("constraint_name"),
                     (F.col("n_distinct_key").cast("double") / n).alias("metric"),
+                    (F.col("n_distinct_key") == F.col("n_rows"))
+                    .cast("int")
+                    .alias("passed"),
                 ),
                 F.struct(
                     F.lit("range_o_totalprice_nonneg").alias("constraint_name"),
                     (F.col("n_price_ok").cast("double") / n).alias("metric"),
+                    (F.col("n_price_ok") == F.col("n_rows"))
+                    .cast("int")
+                    .alias("passed"),
                 ),
                 F.struct(
                     F.lit("domain_o_orderstatus").alias("constraint_name"),
                     (F.col("n_status_ok").cast("double") / n).alias("metric"),
+                    (F.col("n_status_ok") == F.col("n_rows"))
+                    .cast("int")
+                    .alias("passed"),
                 ),
                 F.struct(
                     F.lit("referential_o_custkey").alias("constraint_name"),
                     (F.lit(1.0) - F.col("n_orphan").cast("double") / n).alias(
                         "metric"
                     ),
+                    (F.col("n_orphan") == F.lit(0))
+                    .cast("int")
+                    .alias("passed"),
                 ),
             )
         ).alias("r")
     )
     return rows.select(
         F.col("r.constraint_name").alias("constraint_name"),
+        # metric is 6-dp DISPLAY; passed is judged on the EXACT
+        # integer counts (n_custkey == n_rows, n_orphan == 0, ...) so
+        # one bad row in 10M (violation rate below the 5e-7 rounding
+        # grain) still fails the constraint. metric=1.0, passed=0 is
+        # therefore a legal row: "rounds to one, but is not one".
         (F.round(F.col("r.metric"), 6) + F.lit(0.0)).alias("metric"),
-        # passed is judged on the SAME 6-dp value the report shows —
-        # a row can never read metric=1.0, passed=0 (the tolerance is
-        # the rounding grain, 5e-7).
-        (F.round(F.col("r.metric"), 6) >= 1.0).cast("int").alias("passed"),
+        F.col("r.passed").alias("passed"),
     )
 
 

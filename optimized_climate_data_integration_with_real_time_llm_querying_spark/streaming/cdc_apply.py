@@ -6,7 +6,8 @@ streaming pipeline cannot rewrite the snapshot per micro-batch; the
 lakehouse answer is merge-on-read: micro-batches APPEND change rows
 (tagged with their batch id) to a delta log, and readers resolve
 (base snapshot ∪ delta log) with a last-writer-wins window ordered
-by (batch_id, seq) per key — deletes drop, the latest upsert wins,
+by (seq, batch_id) per key — seq is the log's total change order, so
+resolution does not depend on micro-batch arrival order — deletes drop, the latest upsert wins,
 untouched base rows pass through. Compaction (folding the delta log
 back into the base — exactly the batch merge) can then run on ANY
 schedule without blocking ingest; this is the Delta/Hudi/Iceberg MOR
@@ -63,7 +64,7 @@ def resolve_snapshot(
     with the same semantics as the batch cdc_snapshot_merge output.
 
     ``base`` columns: o_orderkey, o_custkey, cents. Base rows enter
-    the window as (batch_id=-1, seq=-1, op='B') so any delta row for
+    the window as (seq=-1, batch_id=-1, op='B') so any delta row for
     the same key outranks them; rn=1 per key wins; 'D' winners drop.
 
     ``as_of_batch`` is TIME TRAVEL for free: because the delta log is
@@ -88,8 +89,19 @@ def resolve_snapshot(
         "o_orderkey", "o_custkey", "op", "seq", "new_cents", "batch_id"
     )
     allrows = b.unionByName(d)
+    # Last-writer-wins on (seq desc, batch_id desc): seq is the
+    # change log's per-key TOTAL change order (globally monotonic per
+    # key by construction — cdc_change_log stamps it), so resolution
+    # is independent of which micro-batch a change arrived in.
+    # Ordering batch_id first would require FileStreamSource to pick
+    # up drops in seq order — files landing within one mtime
+    # granularity can batch out of order, and a key's seq=2 update
+    # would lose to its seq=1 insert. batch_id desc remains as the
+    # tie-break for replays of the same seq (post-DISTINCT duplicates
+    # carry identical payloads, so the pick is value-stable either
+    # way). Base rows enter at seq=-1 and lose to any delta row.
     w = W.partitionBy("o_orderkey").orderBy(
-        F.col("batch_id").desc(), F.col("seq").desc()
+        F.col("seq").desc(), F.col("batch_id").desc()
     )
     latest = (
         allrows.withColumn("rn", F.row_number().over(w))

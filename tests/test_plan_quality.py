@@ -237,6 +237,26 @@ def test_embedding_covariance_partials_shape(spark, sf_oracle):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_covariance_partition_order_free(spark, sf_oracle):
+    """The Gram partials are int64 sums of 1e-12-grid-quantized
+    products, so the covariance is EXACTLY identical at any partition
+    count / accumulation order — the invariant the exact-integer
+    consumer (covariance_power_iteration) relies on. A plain double
+    sum of partition partials would flip 0.5e-6-boundary cells here."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+
+    def cells(df):
+        return {(r.dim_i, r.dim_j): r.cov for r in df.collect()}
+
+    one = cells(embedding_covariance(emb.repartition(1)))
+    many = cells(embedding_covariance(emb.repartition(17)))
+    assert one == many  # exact equality, not approx
+
+
 def test_substring_dup_profile_hashes_grams_at_source(spark, sf_oracle):
     # 50-char grams must be hashed before any exchange: every
     # hashpartitioning key is typed (long gram hash or id), and no

@@ -68,6 +68,67 @@ def test_replayed_delta_append_is_absorbed(spark, sf_oracle, tmp_path):
     assert before == after
 
 
+def test_restart_after_interrupted_batch_absorbs_replay(spark, sf_oracle, tmp_path):
+    """Kill-and-restart exactly-once for the merge-on-read path: the
+    crash window in an append-only MOR sink is "delta parquet append
+    landed, checkpoint commit marker not yet written". Simulate it by
+    deleting the last commit marker and restarting against the SAME
+    checkpoint — Structured Streaming re-runs that micro-batch with
+    the SAME batch_id, foreachBatch appends the same (batch_id, seq)
+    rows again, and the resolve-side DISTINCT must absorb them: the
+    resolved snapshot still equals the batch copy-on-write merge
+    cell-for-cell. Counterpart of test_streaming_restart.py for the
+    CDC sink (VERDICT r8 item 5)."""
+    import os
+
+    tagged = cdc_tagged_orders(spark, sf_oracle)
+    base = tagged.where(F.col("b") != 0).drop("b")
+    log = cdc_change_log(tagged)
+
+    drops = str(tmp_path / "drops")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            "o_orderkey long, o_custkey long, op string, seq int, new_cents long"
+        ).parquet(drops)
+        run_cdc_apply_available_now(stream, delta, ckpt)
+
+    # Batch 0: the seq=1 ops. Batch 1: the seq=2 ops.
+    log.where(F.col("seq") == 1).write.mode("append").parquet(drops)
+    run()
+    log.where(F.col("seq") == 2).write.mode("append").parquet(drops)
+    run()
+    committed = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    assert committed == ["0", "1"], committed
+    n_delta_rows = spark.read.parquet(delta).count()
+
+    # Crash simulation: batch 1's append landed but its commit marker
+    # was lost. Restart re-runs batch 1 (same batch_id) from the
+    # offsets log and re-appends its rows. (The .crc checksum shadow
+    # must go too, or Hadoop's ChecksumFileSystem fails the re-write
+    # with FileAlreadyExists — surfaced as a bogus "multiple
+    # streaming queries" error.)
+    os.remove(f"{ckpt}/commits/1")
+    crc = f"{ckpt}/commits/.1.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    raw = spark.read.parquet(delta)
+    n_seq2 = log.where(F.col("seq") == 2).count()
+    assert raw.count() == n_delta_rows + n_seq2  # replay really appended
+    assert raw.distinct().count() == n_delta_rows  # exact (batch_id, seq) dups
+
+    resolved = _canon(resolve_snapshot(spark, base, delta).collect())
+    batch = _canon(
+        all_queries()["cdc_snapshot_merge"].builder(spark, sf_oracle).collect()
+    )
+    assert resolved == batch
+
+
 def test_as_of_batch_time_travel(spark, sf_oracle, tmp_path):
     """Resolving the delta log AS OF an earlier batch reconstructs
     the table as it stood then: after only the seq=1 drop, the

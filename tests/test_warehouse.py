@@ -618,6 +618,26 @@ def test_percentile_disc_pins_native_function(spark, sf_oracle):
     assert native == mine
 
 
+def test_percentile_disc_exact_on_rank_boundaries(spark, tmp_path):
+    """n=10 values 1..10: nearest-rank ceil(0.9*10) = rank 9 -> 9.0.
+    A floating ceil(0.9*n) computes 54.000000000000007-style artifacts
+    and picks rank p*n+1 whenever n is a multiple of 10/100; the
+    integer-arithmetic rank ((90*n+99) div 100) cannot. Regression
+    for the exact-boundary convention (and it matches Spark's native
+    percentile_disc, which also gets the boundary right)."""
+    from pyspark.sql import functions as F
+
+    o = spark.range(1, 11).select(
+        F.lit("Z").alias("o_orderstatus"),
+        F.col("id").cast("double").alias("o_totalprice"),
+    )
+    o.write.parquet(f"{tmp_path}/orders.parquet")
+    row = (
+        QUERIES["revenue_percentile_disc"].builder(spark, str(tmp_path)).collect()[0]
+    )
+    assert (row.p50, row.p90, row.p99) == (5.0, 9.0, 10.0), row
+
+
 def test_holt_forecast_matches_python_recipe(spark, sf_small):
     """holt_forecast_daily computes exactly its defined recursion: a
     Python re-run of the same 6-dp-rounded Holt steps from the same
