@@ -162,6 +162,13 @@ HEADLINE = [
     "covariance_power_iteration",  # PCA top direction, integer mat-vecs
     "revenue_percentile_disc",  # nearest-rank discrete percentiles
     "holt_forecast_daily",      # Holt trend forecast, 30-step unroll
+    # Round-9: re-included non-trivial absentees (VERDICT r8 item 3)
+    # and the round's one new query.
+    "ann_ivf_topk",             # IVF coarse-quantizer ANN (float resid)
+    "embedding_cosine_near_dups_lsh",  # LSH-bucketed near-dup scale path
+    "salted_agg_equivalence",   # two-phase salted skew aggregation
+    "sequence_packing",         # partition-local best-fit packing
+    "sequence_packing_canonical",  # md5-bucket next-fit, FULL-oracled
 ]
 
 

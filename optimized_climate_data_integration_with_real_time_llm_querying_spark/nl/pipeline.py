@@ -47,6 +47,17 @@ FEMA_METRICS = {
     "pa projects": "pa_projects_count",
 }
 
+# Trend/forecast intent: routes the question through the engine's
+# Holt linear-trend operator (operators/trend.holt_linear_state — the
+# same recursion the FULL-oracled holt_forecast_daily registry query
+# pins) instead of a plain grouped listing. Net-new NL capability:
+# the reference's clients can only SELECT history, never rank by
+# direction (SURVEY.md §2 has no trend shape).
+TREND_RE = re.compile(
+    r"\b(trend\w*|increas\w*|decreas\w*|rising|falling|growing|"
+    r"shrinking|on the rise)\b"
+)
+
 # P5's NL comparison phrases (Disaster dollar/client.py:47-50).
 COMPARISON_PHRASES = {
     "more than": ">",
@@ -332,7 +343,76 @@ class ClimateEngine:
         }[domain](question)
         return domain, spec
 
+    def _plan_disaster_trend(self, question: str) -> tuple[QuerySpec, DataFrame]:
+        """'Which disaster type is trending up?' -> Holt linear-trend
+        state over each type's yearly count series, ranked by the
+        trend component; forecast_next = level + trend (h=1).
+
+        Window: the question's explicit year range if it gives one,
+        else the last 10 years of the table (a decade is the honest
+        horizon for 'is it trending' — the full 45-year series would
+        let the 1980s dominate the smoothed state). The series is
+        guarded dense before the unrolled recursion runs, exactly
+        like the registry query's 30-day guard."""
+        from ..operators.trend import holt_linear_state
+
+        t = extract_time(question)
+        yearly = self.tables["disasters_yearly"]
+        if t.year_range:
+            lo, hi = t.year_range
+        else:
+            # Dimension-scale probe: one MAX over the tiny yearly table.
+            hi = yearly.agg(F.max("year")).collect()[0][0]
+            lo = hi - 9
+        n_steps = hi - lo + 1
+        seq = (
+            yearly.where(F.col("year").between(lo, hi))
+            .select(
+                "disaster_type",
+                (F.col("year") - F.lit(lo) + 1).alias("rn"),
+                F.col("count").alias("cnt"),
+            )
+            .persist()
+        )
+        try:
+            counts = [
+                r[0]
+                for r in seq.groupBy("disaster_type").count().select("count").collect()
+            ]
+            if not counts or min(counts) != n_steps or max(counts) != n_steps:
+                raise ValueError(
+                    f"disaster trend needs a dense {lo}-{hi} series per "
+                    f"type; got year counts {sorted(set(counts))}"
+                )
+        except BaseException:
+            seq.unpersist()
+            raise
+        state = holt_linear_state(seq, "disaster_type", n_steps)
+        plan = state.select(
+            "disaster_type",
+            (F.round(F.col("l"), 6) + F.lit(0.0)).alias("level"),
+            (F.round(F.col("b"), 6) + F.lit(0.0)).alias("trend"),
+            (F.round(F.col("l") + F.col("b"), 6) + F.lit(0.0)).alias(
+                "forecast_next"
+            ),
+        ).orderBy(F.col("trend").desc(), "disaster_type")
+        plan.cache_handles = [seq]
+        spec = QuerySpec(
+            dataset="disasters_yearly",
+            metrics=["disaster_type", "level", "trend", "forecast_next"],
+            filters={},
+            year_range=(lo, hi),
+            group_by=["disaster_type"],
+            order_by=[("trend", False)],
+        )
+        return spec, plan
+
     def ask(self, question: str) -> Answer:
+        domain = self.route(question)
+        if domain == "disasters" and TREND_RE.search(question.lower()):
+            spec, plan = self._plan_disaster_trend(question)
+            text = answer(question, plan, self.transport)
+            return Answer(question, domain, spec, plan, text, [])
         domain, spec = self.build_spec(question)
         # ERA5's year column lives in `date`; emissions/disasters use
         # integer `year` — compile_spec handles both via _time_column.

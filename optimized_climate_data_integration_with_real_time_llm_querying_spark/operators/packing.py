@@ -117,3 +117,77 @@ def pack_sequences(
         "_part", F.spark_partition_id()
     )
     return prepared.mapInPandas(pack_partition, PACK_SCHEMA)
+
+
+def pack_sequences_canonical(
+    df: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic, ORACLE-ABLE packing: next-fit-decreasing within
+    a FIXED number of md5 buckets.
+
+    ``pack_sequences`` above keys pack membership on the physical
+    partition id, so its output depends on how Spark happened to
+    split the data — correct, but only rows-checkable. This variant
+    pins the packing ALGEBRA: bucket = md5(seed:doc_id) % n_buckets
+    (cross-engine reproducible, partitioning-independent), each
+    bucket sorts by (n_tokens desc, doc_id), and a next-fit walk
+    opens a new pack exactly when the running total would exceed the
+    budget. One sequential pass with a single open pack is a pure
+    recurrence over the sorted sequence, so DuckDB can replay the
+    whole assignment with a recursive CTE — every pack membership,
+    sequence number, and total becomes falsifiable, the way the md5
+    twins pinned the LSH families.
+
+    Oversized docs (n_tokens > budget) occupy singleton packs: they
+    can never join the running pack, and the doc after them always
+    overflows and opens fresh.
+
+    Scale: ``n_buckets`` is the parallelism knob — buckets pack
+    independently (applyInPandas groups), so at cluster scale set it
+    to O(cores). The bucket count is part of the deterministic
+    contract; changing it changes pack membership, exactly like
+    changing the budget. Next-fit packs slightly less densely than
+    best-fit (the price of relational replayability); both operators
+    stay registered.
+    """
+    from .sampling import md5_bucket
+
+    def pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        sizes = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        assign = np.empty(len(sizes), dtype=np.int64)
+        seq, run = -1, None
+        for j, n in enumerate(sizes):
+            n = int(n)
+            if run is None or run + n > budget:
+                seq += 1
+                run = n
+            else:
+                run += n
+            assign[j] = seq
+        totals = np.zeros(seq + 1, dtype=np.int64)
+        np.add.at(totals, assign, sizes)
+        return pd.DataFrame(
+            {
+                "pack_id": [f"b{bucket}_{i}" for i in assign],
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_tokens": sizes,
+                "pack_total": totals[assign],
+            }
+        )
+
+    prepared = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket", F.pmod(md5_bucket(F.col(id_col), seed=seed), F.lit(n_buckets))
+    )
+    return prepared.groupBy("bucket").applyInPandas(pack_bucket, PACK_SCHEMA)

@@ -1203,6 +1203,58 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing_canonical",
+    f"""
+    WITH RECURSIVE docs0 AS (
+      SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 % 8 AS bucket
+      FROM documents
+    ), docs AS (
+      SELECT bucket, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM docs0
+    ), st AS (
+      SELECT bucket, rn, doc_id, n_tokens,
+             0 AS pack_seq, n_tokens AS run_total
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN s.run_total + d.n_tokens <= 2048
+                  THEN s.pack_seq ELSE s.pack_seq + 1 END,
+             CASE WHEN s.run_total + d.n_tokens <= 2048
+                  THEN s.run_total + d.n_tokens ELSE d.n_tokens END
+      FROM st s JOIN docs d ON d.bucket = s.bucket AND d.rn = s.rn + 1
+    )
+    SELECT 'b' || CAST(bucket AS VARCHAR) || '_' || CAST(pack_seq AS VARCHAR)
+             AS pack_id,
+           doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY bucket, pack_seq) AS BIGINT)
+             AS pack_total
+    FROM st
+    """,
+    doc="FULL-oracled twin of sequence_packing: next-fit-decreasing "
+    "within 8 fixed md5(doc_id) buckets (operators/packing."
+    "pack_sequences_canonical). Pack membership depends only on the "
+    "data — never on physical partitioning — so DuckDB replays the "
+    "entire assignment: the bucket hash, the (n_tokens desc, doc_id) "
+    "walk order, and the open-a-new-pack-on-overflow recurrence as a "
+    "recursive CTE stepping each bucket's rank chain. Pins the "
+    "packing algebra (budget check, reset semantics, totals) the "
+    "way the md5 twins pinned MinHash/SimHash; the partition-local "
+    "best-fit variant stays rows-only by nature.",
+)
+def sequence_packing_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences_canonical
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    return pack_sequences_canonical(d, budget=2048, n_buckets=8)
+
+
+@register(
     "embedding_cosine_near_dups",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

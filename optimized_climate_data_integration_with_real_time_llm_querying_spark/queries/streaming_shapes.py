@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..operators.trend import holt_linear_state
+
 from ..catalog import load_table
 from . import register
 
@@ -764,35 +766,13 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         seq.unpersist()
         raise
-    a, b_ = _HOLT_ALPHA, _HOLT_BETA
-    y1 = seq.where(F.col("rn") == 1).select("event_type", F.col("cnt").alias("y1"))
-    y2 = seq.where(F.col("rn") == 2).select("event_type", F.col("cnt").alias("y2"))
-    state = y1.join(y2, "event_type").select(
-        "event_type",
-        F.col("y1").cast("double").alias("l"),
-        (F.col("y2") - F.col("y1")).cast("double").alias("b"),
+    # The recursion itself lives in operators/trend.holt_linear_state
+    # (round-9 refactor) so the NL planner's trend path targets the
+    # SAME operator this oracle pins; constants and per-step rounding
+    # are unchanged.
+    state = holt_linear_state(
+        seq, "event_type", _HOLT_T, alpha=_HOLT_ALPHA, beta=_HOLT_BETA
     )
-    for t in range(2, _HOLT_T + 1):
-        yt = seq.where(F.col("rn") == t).select("event_type", "cnt")
-        stepped = state.join(yt, "event_type").select(
-            "event_type",
-            F.round(a * F.col("cnt") + (1 - a) * (F.col("l") + F.col("b")), 6).alias(
-                "l_new"
-            ),
-            "l",
-            "b",
-        )
-        state = (
-            stepped.select(
-                "event_type",
-                F.col("l_new").alias("l"),
-                F.round(
-                    b_ * (F.col("l_new") - F.col("l")) + (1 - b_) * F.col("b"), 6
-                ).alias("b"),
-            )
-            .coalesce(1)
-            .localCheckpoint(eager=True)
-        )
     out = state.select(
         "event_type",
         F.explode(F.sequence(F.lit(1), F.lit(_HOLT_H))).alias("h"),

@@ -294,3 +294,72 @@ def test_mock_llm_transport(spark):
     assert a.text == "mocked answer"
     assert "ONLY the data rows provided" in calls["system"]
     assert "Brazil" in calls["user"]
+
+
+# ------------------------------------------------------- trend intent (r9)
+
+
+def test_g11_trend_routes_through_holt_operator(engine):
+    """'Which disaster type is trending up?' must route through the
+    Holt linear-trend operator (operators/trend.holt_linear_state —
+    the recursion the FULL-oracled holt_forecast_daily pins), not a
+    plain grouped listing: a Python replay of the same 6-dp Holt
+    steps from the same last-10-year counts must reproduce every
+    (level, trend, forecast_next) row and the trend-desc ranking."""
+    a = engine.ask("Which disaster type is trending up?")
+    assert a.domain == "disasters"
+    assert a.result.columns == ["disaster_type", "level", "trend", "forecast_next"]
+    rows = a.result.collect()
+    assert a.spec.year_range is not None
+    lo, hi = a.spec.year_range
+    assert hi - lo == 9  # last decade by default
+
+    yearly = {
+        (r.disaster_type, r.year): r["count"]
+        for r in engine.tables["disasters_yearly"]
+        .filter(F.col("year").between(lo, hi))
+        .collect()
+    }
+    types = sorted({t for t, _ in yearly})
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        # Spark's F.round is HALF_UP over the decimal representation
+        # (Python's round() is banker's and diverges on half-cases).
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def holt(series):
+        l, b = float(series[0]), float(series[1] - series[0])
+        for y in series[1:]:
+            l_new = r6(0.75 * y + 0.25 * (l + b))
+            b = r6(0.25 * (l_new - l) + 0.75 * b)
+            l = l_new
+        return l, b
+
+    expected = {}
+    for t in types:
+        series = [yearly[(t, y)] for y in range(lo, hi + 1)]
+        l, b = holt(series)
+        expected[t] = (r6(l), r6(b), r6(l + b))
+
+    got = {r.disaster_type: (r.level, r.trend, r.forecast_next) for r in rows}
+    assert got == expected
+    # Ranked by trend desc (type tie-break), and the answer is grounded.
+    assert [r.disaster_type for r in rows] == sorted(
+        types, key=lambda t: (-expected[t][1], t)
+    )
+    assert "Data:" in a.text and rows[0].disaster_type in a.text
+
+
+def test_trend_intent_respects_explicit_year_range(engine):
+    a = engine.ask("Which disaster type has an increasing count between 1990-1999?")
+    assert a.spec.year_range == (1990, 1999)
+    assert a.result.columns == ["disaster_type", "level", "trend", "forecast_next"]
+    assert len(a.result.collect()) == 7  # all types ranked
+
+
+def test_non_trend_disaster_question_unchanged(engine):
+    a = engine.ask("How many droughts occurred in 1980?")
+    assert a.spec.dataset == "disasters_yearly"
+    assert "trend" not in a.result.columns
