@@ -1210,7 +1210,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8))
                   AS BIGINT) % 1000000 % 8 AS bucket
       FROM documents
-    ), docs AS (
+    ), docs AS MATERIALIZED (
       SELECT bucket, doc_id, n_tokens,
              ROW_NUMBER() OVER (PARTITION BY bucket
                                 ORDER BY n_tokens DESC, doc_id) AS rn

@@ -104,6 +104,46 @@ def gen_embeddings(n: int, seed: int = 43) -> pa.Table:
     )
 
 
+BASE_PARTS = 20000
+
+
+def gen_part(n: int, seed: int = 44) -> pa.Table:
+    """Part twin for the entity-resolution scale target. Names are
+    sampled from the REAL sf0.1 empirical name distribution, so the
+    distinct-name domain (what fuzzy_name_match_pairs actually blocks
+    and joins over after its groupBy) saturates at the measured
+    vocabulary as rows grow — the behavior a fixed catalog has at 10x
+    order volume. Other columns are shape-filler; the scale targets
+    read only p_name."""
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        SELECT p_name, COUNT(*) AS c
+        FROM read_parquet('/root/testdata/sf0.1/part.parquet')
+        GROUP BY p_name ORDER BY p_name
+        """
+    ).fetchall()
+    con.close()
+    names = [r[0] for r in rows]
+    w = np.array([r[1] for r in rows], dtype=np.float64)
+    picks = rng.choice(len(names), size=n, p=w / w.sum())
+    return pa.table(
+        {
+            "p_partkey": pa.array(range(1, n + 1), pa.int64()),
+            "p_name": pa.array([names[i] for i in picks], pa.string()),
+            "p_brand": pa.array([f"Brand#{i % 5 + 1}" for i in range(n)], pa.string()),
+            "p_type": pa.array([f"type{i % 7}" for i in range(n)], pa.string()),
+            "p_size": pa.array(rng.integers(1, 51, size=n), pa.int32()),
+            "p_retailprice": pa.array(
+                np.round(rng.uniform(900.0, 2100.0, size=n), 2), pa.float64()
+            ),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=float, required=True, help="multiple of sf0.1")
@@ -112,9 +152,11 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     n_docs = int(BASE_DOCS * args.mult)
     n_vecs = int(BASE_VECS * args.mult)
+    n_parts = int(BASE_PARTS * args.mult)
     pq.write_table(gen_documents(n_docs), os.path.join(args.out, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs), os.path.join(args.out, "embeddings.parquet"))
-    print(f"wrote {n_docs} docs / {n_vecs} vecs to {args.out}")
+    pq.write_table(gen_part(n_parts), os.path.join(args.out, "part.parquet"))
+    print(f"wrote {n_docs} docs / {n_vecs} vecs / {n_parts} parts to {args.out}")
 
 
 if __name__ == "__main__":

@@ -33,6 +33,13 @@ QUERIES = [
     # covers them; measured alphas recorded in BASELINE.md):
     "duplicate_span_removal",
     "incremental_minhash_dedup",
+    # Round-9 (VERDICT r8 item 7): the remaining iterative/graph
+    # shapes; entity_resolution needs the part twin gen_scale_data
+    # now writes.
+    "ivf_pq_topk",
+    "unigram_lm_segments",
+    "similarity_pagerank",
+    "entity_resolution_clusters",
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 
@@ -40,7 +47,17 @@ SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--queries",
+        nargs="*",
+        default=None,
+        help="subset of QUERIES to run (default: all)",
+    )
     args = ap.parse_args()
+    queries = args.queries or QUERIES
+    unknown = [q for q in queries if q not in QUERIES]
+    if unknown:
+        ap.error(f"not scale-bench queries: {unknown}")
 
     from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
         all_queries,
@@ -55,7 +72,7 @@ def main() -> None:
     rows_out: dict[str, dict[str, int]] = {}
     for label, sf_dir, _mult in SCALES:
         sf_dir = os.path.abspath(sf_dir)
-        for name in QUERIES:
+        for name in queries:
             q = qs[name]
             times = []
             n = -1
@@ -84,7 +101,7 @@ def main() -> None:
             / math.log(mult),
             3,
         )
-        for name in QUERIES
+        for name in queries
     }
     print(
         json.dumps(

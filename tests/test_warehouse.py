@@ -70,6 +70,35 @@ def test_dq_report_catches_injected_violations(spark, sf_small, tmp_path):
     assert rows["range_o_totalprice_nonneg"].passed == 1
 
 
+def test_dq_single_violation_below_rounding_grain_still_fails(
+    spark, sf_oracle, tmp_path
+):
+    """passed is judged on the EXACT counts, not the 6-dp display
+    metric: ONE duplicated o_orderkey must fail uniqueness even when
+    the violation rate is far below the 5e-7 rounding grain (here the
+    metric still PRINTS 1.0 when rows > 2M; at sf0.01 it prints
+    0.999933 — either way the judgment must come from the counts)."""
+    o = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    dup = o.limit(1)
+    o.union(dup).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.read.parquet(f"{sf_oracle}/customer.parquet").write.parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+    rows = {
+        r.constraint_name: r
+        for r in QUERIES["dq_constraint_report"].builder(spark, str(tmp_path)).collect()
+    }
+    assert rows["uniqueness_o_orderkey"].passed == 0
+    # every other constraint still holds on the duplicated clean row
+    for name in (
+        "completeness_o_custkey",
+        "range_o_totalprice_nonneg",
+        "domain_o_orderstatus",
+        "referential_o_custkey",
+    ):
+        assert rows[name].passed == 1, name
+
+
 # --------------------------------------------------------------- cdc
 
 
