@@ -227,19 +227,78 @@ def netcdf_table_to_df(spark: SparkSession, pdf) -> DataFrame:
 
 
 def read_netcdf(spark: SparkSession, path: str) -> DataFrame:
-    """S4: NetCDF bridge (ERA5 .nc). Needs xarray+netcdf4 — same
-    explicit seam as read_excel's openpyxl path. The reference's
+    """S4: NetCDF bridge (ERA5 .nc). Classic-format files (magic
+    ``CDF\\x01``/``CDF\\x02``) parse with the PURE-STDLIB reader in
+    :mod:`.netcdf_classic` — no xarray needed; netCDF-4 (HDF5-based)
+    files still require xarray and fail loudly without it (same
+    explicit seam as read_excel's openpyxl path). The reference's
     equivalent is xarray.open_dataset(...).to_dataframe()
-    (ERA5_preprocessing notebook cell2-4); the conversion contract
-    itself is :func:`netcdf_table_to_df`."""
+    (ERA5_preprocessing notebook cell2-4); the conversion contract is
+    :func:`netcdf_table_to_df` either way, so downstream plans do not
+    care which decoder produced the frame."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    if head in (b"CDF\x01", b"CDF\x02"):
+        from .netcdf_classic import decode_netcdf_bytes
+
+        with open(path, "rb") as fh:
+            return netcdf_table_to_df(spark, decode_netcdf_bytes(fh.read()))
+    if head != b"\x89HDF":
+        raise ValueError(f"not a NetCDF file (magic {head!r})")
     try:
         import xarray as xr
     except ImportError as e:
         raise NotImplementedError(
-            "NetCDF ingest needs xarray/netcdf4 (not in this environment); "
-            "pre-convert to Parquet or install them"
+            "netCDF-4/HDF5 ingest needs xarray/netcdf4 (not in this "
+            "environment); classic CDF-1/2 files decode without them — "
+            "pre-convert to Parquet or classic format, or install xarray"
         ) from e
     return netcdf_table_to_df(spark, xr.open_dataset(path).to_dataframe().reset_index())
+
+
+def read_netcdf_distributed(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S4 at archive scale: decode a DIRECTORY of classic NetCDF
+    files with one Arrow task per file — ``binaryFile`` rows
+    (path, content-bytes) into ``mapInPandas`` running the same
+    stdlib decoder as :func:`read_netcdf`, plus a ``source_file``
+    provenance column. This is the distributed shape the single-file
+    bridge's docstring promises for a 100 TB archive: no driver-side
+    I/O, no Python per-row work (one decode call per FILE), schema
+    fixed up-front from the first file's header so Spark plans the
+    downstream without touching data.
+
+    Classic files only (each task re-checks the magic and fails
+    loudly on HDF5); mixed archives should route netCDF-4 files
+    through the xarray seam out-of-band.
+    """
+    import pandas as pd
+
+    from .netcdf_classic import decode_netcdf_bytes
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    first = files.select("path", "content").limit(1).collect()
+    if not first:
+        raise ValueError(f"no files match {path_glob!r}")
+    proto = decode_netcdf_bytes(bytes(first[0].content))
+    proto.columns = [c.lower() for c in proto.columns]
+    fields = ", ".join(
+        f"`{c}` {'double' if str(t).startswith('float') else 'bigint' if str(t).startswith('int') else 'string'}"
+        for c, t in proto.dtypes.items()
+    )
+    schema = f"source_file string, {fields}"
+
+    def decode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                out = decode_netcdf_bytes(bytes(row["content"]))
+                out.columns = [c.lower() for c in out.columns]
+                for c in out.columns:
+                    if str(out[c].dtype) == "float32":
+                        out[c] = out[c].astype("float64")
+                out.insert(0, "source_file", row["path"])
+                yield out
+
+    return files.select("path", "content").mapInPandas(decode, schema)
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

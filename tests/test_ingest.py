@@ -53,9 +53,17 @@ def test_sqlite_unknown_table_guard(spark, tmp_path):
         ingest.read_sqlite(spark, db, "nope; DROP TABLE t")
 
 
-def test_netcdf_seam(spark):
+def test_netcdf_seam(spark, tmp_path):
+    # netCDF-4 (HDF5 container) still requires xarray and fails loudly.
+    h5 = tmp_path / "modern.nc"
+    h5.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(NotImplementedError, match="xarray"):
-        ingest.read_netcdf(spark, "/nonexistent.nc")
+        ingest.read_netcdf(spark, str(h5))
+    # Garbage magic is a loud ValueError, not a silent empty frame.
+    junk = tmp_path / "junk.nc"
+    junk.write_bytes(b"NOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="magic"):
+        ingest.read_netcdf(spark, str(junk))
 
 
 def test_netcdf_conversion_contract(spark):

@@ -1,0 +1,231 @@
+"""Pure-stdlib classic-NetCDF reader (S4): the test assembles CDF-1 /
+CDF-2 files BYTE BY BYTE from the published file-format spec (not via
+any writer in the package), so the parser is pinned against the
+format, not against itself. Covers: fixed + record variables, the
+two-record-var padded stride, the single-record-var unpadded stride,
+CF scale/offset/_FillValue unpacking, dim-subset broadcasting,
+CDF-2's 64-bit offsets, and the Spark single-file + distributed
+ingest paths built on the decoder.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources import (
+    ingest,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.netcdf_classic import (
+    decode_netcdf_bytes,
+    parse_classic,
+)
+
+NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+_SZ = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8}
+_FMT = {1: ">b", 3: ">h", 4: ">i", 5: ">f", 6: ">d"}
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+
+def _name(s: str) -> bytes:
+    raw = s.encode()
+    return struct.pack(">I", len(raw)) + _pad4(raw)
+
+
+def _values(nc_type: int, vals) -> bytes:
+    if nc_type == NC_CHAR:
+        return _pad4(vals.encode())
+    return _pad4(b"".join(struct.pack(_FMT[nc_type], v) for v in vals))
+
+
+def _attrs(items) -> bytes:
+    """items: list of (name, nc_type, values)."""
+    if not items:
+        return struct.pack(">II", 0, 0)  # ABSENT
+    out = struct.pack(">II", 0x0C, len(items))
+    for nm, t, vals in items:
+        n = len(vals) if t == NC_CHAR else len(list(vals))
+        out += _name(nm) + struct.pack(">II", t, n) + _values(t, vals)
+    return out
+
+
+def _build_classic(version, numrecs, dims, gatts, variables):
+    """Assemble a classic file per the spec.
+
+    dims: [(name, length)] with 0 = record dim.
+    variables: [(name, dimids, vatts, nc_type, fixed_data_or_records)]
+      fixed var: flat list of values, stored contiguously;
+      record var: list of per-record flat value lists.
+    Two passes: first with zero begins to learn the header size, then
+    for real. Record blocks pad to 4 bytes unless there is exactly
+    one record variable (the spec's special case).
+    """
+    begin_size = 4 if version == 1 else 8
+
+    def header(begins):
+        h = b"CDF" + bytes([version]) + struct.pack(">I", numrecs)
+        h += struct.pack(">II", 0x0A, len(dims))
+        for nm, ln in dims:
+            h += _name(nm) + struct.pack(">I", ln)
+        h += _attrs(gatts)
+        h += struct.pack(">II", 0x0B, len(variables))
+        for (nm, dimids, vatts, t, _data), begin in zip(variables, begins):
+            per = _SZ[t]
+            for d in dimids:
+                if dims[d][1] != 0:
+                    per *= dims[d][1]
+            vsize = per + (4 - per % 4) % 4
+            h += _name(nm) + struct.pack(">I", len(dimids))
+            h += b"".join(struct.pack(">I", d) for d in dimids)
+            h += _attrs(vatts)
+            h += struct.pack(">II", t, vsize)
+            h += struct.pack(">q" if begin_size == 8 else ">i", begin)
+        return h
+
+    hlen = len(header([0] * len(variables)))
+    rec_ids = [i for i, v in enumerate(variables) if dims[v[1][0]][1] == 0 and v[1]]
+    pad_rec = len(rec_ids) > 1
+    begins, off = [], hlen
+    fixed_payload = b""
+    for i, (nm, dimids, vatts, t, data) in enumerate(variables):
+        if i in rec_ids:
+            begins.append(None)  # filled below
+            continue
+        begins.append(off)
+        raw = b"".join(struct.pack(_FMT[t], v) for v in data)
+        fixed_payload += raw
+        off += len(raw)
+    rec_start = off
+    # per-record block sizes in var order
+    blk = {}
+    for i in rec_ids:
+        nm, dimids, vatts, t, data = variables[i]
+        per = _SZ[t]
+        for d in dimids[1:]:
+            per *= dims[d][1]
+        blk[i] = per + ((4 - per % 4) % 4 if pad_rec else 0)
+    cursor = rec_start
+    for i in rec_ids:
+        begins[i] = cursor
+        cursor += blk[i]
+    rec_payload = b""
+    for r in range(numrecs):
+        for i in rec_ids:
+            nm, dimids, vatts, t, data = variables[i]
+            raw = b"".join(struct.pack(_FMT[t], v) for v in data[r])
+            rec_payload += raw + b"\x00" * (blk[i] - len(raw))
+    return header(begins) + fixed_payload + rec_payload
+
+
+FILL = -32767
+
+
+def _era5ish(version=1):
+    dims = [("time", 0), ("lat", 2), ("lon", 3)]
+    t2m_r0 = [100, 200, 300, FILL, 500, 600]
+    t2m_r1 = [700, 800, 900, 1000, 1100, 1200]
+    variables = [
+        ("lat", [1], [], NC_FLOAT, [10.0, 20.0]),
+        ("lon", [2], [], NC_FLOAT, [100.0, 101.0, 102.0]),
+        ("elevation", [1, 2], [], NC_DOUBLE, [11, 12, 13, 21, 22, 23]),
+        ("time", [0], [], NC_INT, [[0], [1]]),
+        (
+            "t2m",
+            [0, 1, 2],
+            [
+                ("scale_factor", NC_DOUBLE, [0.01]),
+                ("add_offset", NC_DOUBLE, [270.0]),
+                ("_FillValue", NC_SHORT, [FILL]),
+            ],
+            NC_SHORT,
+            [t2m_r0, t2m_r1],
+        ),
+    ]
+    gatts = [("title", NC_CHAR, "unit test")]
+    return _build_classic(version, 2, dims, gatts, variables)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_parse_classic_header_and_data(version):
+    dims, gattrs, varlist = parse_classic(_era5ish(version))
+    assert dims == [("time", 2), ("lat", 2), ("lon", 3)]
+    assert gattrs["title"] == "unit test"
+    v = {x.name: x for x in varlist}
+    np.testing.assert_array_equal(v["lat"].data, np.array([10.0, 20.0], ">f4"))
+    np.testing.assert_array_equal(
+        v["elevation"].data, np.array([[11, 12, 13], [21, 22, 23]], ">f8")
+    )
+    np.testing.assert_array_equal(v["time"].data, np.array([0, 1], ">i4"))
+    assert v["t2m"].data.shape == (2, 2, 3)
+    assert v["t2m"].data[0, 1, 0] == FILL
+    assert v["t2m"].data[1, 2 - 1, 2] == 1200
+    assert float(v["t2m"].attrs["scale_factor"]) == 0.01
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_decode_to_dataframe_cf_unpacked(version):
+    pdf = decode_netcdf_bytes(_era5ish(version))
+    assert list(pdf.columns) == ["time", "lat", "lon", "elevation", "t2m"]
+    assert len(pdf) == 12  # 2 time x 2 lat x 3 lon
+    # CF unpack: raw * 0.01 + 270; the FILL cell is NaN.
+    row = pdf[(pdf.time == 0) & (pdf.lat == 10.0) & (pdf.lon == 100.0)]
+    assert row.t2m.iloc[0] == pytest.approx(271.0)
+    fill_row = pdf[(pdf.time == 0) & (pdf.lat == 20.0) & (pdf.lon == 100.0)]
+    assert math.isnan(fill_row.t2m.iloc[0])
+    last = pdf[(pdf.time == 1) & (pdf.lat == 20.0) & (pdf.lon == 102.0)]
+    assert last.t2m.iloc[0] == pytest.approx(282.0)
+    # elevation has no time dim -> broadcast identically across time.
+    for t in (0, 1):
+        sub = pdf[pdf.time == t].sort_values(["lat", "lon"])
+        np.testing.assert_array_equal(
+            sub.elevation.to_numpy(), [11, 12, 13, 21, 22, 23]
+        )
+
+
+def test_single_record_var_unpadded_stride():
+    # One record variable with a 6-byte record: the spec packs records
+    # at stride 6 (no padding) — the special case a padded-only reader
+    # would misread from record 1 on.
+    dims = [("time", 0), ("n", 3)]
+    variables = [("x", [0, 1], [], NC_SHORT, [[1, 2, 3], [4, 5, 6], [7, 8, 9]])]
+    buf = _build_classic(1, 3, dims, [], variables)
+    dims_out, _, varlist = parse_classic(buf)
+    np.testing.assert_array_equal(
+        varlist[0].data, np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], ">i2")
+    )
+
+
+def test_read_netcdf_classic_via_spark(spark, tmp_path):
+    p = tmp_path / "era5ish.nc"
+    p.write_bytes(_era5ish())
+    df = ingest.read_netcdf(spark, str(p))
+    assert df.columns == ["time", "lat", "lon", "elevation", "t2m"]
+    assert dict(df.dtypes)["t2m"] == "double"
+    rows = df.orderBy("time", "lat", "lon").collect()
+    assert len(rows) == 12
+    assert rows[0]["t2m"] == pytest.approx(271.0)
+    assert sum(1 for r in rows if r["t2m"] is None or math.isnan(r["t2m"])) == 1
+
+
+def test_read_netcdf_distributed(spark, tmp_path):
+    # Two files of the same grid -> one decode task each, provenance
+    # column, union of rows.
+    (tmp_path / "a.nc").write_bytes(_era5ish())
+    (tmp_path / "b.nc").write_bytes(_era5ish())
+    df = ingest.read_netcdf_distributed(spark, str(tmp_path))
+    assert df.columns[0] == "source_file"
+    rows = df.collect()
+    assert len(rows) == 24
+    assert {r.source_file.rsplit("/", 1)[-1] for r in rows} == {"a.nc", "b.nc"}
+    a = [r for r in rows if r.source_file.endswith("a.nc")]
+    assert len(a) == 12
+    vals = {
+        (r.time, r.lat, r.lon): r.t2m for r in a
+    }
+    assert vals[(0, 10.0, 100.0)] == pytest.approx(271.0)
