@@ -328,15 +328,26 @@ def reverse_geocode_join(points: DataFrame, gazetteer: DataFrame) -> DataFrame:
         F.col("lon").alias("_glon"),
     )
     d2 = (F.col("latitude") - F.col("_glat")) ** 2 + (F.col("longitude") - F.col("_glon")) ** 2
+    # Geocode the DISTINCT coordinates, then map back: coordinates
+    # repeat heavily (every time step of a grid shares them — the
+    # ERA5 file shape), so ranking over the raw join would both do
+    # |rows| x |gazetteer| distance work AND collapse repeated
+    # coordinates to a single surviving row (row_number picks one
+    # winner per (lat, lon) partition across ALL rows — a bug the
+    # .nc-to-NL lifecycle test pins). Distinct-first is also the
+    # scale-correct plan: |distinct coords| is grid-sized, not
+    # corpus-sized, so the argmin table broadcasts back.
     w = W.partitionBy("latitude", "longitude").orderBy(F.col("_d2"), F.col("_city"))
-    return (
-        points.join(F.broadcast(g))
+    nearest = (
+        points.select("latitude", "longitude")
+        .distinct()
+        .join(F.broadcast(g))
         .withColumn("_d2", d2)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_glat", "_glon", "_d2", "_rn")
-        .withColumnRenamed("_city", "nearest_city")
+        .select("latitude", "longitude", F.col("_city").alias("nearest_city"))
     )
+    return points.join(F.broadcast(nearest), ["latitude", "longitude"])
 
 
 def city_gazetteer(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,150 @@
+"""The reference's FULL ERA5 lifecycle, end to end in this engine:
+a classic NetCDF file (assembled from the format spec) -> pure-stdlib
+decode -> Spark frame -> reverse-geocode join against the gazetteer
+(U13) -> monthly per-city rollup into the era5_monthly long form ->
+the NL pipeline answers a question over it.
+
+The reference does this across ERA5_preprocessing.ipynb (xarray
+open_dataset + reverse_geocode) plus era5client/era5server point
+queries; here it is one ingest pipeline + one grouped plan, with the
+final answer checked against a Python recompute from the very bytes
+that went into the .nc file.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import test_netcdf_classic as ncb
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.nl.pipeline import (
+    ClimateEngine,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources import (
+    climate,
+    ingest,
+)
+
+SCALE, OFFSET = 0.01, 270.0
+LATS = [23.81, 28.61]
+LONS = [77.21, 90.41]
+N_MONTHS = 12
+
+
+def _raw(m: int, i: int, j: int) -> int:
+    # deterministic packed int16: varies by month and grid point
+    return 100 * (m + 1) + 10 * i + j
+
+
+def _era5_nc_bytes() -> bytes:
+    dims = [("valid_time", 0), ("latitude", 2), ("longitude", 2)]
+    records = [
+        [_raw(m, i, j) for i in range(2) for j in range(2)] for m in range(N_MONTHS)
+    ]
+    variables = [
+        ("latitude", [1], [], ncb.NC_DOUBLE, LATS),
+        ("longitude", [2], [], ncb.NC_DOUBLE, LONS),
+        ("valid_time", [0], [], ncb.NC_INT, [[m] for m in range(N_MONTHS)]),
+        (
+            "skt",
+            [0, 1, 2],
+            [
+                ("scale_factor", ncb.NC_DOUBLE, [SCALE]),
+                ("add_offset", ncb.NC_DOUBLE, [OFFSET]),
+            ],
+            ncb.NC_SHORT,
+            records,
+        ),
+    ]
+    return ncb._build_classic(1, N_MONTHS, dims, [], variables)
+
+
+def _nearest_city(lat: float, lon: float) -> str:
+    return min(
+        climate.CITY_COORDS.items(),
+        key=lambda kv: ((lat - kv[1][0]) ** 2 + (lon - kv[1][1]) ** 2, kv[0]),
+    )[0]
+
+
+def test_nc_to_nl_answer(spark, tmp_path):
+    p = tmp_path / "skt_2020.nc"
+    p.write_bytes(_era5_nc_bytes())
+
+    # 1. Ingest (stdlib classic decoder behind the same read_netcdf).
+    grid = ingest.read_netcdf(spark, str(p))
+    assert grid.columns == ["valid_time", "latitude", "longitude", "skt"]
+    assert grid.count() == N_MONTHS * 4
+
+    # 2. U13 reverse-geocode each grid point to its nearest city.
+    located = climate.reverse_geocode_join(grid, climate.city_gazetteer(spark))
+
+    # 3. Roll up to the era5_monthly long form (one metric).
+    cities = spark.createDataFrame(
+        [(c, city) for c, cs in climate.ERA5_CITIES.items() for city in cs],
+        "country string, city string",
+    )
+    fam, unit = climate.ERA5_METRICS["skin_temperature"]
+    monthly = (
+        located.groupBy(F.col("nearest_city").alias("city"), "valid_time")
+        .agg(F.avg("skt").alias("value"))
+        .select(
+            "city",
+            F.add_months(F.lit("2020-01-01").cast("date"), F.col("valid_time")).alias(
+                "date"
+            ),
+            "value",
+        )
+        .join(cities, "city")
+    )
+    lat = F.create_map(
+        *[x for c, (la, lo) in climate.CITY_COORDS.items() for x in (F.lit(c), F.lit(la))]
+    )
+    lon = F.create_map(
+        *[x for c, (la, lo) in climate.CITY_COORDS.items() for x in (F.lit(c), F.lit(lo))]
+    )
+    era5 = monthly.select(
+        "country",
+        "city",
+        "date",
+        lat[F.col("city")].alias("latitude"),
+        lon[F.col("city")].alias("longitude"),
+        F.lit("skin_temperature").alias("metric"),
+        F.lit(fam).alias("family"),
+        F.lit(unit).alias("unit"),
+        "value",
+    )
+
+    # 4. Ask the NL engine over the ingested table.
+    eng = ClimateEngine(spark, tables={"era5_monthly": era5})
+    a = eng.ask("Average skin temperature in Dhaka in 2020")
+    assert a.domain == "era5"
+    rows = a.result.collect()
+    assert len(rows) == 1 and rows[0]["city"] == "Dhaka"
+
+    # 5. Truth: recompute from the exact bytes that built the file.
+    vals = [
+        _raw(m, i, j) * SCALE + OFFSET
+        for m in range(N_MONTHS)
+        for i in range(2)
+        for j in range(2)
+        if _nearest_city(LATS[i], LONS[j]) == "Dhaka"
+    ]
+    assert vals, "grid must contain Dhaka-nearest points"
+    assert rows[0]["value"] == pytest.approx(sum(vals) / len(vals))
+
+    # Sanity on the geocode itself: exact-coordinate points hit their
+    # own city, off-diagonal points their nearest.
+    hits = {
+        (r.latitude, r.longitude): r.nearest_city
+        for r in located.select("latitude", "longitude", "nearest_city")
+        .distinct()
+        .collect()
+    }
+    assert hits[(23.81, 90.41)] == "Dhaka"
+    assert hits[(28.61, 77.21)] == "Delhi"
+    # Off-diagonal points go to their true nearest (Thimphu beats
+    # Dhaka for (28.61, 90.41)) — the python truth side agrees.
+    assert hits[(28.61, 90.41)] == _nearest_city(28.61, 90.41) == "Thimphu"
+    # Every month survives the geocode join (the pre-fix operator
+    # collapsed repeated coordinates to one row per (lat, lon)).
+    assert located.count() == N_MONTHS * 4
