@@ -89,7 +89,7 @@ def _build_classic(version, numrecs, dims, gatts, variables):
         return h
 
     hlen = len(header([0] * len(variables)))
-    rec_ids = [i for i, v in enumerate(variables) if dims[v[1][0]][1] == 0 and v[1]]
+    rec_ids = [i for i, v in enumerate(variables) if v[1] and dims[v[1][0]][1] == 0]
     pad_rec = len(rec_ids) > 1
     begins, off = [], hlen
     fixed_payload = b""
@@ -229,3 +229,70 @@ def test_read_netcdf_distributed(spark, tmp_path):
         (r.time, r.lat, r.lon): r.t2m for r in a
     }
     assert vals[(0, 10.0, 100.0)] == pytest.approx(271.0)
+
+
+# ------------------------------------------------ property-based
+
+
+def test_parse_roundtrip_property():
+    """Property test: for random dim shapes, types, and values, the
+    parser returns exactly the arrays the spec-builder encoded —
+    fixed and record variables, any record-var count (exercising both
+    stride rules)."""
+    from hypothesis import given, settings, strategies as st
+
+    numeric_types = [NC_BYTE, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE]
+    rng_vals = {
+        NC_BYTE: st.integers(-128, 127),
+        NC_SHORT: st.integers(-32768, 32767),
+        NC_INT: st.integers(-(2**31), 2**31 - 1),
+        NC_FLOAT: st.sampled_from([0.0, 1.5, -2.25, 1024.0]),  # f4-exact
+        NC_DOUBLE: st.floats(-1e6, 1e6, allow_nan=False),
+    }
+
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        n_fixed_dims = data.draw(st.integers(1, 3))
+        dim_lens = [data.draw(st.integers(1, 4)) for _ in range(n_fixed_dims)]
+        numrecs = data.draw(st.integers(0, 3))
+        dims = [("rec", 0)] + [(f"d{i}", ln) for i, ln in enumerate(dim_lens)]
+        n_vars = data.draw(st.integers(1, 3))
+        variables = []
+        for vi in range(n_vars):
+            t = data.draw(st.sampled_from(numeric_types))
+            is_rec = data.draw(st.booleans())
+            # pick a sub-shape over the fixed dims (possibly scalar)
+            k = data.draw(st.integers(0, n_fixed_dims))
+            sub = list(range(1, 1 + k))
+            count = 1
+            for d in sub:
+                count *= dims[d][1]
+            if is_rec:
+                vals = [
+                    [data.draw(rng_vals[t]) for _ in range(count)]
+                    for _ in range(numrecs)
+                ]
+                variables.append((f"v{vi}", [0] + sub, [], t, vals))
+            else:
+                vals = [data.draw(rng_vals[t]) for _ in range(count)]
+                variables.append((f"v{vi}", sub, [], t, vals))
+        version = data.draw(st.sampled_from([1, 2]))
+        buf = _build_classic(version, numrecs, dims, [], variables)
+        _, _, parsed = parse_classic(buf)
+        byname = {v.name: v for v in parsed}
+        for nm, dimids, _vatts, t, vals in variables:
+            got = byname[nm].data
+            if dimids and dimids[0] == 0:
+                flat = [x for rec in vals for x in rec]
+                assert got.shape[0] == numrecs
+            else:
+                flat = list(vals)
+            np.testing.assert_allclose(
+                got.ravel().astype(np.float64),
+                np.array(flat, dtype=np.float64),
+                rtol=0,
+                atol=0,
+            )
+
+    run()

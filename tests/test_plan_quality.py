@@ -257,6 +257,18 @@ def test_embedding_covariance_partition_order_free(spark, sf_oracle):
     assert one == many  # exact equality, not approx
 
 
+def test_sequence_packing_canonical_plan(spark, sf_oracle):
+    # Exactly ONE exchange (the hash partition on bucket feeding the
+    # grouped Arrow stage), no cartesian, and the Python boundary is
+    # a single grouped applyInPandas (FlatMapGroupsInPandas), not a
+    # per-row UDF.
+    plan = plan_of(spark, sf_oracle, "sequence_packing_canonical")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"FlatMapGroupsInPandas|ApplyInPandas", plan)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert plan.count("Exchange") <= 2  # bucket shuffle (+AQE read)
+
+
 def test_substring_dup_profile_hashes_grams_at_source(spark, sf_oracle):
     # 50-char grams must be hashed before any exchange: every
     # hashpartitioning key is typed (long gram hash or id), and no
