@@ -333,37 +333,49 @@ class ClimateEngine:
 
     # ------------------------------------------------------------------
 
-    def build_spec(self, question: str) -> tuple[str, QuerySpec]:
-        domain = self.route(question)
-        spec = {
+    def _spec_for(self, domain: str, question: str) -> QuerySpec:
+        return {
             "disasters": self._spec_disasters,
             "fema": self._spec_fema,
             "era5": self._spec_era5,
             "emissions": self._spec_emissions,
         }[domain](question)
-        return domain, spec
+
+    def build_spec(self, question: str) -> tuple[str, QuerySpec]:
+        domain = self.route(question)
+        return domain, self._spec_for(domain, question)
 
     def _plan_disaster_trend(self, question: str) -> tuple[QuerySpec, DataFrame]:
         """'Which disaster type is trending up?' -> Holt linear-trend
         state over each type's yearly count series, ranked by the
         trend component; forecast_next = level + trend (h=1).
 
-        Window: the question's explicit year range if it gives one,
-        else the last 10 years of the table (a decade is the honest
-        horizon for 'is it trending' — the full 45-year series would
-        let the 1980s dominate the smoothed state). The series is
-        guarded dense before the unrolled recursion runs, exactly
-        like the registry query's 30-day guard."""
+        Window: the question's explicit year range if it gives one
+        (clamped to the years the table actually has — open phrasings
+        like "since 2015" parse with the extractor's default horizon
+        and must not fail the density guard), else the last 10 years
+        of the table (a decade is the honest horizon for 'is it
+        trending' — the full 45-year series would let the 1980s
+        dominate the smoothed state). Density and the >= 2-step
+        minimum are guarded loudly INSIDE holt_linear_state (shared
+        with the registry query's 30-day guard)."""
         from ..operators.trend import holt_linear_state
 
         t = extract_time(question)
         yearly = self.tables["disasters_yearly"]
+        # Dimension-scale probe: one MIN/MAX over the tiny yearly table.
+        y_min, y_max = yearly.agg(F.min("year"), F.max("year")).collect()[0]
         if t.year_range:
             lo, hi = t.year_range
+            lo, hi = max(lo, y_min), min(hi, y_max)
+            if hi < lo:
+                raise ValueError(
+                    f"trend window {t.year_range} is outside the "
+                    f"table's {y_min}-{y_max} coverage"
+                )
         else:
-            # Dimension-scale probe: one MAX over the tiny yearly table.
-            hi = yearly.agg(F.max("year")).collect()[0][0]
-            lo = hi - 9
+            hi = y_max
+            lo = max(y_min, hi - 9)
         n_steps = hi - lo + 1
         seq = (
             yearly.where(F.col("year").between(lo, hi))
@@ -375,19 +387,16 @@ class ClimateEngine:
             .persist()
         )
         try:
-            counts = [
-                r[0]
-                for r in seq.groupBy("disaster_type").count().select("count").collect()
-            ]
-            if not counts or min(counts) != n_steps or max(counts) != n_steps:
-                raise ValueError(
-                    f"disaster trend needs a dense {lo}-{hi} series per "
-                    f"type; got year counts {sorted(set(counts))}"
-                )
+            state = holt_linear_state(
+                seq, "disaster_type", n_steps, series_desc="years"
+            )
         except BaseException:
             seq.unpersist()
             raise
-        state = holt_linear_state(seq, "disaster_type", n_steps)
+        # Every recursion step eagerly localCheckpoints, so seq is
+        # fully consumed — release it NOW rather than attaching a
+        # cache_handles contract the NL path has no harness to honor.
+        seq.unpersist()
         plan = state.select(
             "disaster_type",
             (F.round(F.col("l"), 6) + F.lit(0.0)).alias("level"),
@@ -396,7 +405,6 @@ class ClimateEngine:
                 "forecast_next"
             ),
         ).orderBy(F.col("trend").desc(), "disaster_type")
-        plan.cache_handles = [seq]
         spec = QuerySpec(
             dataset="disasters_yearly",
             metrics=["disaster_type", "level", "trend", "forecast_next"],
@@ -408,12 +416,14 @@ class ClimateEngine:
         return spec, plan
 
     def ask(self, question: str) -> Answer:
+        # Route ONCE; the trend branch and the spec builders consume
+        # the same routing decision.
         domain = self.route(question)
         if domain == "disasters" and TREND_RE.search(question.lower()):
             spec, plan = self._plan_disaster_trend(question)
             text = answer(question, plan, self.transport)
             return Answer(question, domain, spec, plan, text, [])
-        domain, spec = self.build_spec(question)
+        spec = self._spec_for(domain, question)
         # ERA5's year column lives in `date`; emissions/disasters use
         # integer `year` — compile_spec handles both via _time_column.
         plan, dropped = compile_spec(spec, self.tables[spec.dataset])

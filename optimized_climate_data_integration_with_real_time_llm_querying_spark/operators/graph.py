@@ -53,17 +53,26 @@ class _CheckpointHandle:
     a persisted frame (``.unpersist()``) so it rides the existing
     ``cache_handles`` contract that bench.run_once / the parity
     fixture already release after materialization. ``unpersist``
-    drops the only retained reference; CPython refcounting detaches
-    the py4j handle and the ContextCleaner unpersists the
-    checkpointed RDD's blocks — no private API (the former
-    reach-in through the JVM query-execution internals was
-    Spark-version-fragile; VERDICT r8 item 4)."""
+    drops this handle's reference and forces a Python GC pass so the
+    py4j side detaches promptly — no private API (the former reach-in
+    through the JVM query-execution internals was
+    Spark-version-fragile; VERDICT r8 item 4). Honest semantics: the
+    blocks become RECLAIMABLE (by the ContextCleaner on a later
+    driver JVM GC) only once the caller has ALSO dropped the result
+    frame, whose plan references the checkpointed RDD — release is
+    deferred, not synchronous. Bounded exposure: label frames are
+    (node, label) pairs, orders of magnitude smaller than the
+    corpus, and the harnesses that call unpersist() discard the
+    result frame in the same breath."""
 
     def __init__(self, df: DataFrame):
         self._df = df
 
     def unpersist(self) -> None:
+        import gc
+
         self._df = None
+        gc.collect()
 
 
 def connected_components(
@@ -133,6 +142,13 @@ def connected_components(
             raise RuntimeError(
                 f"connected_components did not converge in {max_iterations} iterations"
             )
+    except BaseException:
+        # The propagating traceback pins THIS frame and its locals —
+        # clear the in-flight checkpoint references before re-raising
+        # so a retained exception cannot keep them reachable.
+        labels = None
+        new_labels = None
+        raise
     finally:
         # On success AND failure: the edge persist goes; in-flight
         # label checkpoints are reference-dropped by scope exit.

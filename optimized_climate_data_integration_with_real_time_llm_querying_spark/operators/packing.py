@@ -188,6 +188,7 @@ def pack_sequences_canonical(
         F.col(id_col).alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
     ).withColumn(
-        "bucket", F.pmod(md5_bucket(F.col(id_col), seed=seed), F.lit(n_buckets))
+        # post-select the id column is named doc_id regardless of id_col
+        "bucket", F.pmod(md5_bucket(F.col("doc_id"), seed=seed), F.lit(n_buckets))
     )
     return prepared.groupBy("bucket").applyInPandas(pack_bucket, PACK_SCHEMA)

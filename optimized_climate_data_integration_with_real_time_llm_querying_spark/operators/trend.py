@@ -31,17 +31,35 @@ def holt_linear_state(
     n_steps: int,
     alpha: float = 0.75,
     beta: float = 0.25,
+    series_desc: str = "steps",
 ) -> DataFrame:
     """(key, l, b) after ``n_steps`` Holt steps over ``seq``.
 
     ``seq`` columns: ``key_col``, ``rn`` (dense 1..n_steps per key),
     ``cnt``. Initial state from the first two observations:
-    l_1 = y_1, b_1 = y_2 - y_1 (the standard initialization).
-
-    The caller must guarantee density — a key missing some rn would
-    silently drop out of the stepped join, which is why both call
-    sites run a loud shape guard first.
+    l_1 = y_1, b_1 = y_2 - y_1 (the standard initialization) — so the
+    recursion NEEDS at least two observations, and a key missing some
+    rn would silently drop out of a stepped join. Both preconditions
+    are guarded HERE, loudly (one small collect over the per-key
+    counts at build time), so no caller can forget them; callers that
+    persisted ``seq`` should wrap this call to unpersist on raise.
+    ``series_desc`` names the step unit in the error ("days",
+    "years") so the message reads in the caller's domain.
     """
+    if n_steps < 2:
+        raise ValueError(
+            f"holt_linear_state: need at least 2 {series_desc} "
+            f"(got n_steps={n_steps}) — initialization uses the first "
+            "two observations"
+        )
+    counts = [
+        r[0] for r in seq.groupBy(key_col).count().select("count").collect()
+    ]
+    if not counts or min(counts) != n_steps or max(counts) != n_steps:
+        raise ValueError(
+            f"holt_linear_state: expected exactly {n_steps} "
+            f"{series_desc} per {key_col}, got {sorted(set(counts))}"
+        )
     a, b_ = alpha, beta
     y1 = seq.where(F.col("rn") == 1).select(key_col, F.col("cnt").alias("y1"))
     y2 = seq.where(F.col("rn") == 2).select(key_col, F.col("cnt").alias("y2"))

@@ -748,31 +748,28 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("event_type").orderBy("day")
     seq = daily.withColumn("rn", F.row_number().over(w)).persist()
-    # Loud shape guard (see docstring): every type must have exactly
-    # _HOLT_T days or the unrolled recursion is wrong, not just off.
-    # The guard runs a driver-side collect at BUILD time; if it (or
-    # the raise itself) fires, seq is not yet attached to any
-    # cache_handle, so unpersist before propagating — the loud
-    # failure must not leak a cached RDD.
+    # The recursion AND its loud density/min-length guard live in
+    # operators/trend.holt_linear_state (round-9 refactor) so the NL
+    # planner's trend path shares both; constants and per-step
+    # rounding are unchanged. The guard collects at BUILD time; if it
+    # raises, unpersist seq before propagating (no cached-RDD leak on
+    # the loud path).
     try:
-        counts = [
-            r[0] for r in seq.groupBy("event_type").count().select("count").collect()
-        ]
-        if counts and (min(counts) != _HOLT_T or max(counts) != _HOLT_T):
-            raise ValueError(
-                f"holt_forecast_daily: expected exactly {_HOLT_T} days per "
-                f"event_type, got {sorted(set(counts))}"
-            )
+        state = holt_linear_state(
+            seq,
+            "event_type",
+            _HOLT_T,
+            alpha=_HOLT_ALPHA,
+            beta=_HOLT_BETA,
+            series_desc="days",
+        )
     except BaseException:
         seq.unpersist()
         raise
-    # The recursion itself lives in operators/trend.holt_linear_state
-    # (round-9 refactor) so the NL planner's trend path targets the
-    # SAME operator this oracle pins; constants and per-step rounding
-    # are unchanged.
-    state = holt_linear_state(
-        seq, "event_type", _HOLT_T, alpha=_HOLT_ALPHA, beta=_HOLT_BETA
-    )
+    # Every step eagerly localCheckpoints, so the recursion has fully
+    # consumed seq by the time it returns — release it HERE instead
+    # of handing the caller a cache_handle to remember.
+    seq.unpersist()
     out = state.select(
         "event_type",
         F.explode(F.sequence(F.lit(1), F.lit(_HOLT_H))).alias("h"),
@@ -787,5 +784,4 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast"
         ),
     )
-    out.cache_handle = seq
     return out

@@ -363,3 +363,22 @@ def test_non_trend_disaster_question_unchanged(engine):
     a = engine.ask("How many droughts occurred in 1980?")
     assert a.spec.dataset == "disasters_yearly"
     assert "trend" not in a.result.columns
+
+
+def test_trend_open_range_clamps_to_table_years(engine):
+    """'since YEAR' parses with the extractor's open horizon; the
+    trend planner must clamp to the table's coverage instead of
+    failing its density guard (round-9 review finding)."""
+    a = engine.ask("Which disaster type has been increasing since 2015?")
+    assert a.domain == "disasters"
+    assert a.spec.year_range is not None
+    lo, hi = a.spec.year_range
+    assert lo == 2015 and hi == 2024  # table max year
+    assert len(a.result.collect()) == 7
+
+
+def test_trend_single_year_window_raises_loudly(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 2 years"):
+        engine.ask("Which disaster type is trending up between 2020 and 2020?")

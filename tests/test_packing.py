@@ -155,3 +155,20 @@ def test_canonical_next_fit_recurrence(spark, sf_small):
             else:
                 run += n
             assert got_seq == seq, (b, _doc, got_seq, seq)
+
+
+def test_canonical_custom_id_col(spark, sf_small):
+    """id_col other than 'doc_id' must work (the bucket hash reads
+    the post-rename column; round-9 review finding)."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.packing import (
+        pack_sequences_canonical,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select(
+        F.col("doc_id").alias("docid"), token_count("text").alias("ntok")
+    )
+    out = pack_sequences_canonical(
+        docs, budget=BUDGET, n_buckets=8, id_col="docid", tokens_col="ntok"
+    )
+    assert out.count() == docs.count()
+    assert out.columns == ["pack_id", "doc_id", "n_tokens", "pack_total"]
