@@ -42,11 +42,21 @@ QUERIES = [
     "entity_resolution_clusters",
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
+# Optional third point for a 3-point curve (generate with
+# gen_scale_data --mult 100 --out .scale/sf10): pass --three to
+# include it; the fitted alpha then comes from a least-squares fit
+# over all points instead of a 2-point ratio.
+SCALE_10 = ("10", ".scale/sf10", 100.0)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--three",
+        action="store_true",
+        help="include the 100x point (.scale/sf10) and least-squares fit",
+    )
     ap.add_argument(
         "--queries",
         nargs="*",
@@ -68,9 +78,10 @@ def main() -> None:
 
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()
+    scales = SCALES + ([SCALE_10] if args.three else [])
     results: dict[str, dict[str, float]] = {}
     rows_out: dict[str, dict[str, int]] = {}
-    for label, sf_dir, _mult in SCALES:
+    for label, sf_dir, _mult in scales:
         sf_dir = os.path.abspath(sf_dir)
         for name in queries:
             q = qs[name]
@@ -94,15 +105,27 @@ def main() -> None:
             rows_out.setdefault(name, {})[label] = n
             print(f"  {label:5s} {name:28s} {min(times):7.2f}s  rows={n}", flush=True)
 
-    mult = SCALES[-1][2] / SCALES[0][2]
-    alphas = {
-        name: round(
-            math.log(results[name][SCALES[-1][0]] / results[name][SCALES[0][0]])
-            / math.log(mult),
-            3,
-        )
-        for name in queries
-    }
+    if args.three:
+        # least-squares slope of log t vs log n over the 3 points
+        xs = [math.log(m) for _, _, m in scales]
+        xbar = sum(xs) / len(xs)
+        alphas = {}
+        for name in queries:
+            ys = [math.log(results[name][lbl]) for lbl, _, _ in scales]
+            ybar = sum(ys) / len(ys)
+            num = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys))
+            den = sum((x - xbar) ** 2 for x in xs)
+            alphas[name] = round(num / den, 3)
+    else:
+        mult = scales[-1][2] / scales[0][2]
+        alphas = {
+            name: round(
+                math.log(results[name][scales[-1][0]] / results[name][scales[0][0]])
+                / math.log(mult),
+                3,
+            )
+            for name in queries
+        }
     print(
         json.dumps(
             {
