@@ -1605,9 +1605,15 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding neighborhoods. Terms are md5-hashed to 8-byte keys "
     "at the source (rule 6); a RELATIVE document-frequency cap "
     "(df*5 <= N, exact integer arithmetic at every scale) drops "
-    "corpus-wide boilerplate before the postings self-join, the "
-    "guard that keeps pair generation sub-quadratic; ranking "
-    "happens on the ROUNDED cosine with id tie-breaks (rule 4).",
+    "corpus-wide boilerplate before the postings self-join; ranking "
+    "happens on the ROUNDED cosine with id tie-breaks (rule 4). "
+    "REGIME BOUNDARY (measured, BASELINE.md 100x table): the join "
+    "costs sum(df^2), so a relative cap only bounds work while the "
+    "vocabulary keeps producing rare terms — above vocabulary "
+    "saturation (the synthetic corpus at ~500k docs) candidate "
+    "volume trends to n^2/|vocab| and the right tool is the "
+    "MinHash/LSH family, whose banding does not depend on content "
+    "rarity. On Zipfian real corpora the cap works as intended.",
 )
 def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True)

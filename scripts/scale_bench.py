@@ -40,6 +40,10 @@ QUERIES = [
     "unigram_lm_segments",
     "similarity_pagerank",
     "entity_resolution_clusters",
+    # pair-join audit shapes (df-cap guarded) for the 100x curve
+    "minhash_estimate_vs_exact",
+    "tfidf_doc_similarity",
+    "winnow_dup_candidates",
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with
