@@ -39,16 +39,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # round, the never-rowed debt is the 8 deferred names at the head of
 # _DEMOTE (chi2_lang_source, ols_order_size_price, quantity_moments,
 # frequent_triples, media_dedup_report, covariance_power_iteration,
-# revenue_percentile_disc, holt_forecast_daily) plus any round-9
-# additions (sequence_packing_canonical — VERDICT r8 item 6).
+# revenue_percentile_disc, holt_forecast_daily) plus the two round-9
+# additions: sequence_packing_canonical (VERDICT r8 item 6) and
+# tfidf_simhash_topk (the weighted-SimHash scale path built in
+# response to the measured sparse-cosine regime boundary). Tier A is
+# therefore 10 names; round 10 = promote _DEMOTE[:50] (10 + the
+# 20-entry stable tier + 20 of tier C), which still clears the
+# entire never-rowed debt.
 # _DEMOTE below is ALREADY in round-10 priority order: deferred
 # never-rowed first, then the 20-entry most-stable tier (rows last
 # in r6 — third round between rows, per the r8 CAPACITY NOTE), then
 # the r7-rowed entries, then the r8-rowed entries. Round 10 =
 # promote _DEMOTE[:50]; that clears the entire never-rowed debt and
 # restores every entry to a <=3-round cadence. The registry growth
-# is intentionally paused this round (VERDICT r8 item 2: prefer
-# consolidation) — round 9 adds only the canonical-packing twin.
+# is intentionally near-frozen this round (VERDICT r8 item 2: prefer
+# consolidation) — round 9 adds only the canonical-packing twin and
+# the boundary-closing tfidf_simhash_topk.
 _PROMOTE = [
     # -- wave-1/2 round-8 additions (first driver rows) --
     "pq_codes",
@@ -117,6 +123,7 @@ _DEMOTE = [
     "revenue_percentile_disc",
     "holt_forecast_daily",
     "sequence_packing_canonical",
+    "tfidf_simhash_topk",
     # -- ROUND-10 TIER B: the 20 most-stable entries (rows last in
     #    r6; single-primitive relational shapes, re-proven
     #    cell-by-cell in tests/test_oracle_parity.py every round;

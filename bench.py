@@ -169,6 +169,7 @@ HEADLINE = [
     "salted_agg_equivalence",   # two-phase salted skew aggregation
     "sequence_packing",         # partition-local best-fit packing
     "sequence_packing_canonical",  # md5-bucket next-fit, FULL-oracled
+    "tfidf_simhash_topk",       # weighted-SimHash tf-idf scale path
 ]
 
 

@@ -958,6 +958,96 @@ def simhash_near_duplicates(
     )
 
 
+def weighted_simhash_signatures(
+    w_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "tm",
+    weight_col: str = "wint",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Charikar WEIGHTED SimHash over a sparse vector frame
+    (id, term-hash, integer weight): bit_i(sig) = 1 iff
+    sum_t w_t * sign_i(h_t) > 0, computed branchlessly as
+    2 * sum(w * bit_i(h)) > sum(w).
+
+    This is the content-rarity-INDEPENDENT candidate generator for
+    cosine similarity over sparse weighted vectors (tf-idf): random
+    hyperplanes are realized by the term hash's bit planes, so
+    collision probability tracks the angle between vectors — not the
+    rarity of shared terms. It therefore keeps working where the
+    df-capped posting joins hit the measured regime boundary
+    (BASELINE.md 100x table): above vocabulary saturation there are
+    no rare terms, but similar VECTORS still collide in bands.
+
+    Weights must be pre-quantized integers (the tf-idf caller uses
+    floor(w*1e6 + 0.5) micro-units): the per-bit sums are then exact
+    int64 arithmetic — accumulation-order-free, so the sign (and the
+    whole signature) is deterministic across partitionings and
+    engines, the same discipline as the covariance grid. Like
+    ``simhash_signatures``, everything is codegen'd shift/mask
+    arithmetic — no UDF.
+    """
+    bit_sums = [
+        F.sum(
+            F.col(weight_col)
+            * F.shiftrightunsigned(F.col(hash_col), i).bitwiseAND(F.lit(1))
+        ).alias(f"bs_{i}")
+        for i in range(n_bits)
+    ]
+    agg = w_df.groupBy(id_col).agg(*bit_sums, F.sum(weight_col).alias("wtot"))
+    sig = None
+    for i in range(n_bits):
+        bit = F.when(
+            F.col(f"bs_{i}") * 2 > F.col("wtot"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_band_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing at least one of
+    ``n_bands`` bands of ``n_bits / n_bands`` signature bits — the
+    banding step of both SimHash dedup paths, factored so the
+    weighted (tf-idf) and unweighted (token multiset) variants share
+    one join shape: equi-join on (band, bucket), never all-pairs.
+    """
+    band_bits = n_bits // n_bands
+    band_mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(sig_col), b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -1668,6 +1668,214 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_TFIDF_SIMHASH_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), shs AS MATERIALIZED (
+      SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS tm
+      FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 3)
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), n AS (SELECT COUNT(*) AS nd FROM documents),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tm, COUNT(*) AS tf FROM shs GROUP BY doc_id, tm
+    ), dft AS (
+      SELECT tm, COUNT(*) AS dft FROM tf GROUP BY tm
+    ), w AS MATERIALIZED (
+      SELECT tf.doc_id, tf.tm,
+             tf.tf * (LN((n.nd + 1) / CAST(dft.dft + 1 AS DOUBLE)) + 1) AS w,
+             CAST(FLOOR(tf.tf * (LN((n.nd + 1) / CAST(dft.dft + 1 AS DOUBLE)) + 1)
+                        * 1e6 + 0.5) AS BIGINT) AS wint
+      FROM tf JOIN dft ON dft.tm = tf.tm CROSS JOIN n
+      WHERE dft.dft * 5 <= n.nd
+    ), bs AS MATERIALIZED (
+      SELECT doc_id, SUM(wint) AS wtot,
+             SUM(wint * ((tm >> 0) & 1)) AS bs_0,
+             SUM(wint * ((tm >> 1) & 1)) AS bs_1,
+             SUM(wint * ((tm >> 2) & 1)) AS bs_2,
+             SUM(wint * ((tm >> 3) & 1)) AS bs_3,
+             SUM(wint * ((tm >> 4) & 1)) AS bs_4,
+             SUM(wint * ((tm >> 5) & 1)) AS bs_5,
+             SUM(wint * ((tm >> 6) & 1)) AS bs_6,
+             SUM(wint * ((tm >> 7) & 1)) AS bs_7,
+             SUM(wint * ((tm >> 8) & 1)) AS bs_8,
+             SUM(wint * ((tm >> 9) & 1)) AS bs_9,
+             SUM(wint * ((tm >> 10) & 1)) AS bs_10,
+             SUM(wint * ((tm >> 11) & 1)) AS bs_11,
+             SUM(wint * ((tm >> 12) & 1)) AS bs_12,
+             SUM(wint * ((tm >> 13) & 1)) AS bs_13,
+             SUM(wint * ((tm >> 14) & 1)) AS bs_14,
+             SUM(wint * ((tm >> 15) & 1)) AS bs_15,
+             SUM(wint * ((tm >> 16) & 1)) AS bs_16,
+             SUM(wint * ((tm >> 17) & 1)) AS bs_17,
+             SUM(wint * ((tm >> 18) & 1)) AS bs_18,
+             SUM(wint * ((tm >> 19) & 1)) AS bs_19,
+             SUM(wint * ((tm >> 20) & 1)) AS bs_20,
+             SUM(wint * ((tm >> 21) & 1)) AS bs_21,
+             SUM(wint * ((tm >> 22) & 1)) AS bs_22,
+             SUM(wint * ((tm >> 23) & 1)) AS bs_23,
+             SUM(wint * ((tm >> 24) & 1)) AS bs_24,
+             SUM(wint * ((tm >> 25) & 1)) AS bs_25,
+             SUM(wint * ((tm >> 26) & 1)) AS bs_26,
+             SUM(wint * ((tm >> 27) & 1)) AS bs_27,
+             SUM(wint * ((tm >> 28) & 1)) AS bs_28,
+             SUM(wint * ((tm >> 29) & 1)) AS bs_29,
+             SUM(wint * ((tm >> 30) & 1)) AS bs_30,
+             SUM(wint * ((tm >> 31) & 1)) AS bs_31
+      FROM w GROUP BY doc_id
+    ), sig AS MATERIALIZED (
+      SELECT doc_id,
+           (CASE WHEN 2 * bs_0 > wtot THEN 1 ELSE 0 END)
+           + (CASE WHEN 2 * bs_1 > wtot THEN 2 ELSE 0 END)
+           + (CASE WHEN 2 * bs_2 > wtot THEN 4 ELSE 0 END)
+           + (CASE WHEN 2 * bs_3 > wtot THEN 8 ELSE 0 END)
+           + (CASE WHEN 2 * bs_4 > wtot THEN 16 ELSE 0 END)
+           + (CASE WHEN 2 * bs_5 > wtot THEN 32 ELSE 0 END)
+           + (CASE WHEN 2 * bs_6 > wtot THEN 64 ELSE 0 END)
+           + (CASE WHEN 2 * bs_7 > wtot THEN 128 ELSE 0 END)
+           + (CASE WHEN 2 * bs_8 > wtot THEN 256 ELSE 0 END)
+           + (CASE WHEN 2 * bs_9 > wtot THEN 512 ELSE 0 END)
+           + (CASE WHEN 2 * bs_10 > wtot THEN 1024 ELSE 0 END)
+           + (CASE WHEN 2 * bs_11 > wtot THEN 2048 ELSE 0 END)
+           + (CASE WHEN 2 * bs_12 > wtot THEN 4096 ELSE 0 END)
+           + (CASE WHEN 2 * bs_13 > wtot THEN 8192 ELSE 0 END)
+           + (CASE WHEN 2 * bs_14 > wtot THEN 16384 ELSE 0 END)
+           + (CASE WHEN 2 * bs_15 > wtot THEN 32768 ELSE 0 END)
+           + (CASE WHEN 2 * bs_16 > wtot THEN 65536 ELSE 0 END)
+           + (CASE WHEN 2 * bs_17 > wtot THEN 131072 ELSE 0 END)
+           + (CASE WHEN 2 * bs_18 > wtot THEN 262144 ELSE 0 END)
+           + (CASE WHEN 2 * bs_19 > wtot THEN 524288 ELSE 0 END)
+           + (CASE WHEN 2 * bs_20 > wtot THEN 1048576 ELSE 0 END)
+           + (CASE WHEN 2 * bs_21 > wtot THEN 2097152 ELSE 0 END)
+           + (CASE WHEN 2 * bs_22 > wtot THEN 4194304 ELSE 0 END)
+           + (CASE WHEN 2 * bs_23 > wtot THEN 8388608 ELSE 0 END)
+           + (CASE WHEN 2 * bs_24 > wtot THEN 16777216 ELSE 0 END)
+           + (CASE WHEN 2 * bs_25 > wtot THEN 33554432 ELSE 0 END)
+           + (CASE WHEN 2 * bs_26 > wtot THEN 67108864 ELSE 0 END)
+           + (CASE WHEN 2 * bs_27 > wtot THEN 134217728 ELSE 0 END)
+           + (CASE WHEN 2 * bs_28 > wtot THEN 268435456 ELSE 0 END)
+           + (CASE WHEN 2 * bs_29 > wtot THEN 536870912 ELSE 0 END)
+           + (CASE WHEN 2 * bs_30 > wtot THEN 1073741824 ELSE 0 END)
+           + (CASE WHEN 2 * bs_31 > wtot THEN 2147483648 ELSE 0 END) AS sig
+      FROM bs
+    ), banded AS (
+      SELECT doc_id, band, (sig >> (band * 16)) & 65535 AS bucket
+      FROM sig, (SELECT unnest(range(0, 2)) AS band)
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    ), nrm AS MATERIALIZED (
+      SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+    ), dot AS (
+      SELECT c.id_a, c.id_b, SUM(a.w * b.w) AS dot
+      FROM cand c
+      JOIN w a ON a.doc_id = c.id_a
+      JOIN w b ON b.doc_id = c.id_b AND b.tm = a.tm
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dot d
+    JOIN nrm na ON na.doc_id = d.id_a
+    JOIN nrm nb ON nb.doc_id = d.id_b
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 20
+    """
+
+
+@register(
+    "tfidf_simhash_topk",
+    _TFIDF_SIMHASH_ORACLE,
+    doc="The SCALE-PATH twin of tfidf_doc_similarity, built in direct "
+    "response to its measured regime boundary: candidates come from "
+    "Charikar WEIGHTED SimHash over the same tf-idf vectors (32 "
+    "md5-bit hyperplanes, integer micro-unit weights so every bit "
+    "sum is exact and order-free; 2 x 16-bit bands equi-joined), and "
+    "the exact cosine is computed ONLY on candidate pairs — so the "
+    "work tracks the number of genuinely-similar pairs, not "
+    "sum(df^2), and keeps working above vocabulary saturation where "
+    "the posting join goes super-linear (BASELINE.md 100x table). "
+    "Same output contract as the exact query (top-20 rounded "
+    "cosine, id tie-breaks); recall < 1 by construction but the "
+    "oracle replays the ENTIRE pipeline — signatures, bands, "
+    "candidates, cosines, cut — so every emitted row is falsifiable. "
+    "A recall-floor test pins usefulness against the exact top "
+    "pairs.",
+)
+def tfidf_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    sh = dedup.shingles(d, k=3, distinct=False).select(
+        "doc_id", dedup.md5_hash64(F.col("shingle")).alias("tm")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    tf = sh.groupBy("doc_id", "tm").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dft = tf.groupBy("tm").agg(F.count(F.lit(1)).alias("dft"))
+    wdbl = F.col("tf") * (
+        F.log((F.col("nd") + 1) / (F.col("dft") + 1).cast("double")) + 1
+    )
+    w = (
+        tf.join(dft, "tm")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("dft") * 5 <= F.col("nd"))
+        .select(
+            "doc_id",
+            "tm",
+            wdbl.alias("w"),
+            F.floor(wdbl * 1e6 + F.lit(0.5)).cast("long").alias("wint"),
+        )
+        .persist()
+    )
+    sigs = dedup.weighted_simhash_signatures(
+        w, id_col="doc_id", hash_col="tm", weight_col="wint", n_bits=32
+    )
+    # 2 bands x 16 bits: random uniform-signature collisions are
+    # n^2/65536 per band (vs n^2/256 at 4x8) — the knob that keeps
+    # candidate volume sub-quadratic at corpus scale. Exact dups
+    # always collide; high-cosine near-dups collide with probability
+    # (1 - theta/pi)^16 per band — the recall-floor test pins it.
+    cand = dedup.simhash_band_candidates(
+        sigs, id_col="doc_id", sig_col="simhash", n_bits=32, n_bands=2
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    wa = w.select(F.col("doc_id").alias("id_a"), "tm", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("id_b"), "tm", F.col("w").alias("wb"))
+    dot = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "tm"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    result = (
+        dot.join(
+            nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")),
+            "id_a",
+        )
+        .join(
+            nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(20)
+    )
+    result.cache_handles = [tf, w]
+    return result
+
+
 # --------------------------------------------------------------------------
 # Unigram-LM tokenizer (Kudo 2018, SentencePiece) — Viterbi-EM variant
 # --------------------------------------------------------------------------

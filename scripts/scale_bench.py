@@ -44,6 +44,7 @@ QUERIES = [
     "minhash_estimate_vs_exact",
     "tfidf_doc_similarity",
     "winnow_dup_candidates",
+    "tfidf_simhash_topk",  # the boundary-closing scale path
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with

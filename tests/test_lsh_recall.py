@@ -171,3 +171,78 @@ def test_lsh_candidate_set_is_subquadratic(spark, sf_small):
     frac = n_cand / all_pairs
     print(f"candidate fraction: {frac:.4f} ({n_cand}/{int(all_pairs)})")
     assert frac < 0.2
+
+
+def test_weighted_simhash_guarantees_exact_dup_candidates(spark, sf_oracle):
+    """Identical tf-idf vectors produce identical signatures, so
+    exact-duplicate pairs MUST appear in the band candidates — the
+    deterministic half of the recall story for tfidf_simhash_topk."""
+    from pyspark.sql import functions as F
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+        load_table,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+        dedup,
+    )
+
+    base = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    # Inject exact duplicates: copy 10 docs under new ids so the
+    # guarantee is tested regardless of the corpus's own dup mix.
+    dup = base.orderBy("doc_id").limit(10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    d = base.unionByName(dup)
+    exact_pairs = {
+        (r.doc_id, r.doc_id + 1_000_000)
+        for r in base.orderBy("doc_id").limit(10).collect()
+    }
+
+    sh = dedup.shingles(d, k=3, distinct=False).select(
+        "doc_id", dedup.md5_hash64(F.col("shingle")).alias("tm")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    tf = sh.groupBy("doc_id", "tm").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tm").agg(F.count(F.lit(1)).alias("dft"))
+    wdbl = F.col("tf") * (
+        F.log((F.col("nd") + 1) / (F.col("dft") + 1).cast("double")) + 1
+    )
+    w = (
+        tf.join(dft, "tm")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("dft") * 5 <= F.col("nd"))
+        .select(
+            "doc_id", "tm", F.floor(wdbl * 1e6 + F.lit(0.5)).cast("long").alias("wint")
+        )
+    )
+    sigs = dedup.weighted_simhash_signatures(w, weight_col="wint")
+    cand = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_band_candidates(sigs, n_bands=2).collect()
+    }
+    missing = exact_pairs - cand
+    assert not missing, f"exact dups missing from candidates: {missing}"
+
+
+def test_tfidf_simhash_topk_recall_floor(spark, sf_oracle):
+    """The banded variant's top pairs must recover a floor of the
+    EXACT query's top pairs — usefulness, not just self-consistency
+    (the oracle already pins the pipeline itself)."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    exact = qs["tfidf_doc_similarity"].builder(spark, sf_oracle)
+    exact_rows = [(r.id_a, r.id_b) for r in exact.collect()]
+    for h in getattr(exact, "cache_handles", []) + (
+        [exact.cache_handle] if getattr(exact, "cache_handle", None) is not None else []
+    ):
+        h.unpersist()
+    lsh = qs["tfidf_simhash_topk"].builder(spark, sf_oracle)
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    for h in getattr(lsh, "cache_handles", []):
+        h.unpersist()
+    top5 = set(exact_rows[:5])
+    hit = len(top5 & lsh_pairs) / len(top5)
+    assert hit >= 0.4, f"recall of exact top-5 too low: {hit} ({top5 & lsh_pairs})"
