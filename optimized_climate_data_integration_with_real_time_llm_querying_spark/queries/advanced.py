@@ -408,7 +408,8 @@ _PRUNE_DAY_LO, _PRUNE_DAY_HI = 19723, 19726
     "it back through a selective 2-D box filter, and ASSERTS from the "
     "written Parquet footers that the box skips files (<= half of "
     ">= 4 files touched — the same min/max decision Spark's reader "
-    "makes) plus that the filters are pushed to the scan. Content is "
+    "makes); that the filters also reach the scan (PushedFilters) is "
+    "asserted in tests/test_plan_quality.py. Content is "
     "fully oracled: the roundtrip must preserve rows exactly, so "
     "DuckDB filters the ORIGINAL table — layout may never change "
     "results, only scan cost. This replaces the hand-rolled partition/"
@@ -446,7 +447,11 @@ def zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"z-order layout failed to prune: box touches {touched}/{total} files"
         )
 
-    out = (
+    # The filter-pushdown property of this read (PushedFilters on
+    # user_id/day reaching the parquet scan) is asserted in
+    # tests/test_plan_quality.py::test_zorder_pruned_read_skips_files_and_pushes_filters
+    # — plan introspection belongs in tests, not the production path.
+    return (
         spark.read.parquet(path)
         .filter(
             F.col("user_id").between(_PRUNE_USER_LO, _PRUNE_USER_HI)
@@ -454,11 +459,6 @@ def zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "day", "value")
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:200], (
-        "box filter not pushed to the parquet scan"
-    )
-    return out
 
 
 @register(

@@ -330,9 +330,10 @@ def test_series_correlation_broadcasts_activity_cut(spark, sf_oracle):
 def test_zorder_pruned_read_skips_files_and_pushes_filters(spark, sf_oracle):
     """The pruned-read query must (a) produce exactly the rows a
     direct filter over the source yields — layout never changes
-    content — and (b) write a layout whose footers let the 2-D box
-    skip at least half the files. The builder itself raises if the
-    filters don't reach the scan."""
+    content — (b) write a layout whose footers let the 2-D box skip
+    at least half the files, and (c) push the box filters to the
+    parquet scan (asserted HERE, on the executed plan — the builder
+    itself carries no plan introspection)."""
     import os
 
     from pyspark.sql import functions as F
@@ -345,6 +346,10 @@ def test_zorder_pruned_read_skips_files_and_pushes_filters(spark, sf_oracle):
     )
 
     df = QUERIES["zorder_pruned_read"].builder(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:200], (
+        "box filter not pushed to the parquet scan"
+    )
     got = sorted((r.event_id, r.user_id, r.day, r.value) for r in df.collect())
     e = load_table(spark, sf_oracle, "events")
     want = sorted(
