@@ -279,23 +279,62 @@ def read_netcdf_distributed(spark: SparkSession, path_glob: str) -> DataFrame:
     first = files.select("path", "content").limit(1).collect()
     if not first:
         raise ValueError(f"no files match {path_glob!r}")
+    proto_path = first[0].path
     proto = decode_netcdf_bytes(bytes(first[0].content))
     proto.columns = [c.lower() for c in proto.columns]
-    fields = ", ".join(
-        f"`{c}` {'double' if str(t).startswith('float') else 'bigint' if str(t).startswith('int') else 'string'}"
-        for c, t in proto.dtypes.items()
-    )
+
+    def _spark_type(t) -> str:
+        s = str(t)
+        if s.startswith("float"):
+            return "double"
+        if s.startswith(("int", "uint")):
+            return "bigint"
+        return "string"
+
+    proto_types = {c: _spark_type(t) for c, t in proto.dtypes.items()}
+    proto_cols = list(proto.columns)
+    fields = ", ".join(f"`{c}` {proto_types[c]}" for c in proto_cols)
     schema = f"source_file string, {fields}"
+
+    def _conform(out, pathstr):
+        """Validate one decoded file against the archive prototype and
+        cast to the planned Spark types — so a heterogeneous archive
+        (different variables, or an NC_CHAR var where the prototype had
+        floats) fails with the offending file path, not an opaque
+        executor-side Arrow conversion error."""
+        out.columns = [c.lower() for c in out.columns]
+        if set(out.columns) != set(proto_cols):
+            raise ValueError(
+                f"{pathstr}: columns {sorted(out.columns)} do not match the "
+                f"archive prototype {sorted(proto_cols)} (from {proto_path}); "
+                "read heterogeneous archives in per-schema groups"
+            )
+        out = out[proto_cols]
+        for c in proto_cols:
+            got = _spark_type(out[c].dtype)
+            if got != proto_types[c]:
+                raise ValueError(
+                    f"{pathstr}: column {c!r} decodes as {got}, but the "
+                    f"archive prototype ({proto_path}) has {proto_types[c]}"
+                )
+            if proto_types[c] == "double":
+                out[c] = out[c].astype("float64")
+            elif proto_types[c] == "bigint":
+                out[c] = out[c].astype("int64")
+            else:
+                out[c] = out[c].map(lambda x: None if x is None else str(x))
+        return out
 
     def decode(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                out = decode_netcdf_bytes(bytes(row["content"]))
-                out.columns = [c.lower() for c in out.columns]
-                for c in out.columns:
-                    if str(out[c].dtype) == "float32":
-                        out[c] = out[c].astype("float64")
-                out.insert(0, "source_file", row["path"])
+                pathstr = row["path"]
+                try:
+                    out = decode_netcdf_bytes(bytes(row["content"]))
+                except Exception as e:
+                    raise ValueError(f"failed to decode {pathstr}: {e}") from e
+                out = _conform(out, pathstr)
+                out.insert(0, "source_file", pathstr)
                 yield out
 
     return files.select("path", "content").mapInPandas(decode, schema)

@@ -65,6 +65,19 @@ _TYPES = {
 }
 
 
+def _nc_dtype(nc_type: int) -> tuple[np.dtype, int]:
+    """Look up a classic nc_type, raising the parser's loud ValueError
+    diagnostics instead of a bare KeyError for CDF-5-only types
+    (NC_UBYTE=7 ... NC_UINT64=11) or corrupt headers."""
+    try:
+        return _TYPES[nc_type]
+    except KeyError:
+        raise ValueError(
+            f"unsupported nc_type {nc_type} (classic CDF-1/CDF-2 defines "
+            "types 1-6; CDF-5 extended types are not supported)"
+        ) from None
+
+
 @dataclass
 class _Var:
     name: str
@@ -105,7 +118,7 @@ class _Cursor:
         return s
 
     def attr_values(self, nc_type: int, nelems: int):
-        dt, sz = _TYPES[nc_type]
+        dt, sz = _nc_dtype(nc_type)
         raw = self.take(nelems * sz)
         self.take((4 - (nelems * sz) % 4) % 4)  # values pad to 4
         if nc_type == 2:  # char attr = string
@@ -212,7 +225,7 @@ def _per_record_bytes(v: _Var, dimlen: list[int], pad: bool) -> int:
     # vsize in the header is the PADDED per-record size for record
     # vars; recompute from shape so a writer's nonstandard vsize
     # can't corrupt the read.
-    _, sz = _TYPES[v.nc_type]
+    _, sz = _nc_dtype(v.nc_type)
     n = sz
     for d in v.dimids[1:]:
         n *= dimlen[d]
@@ -227,7 +240,7 @@ def _record_stride(rec_vars: list[_Var], dimlen: list[int]) -> int:
 
 
 def _read_var(buf, v: _Var, dimlen: list[int], numrecs, rec_vars) -> np.ndarray:
-    dt, sz = _TYPES[v.nc_type]
+    dt, sz = _nc_dtype(v.nc_type)
     if not v.is_record:
         shape = tuple(dimlen[d] for d in v.dimids)
         count = int(np.prod(shape)) if shape else 1
@@ -267,6 +280,22 @@ def _cf_unpack(v: _Var) -> np.ndarray:
     return out
 
 
+def _char_to_str(arr: np.ndarray) -> np.ndarray:
+    """NC_CHAR data decodes to Python str: the LAST dimension is the
+    string length (the classic-format convention xarray follows);
+    trailing NULs and padding spaces are stripped. Returns an object
+    array over the remaining dims (0-d for a rank-1 char var)."""
+    if arr.ndim == 0:
+        s = arr.tobytes().decode("utf-8", errors="replace").rstrip("\x00 ")
+        return np.array(s, dtype=object)
+    flat = arr.reshape(-1, arr.shape[-1])
+    strs = [
+        row.tobytes().decode("utf-8", errors="replace").rstrip("\x00 ")
+        for row in flat
+    ]
+    return np.array(strs, dtype=object).reshape(arr.shape[:-1])
+
+
 def _native(a: np.ndarray) -> np.ndarray:
     """File data is big-endian; pandas requires native byte order."""
     if a.dtype.byteorder in (">", "<") and a.dtype.byteorder != "=":
@@ -293,9 +322,15 @@ def decode_netcdf_bytes(buf: bytes) -> pd.DataFrame:
     data_vars = [v for v in varlist if v.name not in coord_vars]
     if not data_vars:
         raise ValueError("classic NetCDF file has no data variables")
+
+    # NC_CHAR data variables are fixed-length strings: their last dim
+    # is the string length, which never joins the coordinate grid.
+    def _eff_dimids(v: _Var) -> list[int]:
+        return v.dimids[:-1] if v.nc_type == 2 and v.dimids else v.dimids
+
     used: list[int] = []
     for v in data_vars:
-        for d in v.dimids:
+        for d in _eff_dimids(v):
             if d not in used:
                 used.append(d)
     used.sort()  # file dim order, like xarray's dataset dims
@@ -308,7 +343,10 @@ def decode_netcdf_bytes(buf: bytes) -> pd.DataFrame:
     grid = np.meshgrid(*coords, indexing="ij") if coords else []
     out = {dims[d][0]: _native(g.ravel()) for d, g in zip(used, grid)}
     for v in data_vars:
-        full = _expand(_cf_unpack(v), v.dimids, used, dims)
+        if v.nc_type == 2:  # char -> str over the dims minus strlen
+            full = _expand(_char_to_str(v.data), _eff_dimids(v), used, dims)
+        else:
+            full = _expand(_cf_unpack(v), v.dimids, used, dims)
         out[v.name] = _native(np.broadcast_to(full, shape).ravel())
     return pd.DataFrame(out)
 

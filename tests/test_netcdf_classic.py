@@ -98,7 +98,10 @@ def _build_classic(version, numrecs, dims, gatts, variables):
             begins.append(None)  # filled below
             continue
         begins.append(off)
-        raw = b"".join(struct.pack(_FMT[t], v) for v in data)
+        if t == NC_CHAR:
+            raw = bytes(data)  # char var: caller passes raw bytes
+        else:
+            raw = b"".join(struct.pack(_FMT[t], v) for v in data)
         fixed_payload += raw
         off += len(raw)
     rec_start = off
@@ -296,3 +299,62 @@ def test_parse_roundtrip_property():
             )
 
     run()
+
+
+# ------------------------------------------------ round-10 hardening
+# (ADVICE r9: NC_CHAR data vars, per-file schema validation in the
+# distributed reader, loud unsupported-nc_type diagnostics)
+
+
+def _station_file() -> bytes:
+    """2 stations; a char var (last dim = strlen) + a float var."""
+    dims = [("station", 2), ("strlen", 4)]
+    variables = [
+        ("name", [0, 1], [], NC_CHAR, b"ABC\x00DE\x00\x00"),
+        ("val", [0], [], NC_FLOAT, [1.5, 2.5]),
+    ]
+    return _build_classic(1, 0, dims, [], variables)
+
+
+def test_char_variable_decodes_to_str():
+    pdf = decode_netcdf_bytes(_station_file())
+    # strlen never joins the grid: 2 rows, name decoded to stripped str
+    assert len(pdf) == 2
+    assert list(pdf["name"]) == ["ABC", "DE"]
+    assert list(pdf["val"]) == [1.5, 2.5]
+    assert pdf["name"].dtype == object
+
+
+def test_unsupported_nc_type_is_loud():
+    # A file whose single global attribute claims CDF-5's NC_INT64=10:
+    # the parser must raise its own ValueError, not a bare KeyError.
+    buf = (
+        b"CDF\x01"
+        + struct.pack(">I", 0)  # numrecs
+        + struct.pack(">II", 0, 0)  # dim list ABSENT
+        + struct.pack(">II", 0x0C, 1)  # 1 global attr
+        + _name("bad")
+        + struct.pack(">II", 10, 1)  # nc_type=10, nelems=1
+        + struct.pack(">q", 0)
+    )
+    with pytest.raises(ValueError, match="unsupported nc_type 10"):
+        parse_classic(buf)
+
+
+def test_distributed_read_decodes_char_vars(spark, tmp_path):
+    (tmp_path / "s.nc").write_bytes(_station_file())
+    df = ingest.read_netcdf_distributed(spark, str(tmp_path))
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"ABC", "DE"}
+    assert dict(df.dtypes)["name"] == "string"
+    assert rows["ABC"]["val"] == pytest.approx(1.5)
+
+
+def test_distributed_read_heterogeneous_archive_names_file(spark, tmp_path):
+    # Mixed archive: the mismatching file must be NAMED in the error,
+    # whichever file the prototype sampled.
+    (tmp_path / "a.nc").write_bytes(_era5ish())
+    (tmp_path / "b.nc").write_bytes(_station_file())
+    df = ingest.read_netcdf_distributed(spark, str(tmp_path))
+    with pytest.raises(Exception, match="do not match the archive prototype"):
+        df.collect()
