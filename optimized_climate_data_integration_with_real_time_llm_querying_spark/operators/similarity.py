@@ -497,10 +497,16 @@ def embedding_covariance(
     downstream, covariance_power_iteration, would then diverge).
     cov_ij = round((S/1e12)/n - (T_i/1e12/n)*(T_j/1e12/n), 6); both
     engines evaluate the identical expression tree over identical
-    integers, so the result is bit-stable cross-engine. Grid bound:
-    |sum| < 2^63 holds for partitions up to ~10^6 unit-scale rows
-    (1e12 * 1e6 = 1e18 < 9.2e18); drop the grid a decade per 10x
-    beyond that.
+    integers, so the result is bit-stable cross-engine. Grid bounds
+    (two distinct ones): PER-PARTITION, the int64 numpy accumulator
+    holds ~10^6 unit-scale rows (1e12 * 1e6 = 1e18 < 9.2e18) — size
+    partitions below that, or drop the grid a decade per 10x beyond.
+    CROSS-PARTITION, the partials are summed as decimal(38,0), the
+    same promotion DuckDB makes (SUM(BIGINT) -> HUGEINT), so the
+    global sum is exact to ~10^38 and the two engines keep agreeing
+    at corpus sizes where a plain long sum would hit Spark's ANSI
+    overflow (~9.2e6 unit-scale rows total) while DuckDB silently
+    kept going.
 
     ``upper_only`` keeps dim_i <= dim_j (the matrix is symmetric).
     """
@@ -536,13 +542,19 @@ def embedding_covariance(
     sij = (
         vecs.mapInPandas(partials, "dim_i int, dim_j int, s long")
         .groupBy("dim_i", "dim_j")
-        .agg(F.sum("s").alias("s"))
+        # decimal(38,0) mirrors DuckDB's SUM(BIGINT)->HUGEINT: exact
+        # to ~1e38 instead of ANSI-overflowing past 9.2e18.
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
     )
     e = df.select(F.posexplode(F.col(vec_col)).alias("dim", "val")).select(
         "dim", F.col("val").cast("double").alias("val")
     )
     stats = e.groupBy("dim").agg(
-        F.sum(F.floor(F.col("val") * 1e12 + F.lit(0.5)).cast("long")).alias("t"),
+        F.sum(
+            F.floor(F.col("val") * 1e12 + F.lit(0.5))
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("t"),
         F.count(F.lit(1)).alias("n"),
     )
     out = (
