@@ -26,6 +26,30 @@ from .resolve import fuzzy_match_phrase, geocode_fallback, keyword_lookup
 from .timeparse import extract_time
 
 
+# Chemical-formula subscripts users type/paste (CO₂, CH₄, N₂O) fold
+# to ASCII digits before routing/resolution, so "Is CO₂ rising in
+# Brazil?" hits the same GAS_KEYWORDS entry as "CO2".
+_SUBSCRIPT_DIGITS = str.maketrans("₀₁₂₃₄₅₆₇₈₉", "0123456789")
+
+
+def _normalize_question(question: str) -> str:
+    return question.translate(_SUBSCRIPT_DIGITS)
+
+
+def _apply_eq_filters(df: DataFrame, filters: dict, ci=frozenset()) -> DataFrame:
+    """Apply a QuerySpec's equality/IN filters (the trend planner
+    reuses the plain spec builders' filters without compiling the
+    whole spec). Comparison tuples don't occur in trend domains."""
+    for col, val in filters.items():
+        c = F.lower(F.col(col)) if col in ci else F.col(col)
+        if isinstance(val, list):
+            vals = [v.lower() for v in val] if col in ci else val
+            df = df.filter(c.isin(vals))
+        else:
+            df = df.filter(c == (val.lower() if col in ci else val))
+    return df
+
+
 def _resolve_word(word: str, names: list[str], cutoff: float) -> str | None:
     """Driver-side single-word entity resolution (exact -> difflib),
     the per-question shape of resolve.resolve_entities."""
@@ -158,7 +182,7 @@ class ClimateEngine:
         names, FEMA metrics, US states, disaster synonyms) outrank the
         ERA5 fuzzy-metric scan, which fires on near-anything ('total
         disaster cost' ~ 'total ozone' at the 0.6 cutoff)."""
-        q = question.lower()
+        q = _normalize_question(question).lower()
         if any(k in q for k in GAS_KEYWORDS) or "emission" in q:
             return "emissions"
         if any(k in q for k in FEMA_METRICS) or self._find_state(q):
@@ -342,29 +366,88 @@ class ClimateEngine:
         }[domain](question)
 
     def build_spec(self, question: str) -> tuple[str, QuerySpec]:
+        question = _normalize_question(question)
         domain = self.route(question)
         return domain, self._spec_for(domain, question)
 
-    def _plan_disaster_trend(self, question: str) -> tuple[QuerySpec, DataFrame]:
-        """'Which disaster type is trending up?' -> Holt linear-trend
-        state over each type's yearly count series, ranked by the
-        trend component; forecast_next = level + trend (h=1).
+    def _trend_series(self, domain: str, question: str):
+        """Per-domain yearly series for the trend intent:
+        (key_col, yearly(key, year, val), zero_fill, filters).
+
+        disasters: yearly count per disaster_type — zero-filled (a
+        year with no recorded disasters of a type IS a zero count);
+        emissions: yearly total value per country, narrowed by the
+        plain spec builder's gas/substance/country filters (the
+        reference's EDGAR module fields exactly these question
+        shapes as point lookups, EDGARclient.py:184-305) —
+        zero-filled (no reported emissions = zero flow);
+        era5: yearly mean per (city, metric) series
+        (era5client.py:220-282's history shape) — NOT zero-filled: a
+        missing year of a physical measurement is a data gap, not a
+        zero reading, so the Holt density guard stays loud instead.
+
+        Emissions/era5 yearly aggregates round to 6 dp so the series
+        the recursion sees is a well-defined number, independent of
+        FP accumulation order."""
+        if domain == "disasters":
+            yearly = self.tables["disasters_yearly"].select(
+                "disaster_type", "year", F.col("count").alias("val")
+            )
+            return "disaster_type", yearly, True, {}
+        if domain == "emissions":
+            spec = self._spec_emissions(question)
+            yearly = (
+                _apply_eq_filters(self.tables["emissions"], spec.filters)
+                .groupBy("country", "year")
+                .agg(F.round(F.sum("value"), 6).alias("val"))
+            )
+            return "country", yearly, True, spec.filters
+        if domain == "era5":
+            spec = self._spec_era5(question)
+            yearly = (
+                _apply_eq_filters(
+                    self.tables["era5_monthly"],
+                    spec.filters,
+                    ci=spec.case_insensitive,
+                )
+                .groupBy(
+                    F.concat_ws(" ", "city", "metric").alias("series"),
+                    F.year("date").alias("year"),
+                )
+                .agg(F.round(F.avg("value"), 6).alias("val"))
+            )
+            return "series", yearly, False, spec.filters
+        raise ValueError(f"no trend planner for domain {domain!r}")
+
+    def _plan_trend(self, domain: str, question: str) -> tuple[QuerySpec, DataFrame]:
+        """'Which disaster type is trending up?' / 'Is CO2 rising in
+        Brazil?' / 'temperature trend in Dhaka' -> Holt linear-trend
+        state over each series' yearly values, ranked by the trend
+        component; forecast_next = level + trend (h=1).
 
         Window: the question's explicit year range if it gives one
         (clamped to the years the table actually has — open phrasings
         like "since 2015" parse with the extractor's default horizon
         and must not fail the density guard), else the last 10 years
         of the table (a decade is the honest horizon for 'is it
-        trending' — the full 45-year series would let the 1980s
-        dominate the smoothed state). Density and the >= 2-step
-        minimum are guarded loudly INSIDE holt_linear_state (shared
-        with the registry query's 30-day guard)."""
+        trending' — a 45-year series would let the 1980s dominate the
+        smoothed state). Zero-fill domains densify each key's series
+        over the window (keys x years dimension grid, coalesce to 0)
+        so a sparse key cannot fail the density guard; >= 2 steps and
+        per-key density are still guarded loudly INSIDE
+        holt_linear_state (shared with the FULL-oracled
+        holt_forecast_daily's 30-day guard)."""
         from ..operators.trend import holt_linear_state
 
+        key_col, yearly, zero_fill, filters = self._trend_series(domain, question)
         t = extract_time(question)
-        yearly = self.tables["disasters_yearly"]
         # Dimension-scale probe: one MIN/MAX over the tiny yearly table.
         y_min, y_max = yearly.agg(F.min("year"), F.max("year")).collect()[0]
+        if y_max is None:
+            raise ValueError(
+                f"no {domain} rows match the question's filters "
+                f"({filters!r}) — cannot fit a trend"
+            )
         if t.year_range:
             lo, hi = t.year_range
             lo, hi = max(lo, y_min), min(hi, y_max)
@@ -377,19 +460,28 @@ class ClimateEngine:
             hi = y_max
             lo = max(y_min, hi - 9)
         n_steps = hi - lo + 1
-        seq = (
-            yearly.where(F.col("year").between(lo, hi))
-            .select(
-                "disaster_type",
-                (F.col("year") - F.lit(lo) + 1).alias("rn"),
-                F.col("count").alias("cnt"),
+        win = yearly.where(F.col("year").between(lo, hi))
+        if zero_fill:
+            # Densify: keys present in the window x every window year
+            # (a bounded dimension grid), missing years coalesce to 0 —
+            # a sparse disaster type / country is a valid question, not
+            # an exception (ADVICE r9).
+            keys = win.select(key_col).distinct()
+            years = self.spark.range(lo, hi + 1).select(
+                F.col("id").cast("int").alias("year")
             )
-            .persist()
-        )
+            win = (
+                keys.crossJoin(years)
+                .join(win, [key_col, "year"], "left")
+                .select(key_col, "year", F.coalesce("val", F.lit(0)).alias("val"))
+            )
+        seq = win.select(
+            key_col,
+            (F.col("year") - F.lit(lo) + 1).alias("rn"),
+            F.col("val").alias("cnt"),
+        ).persist()
         try:
-            state = holt_linear_state(
-                seq, "disaster_type", n_steps, series_desc="years"
-            )
+            state = holt_linear_state(seq, key_col, n_steps, series_desc="years")
         except BaseException:
             seq.unpersist()
             raise
@@ -398,29 +490,39 @@ class ClimateEngine:
         # cache_handles contract the NL path has no harness to honor.
         seq.unpersist()
         plan = state.select(
-            "disaster_type",
+            key_col,
             (F.round(F.col("l"), 6) + F.lit(0.0)).alias("level"),
             (F.round(F.col("b"), 6) + F.lit(0.0)).alias("trend"),
             (F.round(F.col("l") + F.col("b"), 6) + F.lit(0.0)).alias(
                 "forecast_next"
             ),
-        ).orderBy(F.col("trend").desc(), "disaster_type")
+        ).orderBy(F.col("trend").desc(), key_col)
+        dataset = {
+            "disasters": "disasters_yearly",
+            "emissions": "emissions",
+            "era5": "era5_monthly",
+        }[domain]
         spec = QuerySpec(
-            dataset="disasters_yearly",
-            metrics=["disaster_type", "level", "trend", "forecast_next"],
-            filters={},
+            dataset=dataset,
+            metrics=[key_col, "level", "trend", "forecast_next"],
+            filters=filters,
             year_range=(lo, hi),
-            group_by=["disaster_type"],
+            group_by=[key_col],
             order_by=[("trend", False)],
         )
         return spec, plan
 
     def ask(self, question: str) -> Answer:
+        question = _normalize_question(question)
         # Route ONCE; the trend branch and the spec builders consume
-        # the same routing decision.
+        # the same routing decision. Trend covers the three
+        # time-series domains; FEMA stays on the plain path (its
+        # grain is per-event assistance, not a yearly series).
         domain = self.route(question)
-        if domain == "disasters" and TREND_RE.search(question.lower()):
-            spec, plan = self._plan_disaster_trend(question)
+        if domain in ("disasters", "emissions", "era5") and TREND_RE.search(
+            question.lower()
+        ):
+            spec, plan = self._plan_trend(domain, question)
             text = answer(question, plan, self.transport)
             return Answer(question, domain, spec, plan, text, [])
         spec = self._spec_for(domain, question)

