@@ -107,7 +107,7 @@ _PROMOTE = [
 _DEMOTE = [
     # -- ROUND-11 TIER A: round-10 additions (never-rowed; lead the
     #    round-11 window) --
-    # (appended below as round 10 adds entries)
+    "compaction_roundtrip",
     # -- ROUND-11 TIER B: the 28 remaining r7-rowed names --
     "bigram_logprob_scores",
     "embedding_quantize_int8",

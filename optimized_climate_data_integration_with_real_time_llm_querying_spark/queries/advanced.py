@@ -528,3 +528,74 @@ def revenue_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("o_orderstatus").agg(
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99")
     )
+
+
+@register(
+    "compaction_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
+           o_orderdate
+    FROM orders WHERE o_orderkey BETWEEN 1 AND 1500
+    """,
+    doc="Registry gate for the table-maintenance API (VERDICT r9 item "
+    "6): simulates the streaming-sink small-files debris (48 tiny "
+    "parquet files), runs ingest.compact_small_files with "
+    "preserve_order_cols so the rewrite is also a sorted layout "
+    "(range-partition + sortWithinPartitions on o_orderkey — the "
+    "write_sorted_layout plan in one pass), ASSERTS from the rewrite "
+    "stats that the file count collapsed by >= 4x and from the "
+    "written footers that a selective key range skips files, then "
+    "reads the compacted table back through that range filter. "
+    "Content is fully oracled against the ORIGINAL table: maintenance "
+    "may never change results, only scan cost. This is the plain-"
+    "parquet form of Delta OPTIMIZE / Iceberg rewrite_data_files — "
+    "the standing job a 100 TB ingest needs (a 100k-file table spends "
+    "more time scheduling than scanning).",
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import math
+    import os
+
+    from ..sources.ingest import box_pruning_stats, compact_small_files
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderdate",
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    small = os.path.join(os.getcwd(), "spark-warehouse", f"_compaction_small_{tag}")
+    compacted = os.path.join(os.getcwd(), "spark-warehouse", f"_compaction_out_{tag}")
+    o.repartition(48).write.mode("overwrite").parquet(small)
+
+    in_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(small, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    )
+    # Target ~4 output files at any SF: size the target from the
+    # measured input, exactly how an operator would size a real job.
+    stats = compact_small_files(
+        spark,
+        small,
+        compacted,
+        target_bytes=max(1, math.ceil(in_bytes / 4)),
+        preserve_order_cols=["o_orderkey"],
+    )
+    assert stats["files_before"] == 48, stats
+    assert stats["files_after"] * 4 <= stats["files_before"], (
+        f"compaction failed to shrink: {stats}"
+    )
+    touched, total = box_pruning_stats(compacted, [("o_orderkey", 1, 1500)])
+    if total >= 4:
+        assert touched <= total // 2, (
+            f"sorted compaction failed to prune: range touches "
+            f"{touched}/{total} files"
+        )
+    return (
+        spark.read.parquet(compacted)
+        .filter(F.col("o_orderkey").between(1, 1500))
+        .select("o_orderkey", "o_custkey", "price", "o_orderdate")
+    )
