@@ -1613,7 +1613,11 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "saturation (the synthetic corpus at ~500k docs) candidate "
     "volume trends to n^2/|vocab| and the right tool is the "
     "MinHash/LSH family, whose banding does not depend on content "
-    "rarity. On Zipfian real corpora the cap works as intended.",
+    "rarity. On Zipfian real corpora the cap works as intended. "
+    "ABOVE VOCABULARY SATURATION USE tfidf_simhash_topk — the "
+    "registry's weighted-SimHash twin with the SAME output contract "
+    "(its 100x point completes where this join was killed; see "
+    "BASELINE.md's regime table and bits-per-band knob table).",
 )
 def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True)
@@ -1791,6 +1795,82 @@ _TFIDF_SIMHASH_ORACLE = r"""
     """
 
 
+def _tfidf_weighted_vectors(spark: SparkSession, sf_dir: str, hash_family=None):
+    """(tf, w): the persisted tf-idf sparse-vector frames shared by
+    the registry query and the scale-bench knob variants.
+    ``hash_family`` defaults to the oracle-replayable md5_hash64."""
+    hash_family = hash_family or dedup.md5_hash64
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    sh = dedup.shingles(d, k=3, distinct=False).select(
+        "doc_id", hash_family(F.col("shingle")).alias("tm")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    tf = sh.groupBy("doc_id", "tm").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dft = tf.groupBy("tm").agg(F.count(F.lit(1)).alias("dft"))
+    wdbl = F.col("tf") * (
+        F.log((F.col("nd") + 1) / (F.col("dft") + 1).cast("double")) + 1
+    )
+    w = (
+        tf.join(dft, "tm")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("dft") * 5 <= F.col("nd"))
+        .select(
+            "doc_id",
+            "tm",
+            wdbl.alias("w"),
+            F.floor(wdbl * 1e6 + F.lit(0.5)).cast("long").alias("wint"),
+        )
+        .persist()
+    )
+    return tf, w
+
+
+def tfidf_simhash_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int = 32,
+    n_bands: int = 2,
+    hash_family=None,
+) -> DataFrame:
+    """Candidate pairs from weighted SimHash over the tf-idf vectors,
+    with bits/bands EXPOSED — the measured log(n) knob (VERDICT r9
+    item 5). Per band the random-collision term is n^2 / 2^(n_bits /
+    n_bands): 2 x 16-bit bands (the registry query's setting) cost
+    n^2/65536 per band; 2 x 24-bit bands (n_bits=48) divide that by
+    another 256 — the next decade's setting, measured head-to-head in
+    BASELINE.md's knob table via scripts/scale_bench.py
+    (simhash_cand_16b / simhash_cand_24b). Returns the DISTINCT
+    (id_a, id_b) candidate frame so scale runs record candidate
+    VOLUME, the quantity the knob controls.
+
+    The hyperplanes are the TERM HASH's bit planes, so ``n_bits``
+    must not exceed the hash family's value width: md5_hash64 (the
+    oracle-replayable default) is 32-bit-valued — a 48-bit signature
+    over it would leave bits 32+ constant-zero and silently shrink
+    one band to 8 effective bits, EXPLODING candidates instead of
+    cutting them (measured: 504 -> 49,917 at the 0.1x point before
+    this guard). Widening past 32 bits therefore requires the 64-bit
+    production family (F.xxhash64)."""
+    hash_family = hash_family or dedup.md5_hash64
+    if n_bits > 32 and hash_family is dedup.md5_hash64:
+        raise ValueError(
+            "md5_hash64 is 32-bit-valued: a signature wider than 32 "
+            "bits needs a 64-bit hash family (pass "
+            "hash_family=F.xxhash64); bits above the hash width would "
+            "be constant zero and the widened band would silently "
+            "shrink, exploding candidate volume"
+        )
+    tf, w = _tfidf_weighted_vectors(spark, sf_dir, hash_family=hash_family)
+    sigs = dedup.weighted_simhash_signatures(
+        w, id_col="doc_id", hash_col="tm", weight_col="wint", n_bits=n_bits
+    )
+    cand = dedup.simhash_band_candidates(
+        sigs, id_col="doc_id", sig_col="simhash", n_bits=n_bits, n_bands=n_bands
+    )
+    cand.cache_handles = [tf, w]
+    return cand
+
+
 @register(
     "tfidf_simhash_topk",
     _TFIDF_SIMHASH_ORACLE,
@@ -1811,28 +1891,7 @@ _TFIDF_SIMHASH_ORACLE = r"""
     "pairs.",
 )
 def tfidf_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", rebalance=True)
-    sh = dedup.shingles(d, k=3, distinct=False).select(
-        "doc_id", dedup.md5_hash64(F.col("shingle")).alias("tm")
-    )
-    nd = d.agg(F.count(F.lit(1)).alias("nd"))
-    tf = sh.groupBy("doc_id", "tm").agg(F.count(F.lit(1)).alias("tf")).persist()
-    dft = tf.groupBy("tm").agg(F.count(F.lit(1)).alias("dft"))
-    wdbl = F.col("tf") * (
-        F.log((F.col("nd") + 1) / (F.col("dft") + 1).cast("double")) + 1
-    )
-    w = (
-        tf.join(dft, "tm")
-        .crossJoin(F.broadcast(nd))
-        .filter(F.col("dft") * 5 <= F.col("nd"))
-        .select(
-            "doc_id",
-            "tm",
-            wdbl.alias("w"),
-            F.floor(wdbl * 1e6 + F.lit(0.5)).cast("long").alias("wint"),
-        )
-        .persist()
-    )
+    tf, w = _tfidf_weighted_vectors(spark, sf_dir)
     sigs = dedup.weighted_simhash_signatures(
         w, id_col="doc_id", hash_col="tm", weight_col="wint", n_bits=32
     )
@@ -1841,6 +1900,9 @@ def tfidf_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate volume sub-quadratic at corpus scale. Exact dups
     # always collide; high-cosine near-dups collide with probability
     # (1 - theta/pi)^16 per band — the recall-floor test pins it.
+    # Past the next decade, grow bits-per-band with log(n):
+    # tfidf_simhash_candidates exposes the knob and BASELINE.md's
+    # knob table shows 24-bit bands dividing the collision term.
     cand = dedup.simhash_band_candidates(
         sigs, id_col="doc_id", sig_col="simhash", n_bits=32, n_bands=2
     )

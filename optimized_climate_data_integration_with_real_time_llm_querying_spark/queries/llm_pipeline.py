@@ -913,7 +913,13 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs per fingerprint) dropping boilerplate before the self-join "
     "— the guard that keeps the pair count sub-quadratic at corpus "
     "scale. The join input is the winnowed ~40% of grams, on 8-byte "
-    "keys; fully DuckDB-oracled via the md5 gram-hash family.",
+    "keys; fully DuckDB-oracled via the md5 gram-hash family. "
+    "REGIME BOUNDARY (measured, BASELINE.md 100x table): the "
+    "ABSOLUTE df cap bounds COST but collapses RECALL once nearly "
+    "every fingerprint exceeds it at vocabulary saturation — in that "
+    "density regime use the MinHash bands (minhash_near_dup_pairs) "
+    "or tfidf_simhash_topk, whose candidate generation does not "
+    "depend on content rarity.",
 )
 def winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import winnow

@@ -46,6 +46,13 @@ QUERIES = [
     "winnow_dup_candidates",
     "tfidf_simhash_topk",  # the boundary-closing scale path
 ]
+# Non-registry knob variants (VERDICT r9 item 5): the SAME weighted-
+# SimHash candidate generator at two bits-per-band settings, returning
+# the candidate frame so rows = candidate VOLUME — the quantity the
+# per-band n^2 / 2^(bits) collision term controls. 16-bit bands are
+# the registry query's setting; 24-bit bands (n_bits=48) are the
+# next decade's, dividing the random-collision term by 256.
+KNOB_QUERIES = ["simhash_cand_16b", "simhash_cand_24b"]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with
 # gen_scale_data --mult 100 --out .scale/sf10): pass --three to
@@ -70,17 +77,33 @@ def main() -> None:
     )
     args = ap.parse_args()
     queries = args.queries or QUERIES
-    unknown = [q for q in queries if q not in QUERIES]
+    unknown = [q for q in queries if q not in QUERIES + KNOB_QUERIES]
     if unknown:
         ap.error(f"not scale-bench queries: {unknown}")
 
     from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
         all_queries,
     )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.corpus_ops import (
+        tfidf_simhash_candidates,
+    )
     from optimized_climate_data_integration_with_real_time_llm_querying_spark.session import (
         get_spark,
     )
 
+    from pyspark.sql import functions as F
+
+    # Both knob settings use the 64-bit xxhash64 family so the ONLY
+    # difference is band width (md5_hash64 is 32-bit-valued and would
+    # silently truncate the 48-bit signature — the builder guards it).
+    knob_builders = {
+        "simhash_cand_16b": lambda s, d: tfidf_simhash_candidates(
+            s, d, n_bits=32, n_bands=2, hash_family=F.xxhash64
+        ),
+        "simhash_cand_24b": lambda s, d: tfidf_simhash_candidates(
+            s, d, n_bits=48, n_bands=2, hash_family=F.xxhash64
+        ),
+    }
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()
     scales = SCALES + ([SCALE_10] if args.three else [])
@@ -89,12 +112,12 @@ def main() -> None:
     for label, sf_dir, _mult in scales:
         sf_dir = os.path.abspath(sf_dir)
         for name in queries:
-            q = qs[name]
+            builder = knob_builders.get(name) or qs[name].builder
             times = []
             n = -1
             for i in range(3):  # pass 0 = warm-up, then min-of-2
                 t0 = time.monotonic()
-                df = q.builder(spark, sf_dir)
+                df = builder(spark, sf_dir)
                 n = df.count()
                 dt = time.monotonic() - t0
                 for h in list(getattr(df, "cache_handles", [])) + (

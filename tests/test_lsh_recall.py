@@ -246,3 +246,36 @@ def test_tfidf_simhash_topk_recall_floor(spark, sf_oracle):
     top5 = set(exact_rows[:5])
     hit = len(top5 & lsh_pairs) / len(top5)
     assert hit >= 0.4, f"recall of exact top-5 too low: {hit} ({top5 & lsh_pairs})"
+
+
+def test_simhash_band_width_knob(spark, sf_oracle):
+    """VERDICT r9 item 5: bits-per-band is a real knob — 24-bit bands
+    (48-bit signature over the 64-bit hash family) must produce no
+    more candidates than 16-bit bands on the same vectors, and the
+    32-bit md5 family must refuse a 48-bit signature loudly (bits
+    above the hash width are constant zero; the widened band would
+    silently shrink to 8 effective bits and EXPLODE candidates —
+    measured 504 -> 49,917 before the guard)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.corpus_ops import (
+        tfidf_simhash_candidates,
+    )
+
+    c16 = tfidf_simhash_candidates(
+        spark, sf_oracle, n_bits=32, n_bands=2, hash_family=F.xxhash64
+    )
+    n16 = c16.count()
+    for h in c16.cache_handles:
+        h.unpersist()
+    c24 = tfidf_simhash_candidates(
+        spark, sf_oracle, n_bits=48, n_bands=2, hash_family=F.xxhash64
+    )
+    n24 = c24.count()
+    for h in c24.cache_handles:
+        h.unpersist()
+    assert 0 < n24 <= n16, (n16, n24)
+
+    with _pytest.raises(ValueError, match="32-bit-valued"):
+        tfidf_simhash_candidates(spark, sf_oracle, n_bits=48, n_bands=2)
