@@ -144,19 +144,88 @@ def gen_part(n: int, seed: int = 44) -> pa.Table:
     )
 
 
+BASE_ORDERS = 150000
+
+
+def gen_orders(n: int, seed: int = 45) -> pa.Table:
+    """Orders twin for the maintenance-job scale target
+    (compaction_roundtrip): dense keys, measured status/priority
+    weights, uniform price over the measured range, dates uniform
+    over the real table's 1995-2001 span. The compaction path reads
+    only (o_orderkey, o_custkey, o_totalprice, o_orderdate); the
+    other columns keep load_table's schema expectations happy."""
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    con = duckdb.connect()
+    sw = con.execute(
+        """
+        SELECT o_orderstatus, COUNT(*) FROM
+        read_parquet('/root/testdata/sf0.1/orders.parquet')
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    pw = con.execute(
+        """
+        SELECT o_orderpriority, COUNT(*) FROM
+        read_parquet('/root/testdata/sf0.1/orders.parquet')
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    con.close()
+    statuses = [r[0] for r in sw]
+    s_w = np.array([r[1] for r in sw], dtype=np.float64)
+    priorities = [r[0] for r in pw]
+    p_w = np.array([r[1] for r in pw], dtype=np.float64)
+    s_pick = rng.choice(len(statuses), size=n, p=s_w / s_w.sum())
+    p_pick = rng.choice(len(priorities), size=n, p=p_w / p_w.sum())
+    span_us = (2001 - 1995 + 1) * 365 * 86_400_000_000
+    t0 = np.datetime64("1995-01-01", "us").astype(np.int64)
+    dates = t0 + rng.integers(0, span_us, size=n)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, max(1, n // 10), size=n), pa.int64()),
+            "o_orderstatus": pa.array([statuses[i] for i in s_pick], pa.string()),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(900.0, 450000.0, size=n), 2), pa.float64()
+            ),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array([priorities[i] for i in p_pick], pa.string()),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=float, required=True, help="multiple of sf0.1")
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=["documents", "embeddings", "part", "orders"],
+        help="subset of tables to (re)write into --out",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    n_docs = int(BASE_DOCS * args.mult)
-    n_vecs = int(BASE_VECS * args.mult)
-    n_parts = int(BASE_PARTS * args.mult)
-    pq.write_table(gen_documents(n_docs), os.path.join(args.out, "documents.parquet"))
-    pq.write_table(gen_embeddings(n_vecs), os.path.join(args.out, "embeddings.parquet"))
-    pq.write_table(gen_part(n_parts), os.path.join(args.out, "part.parquet"))
-    print(f"wrote {n_docs} docs / {n_vecs} vecs / {n_parts} parts to {args.out}")
+    wrote = []
+    if "documents" in args.tables:
+        n = int(BASE_DOCS * args.mult)
+        pq.write_table(gen_documents(n), os.path.join(args.out, "documents.parquet"))
+        wrote.append(f"{n} docs")
+    if "embeddings" in args.tables:
+        n = int(BASE_VECS * args.mult)
+        pq.write_table(gen_embeddings(n), os.path.join(args.out, "embeddings.parquet"))
+        wrote.append(f"{n} vecs")
+    if "part" in args.tables:
+        n = int(BASE_PARTS * args.mult)
+        pq.write_table(gen_part(n), os.path.join(args.out, "part.parquet"))
+        wrote.append(f"{n} parts")
+    if "orders" in args.tables:
+        n = int(BASE_ORDERS * args.mult)
+        pq.write_table(gen_orders(n), os.path.join(args.out, "orders.parquet"))
+        wrote.append(f"{n} orders")
+    print(f"wrote {' / '.join(wrote)} to {args.out}")
 
 
 if __name__ == "__main__":

@@ -45,6 +45,9 @@ QUERIES = [
     "tfidf_doc_similarity",
     "winnow_dup_candidates",
     "tfidf_simhash_topk",  # the boundary-closing scale path
+    # Round-10: the maintenance job (needs the orders twin
+    # gen_scale_data now writes; expected alpha ~1 — IO-linear).
+    "compaction_roundtrip",
 ]
 # Non-registry knob variants (VERDICT r9 item 5): the SAME weighted-
 # SimHash candidate generator at two bits-per-band settings, returning
