@@ -312,7 +312,12 @@ def read_netcdf_distributed(spark: SparkSession, path_glob: str) -> DataFrame:
         out = out[proto_cols]
         for c in proto_cols:
             got = _spark_type(out[c].dtype)
-            if got != proto_types[c]:
+            # int -> double widening is lossless and legitimate (one
+            # file CF-packed to float, another raw int); everything
+            # else is a real schema conflict.
+            if got != proto_types[c] and not (
+                got == "bigint" and proto_types[c] == "double"
+            ):
                 raise ValueError(
                     f"{pathstr}: column {c!r} decodes as {got}, but the "
                     f"archive prototype ({proto_path}) has {proto_types[c]}"

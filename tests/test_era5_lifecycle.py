@@ -148,3 +148,104 @@ def test_nc_to_nl_answer(spark, tmp_path):
     # Every month survives the geocode join (the pre-fix operator
     # collapsed repeated coordinates to one row per (lat, lon)).
     assert located.count() == N_MONTHS * 4
+
+
+def test_nc_to_nl_trend_answer(spark, tmp_path):
+    """Round-10 lifecycle extension: the SAME .nc ingest path now
+    feeds the NL trend intent — a 3-year classic file rolls up to
+    era5_monthly and 'skin temperature trend in Dhaka' fits the Holt
+    recursion over the ingested yearly means, replayed here from the
+    very bytes that built the file."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    n_months = 36  # 2020-2022
+    dims = [("valid_time", 0), ("latitude", 2), ("longitude", 2)]
+    records = [
+        [_raw(m, i, j) for i in range(2) for j in range(2)] for m in range(n_months)
+    ]
+    variables = [
+        ("latitude", [1], [], ncb.NC_DOUBLE, LATS),
+        ("longitude", [2], [], ncb.NC_DOUBLE, LONS),
+        ("valid_time", [0], [], ncb.NC_INT, [[m] for m in range(n_months)]),
+        (
+            "skt",
+            [0, 1, 2],
+            [
+                ("scale_factor", ncb.NC_DOUBLE, [SCALE]),
+                ("add_offset", ncb.NC_DOUBLE, [OFFSET]),
+            ],
+            ncb.NC_SHORT,
+            records,
+        ),
+    ]
+    p = tmp_path / "skt_2020_2022.nc"
+    p.write_bytes(ncb._build_classic(1, n_months, dims, [], variables))
+
+    grid = ingest.read_netcdf(spark, str(p))
+    located = climate.reverse_geocode_join(grid, climate.city_gazetteer(spark))
+    cities = spark.createDataFrame(
+        [(c, city) for c, cs in climate.ERA5_CITIES.items() for city in cs],
+        "country string, city string",
+    )
+    fam, unit = climate.ERA5_METRICS["skin_temperature"]
+    era5 = (
+        located.groupBy(F.col("nearest_city").alias("city"), "valid_time")
+        .agg(F.avg("skt").alias("value"))
+        .select(
+            "city",
+            F.add_months(F.lit("2020-01-01").cast("date"), F.col("valid_time")).alias(
+                "date"
+            ),
+            "value",
+        )
+        .join(cities, "city")
+        .select(
+            "country",
+            "city",
+            "date",
+            F.lit(0.0).alias("latitude"),
+            F.lit(0.0).alias("longitude"),
+            F.lit("skin_temperature").alias("metric"),
+            F.lit(fam).alias("family"),
+            F.lit(unit).alias("unit"),
+            "value",
+        )
+    )
+
+    eng = ClimateEngine(spark, tables={"era5_monthly": era5})
+    a = eng.ask("What is the skin temperature trend in Dhaka?")
+    assert a.domain == "era5"
+    assert a.spec.year_range == (2020, 2022)
+    rows = a.result.collect()
+    assert [r.series for r in rows] == ["Dhaka skin_temperature"]
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    # Truth from the raw packed ints: monthly Dhaka mean -> yearly
+    # mean (6 dp, matching the trend planner) -> the Holt recursion.
+    monthly = []
+    for m in range(n_months):
+        vals = [
+            _raw(m, i, j) * SCALE + OFFSET
+            for i in range(2)
+            for j in range(2)
+            if _nearest_city(LATS[i], LONS[j]) == "Dhaka"
+        ]
+        monthly.append(sum(vals) / len(vals))
+    series = [
+        r6(sum(monthly[y * 12 : (y + 1) * 12]) / 12) for y in range(3)
+    ]
+    l, b = float(series[0]), float(series[1] - series[0])
+    for y in series[1:]:
+        l_new = r6(0.75 * y + 0.25 * (l + b))
+        b = r6(0.25 * (l_new - l) + 0.75 * b)
+        l = l_new
+    assert (rows[0].level, rows[0].trend, rows[0].forecast_next) == (
+        r6(l),
+        r6(b),
+        r6(l + b),
+    )
+    # The raw series grows 100 packed units/month = 1.0 K/month after
+    # CF unpacking -> exactly +12/year once the state converges.
+    assert rows[0].trend == pytest.approx(12.0)

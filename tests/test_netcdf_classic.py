@@ -358,3 +358,35 @@ def test_distributed_read_heterogeneous_archive_names_file(spark, tmp_path):
     df = ingest.read_netcdf_distributed(spark, str(tmp_path))
     with pytest.raises(Exception, match="do not match the archive prototype"):
         df.collect()
+
+
+def _int_var_file() -> bytes:
+    """Same grid/columns as _era5ish but t2m raw NC_INT (no CF attrs)
+    and elevation unchanged — the unpacked sibling of a packed file."""
+    dims = [("time", 0), ("lat", 2), ("lon", 3)]
+    variables = [
+        ("lat", [1], [], NC_FLOAT, [10.0, 20.0]),
+        ("lon", [2], [], NC_FLOAT, [100.0, 101.0, 102.0]),
+        ("elevation", [1, 2], [], NC_DOUBLE, [11, 12, 13, 21, 22, 23]),
+        ("time", [0], [], NC_INT, [[0], [1]]),
+        ("t2m", [0, 1, 2], [], NC_INT,
+         [[271, 272, 273, 274, 275, 276], [277, 278, 279, 280, 281, 282]]),
+    ]
+    return _build_classic(1, 2, dims, [], variables)
+
+
+def test_distributed_read_widens_int_to_double(spark, tmp_path):
+    """A raw-int file in an archive whose prototype is CF-packed
+    (double) widens losslessly instead of erroring: int -> double is
+    the one legitimate cross-file dtype difference (one writer packed,
+    another didn't). File names pin the packed file as the prototype
+    (binaryFile lists lexicographically here)."""
+    (tmp_path / "a_packed.nc").write_bytes(_era5ish())
+    (tmp_path / "b_raw.nc").write_bytes(_int_var_file())
+    df = ingest.read_netcdf_distributed(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 24
+    raw = [r for r in rows if r.source_file.endswith("b_raw.nc")]
+    assert {type(r.t2m) for r in raw} == {float}
+    vals = {(r.time, r.lat, r.lon): r.t2m for r in raw}
+    assert vals[(0, 10.0, 100.0)] == pytest.approx(271.0)
