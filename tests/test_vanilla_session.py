@@ -18,6 +18,9 @@ import __spark_entry__ as ep
 assert len(ep.entry(spark).collect()) > 0
 qs = ep.queries()
 assert len(qs["events_tumbling_daily"](spark, "/root/testdata/sf0.001").collect()) > 0
+# r10: the maintenance gate writes+compacts+reads parquet — prove the
+# whole write path also works on a vanilla session.
+assert len(qs["compaction_roundtrip"](spark, "/root/testdata/sf0.001").collect()) > 0
 print("VANILLA_OK")
 """
 
