@@ -108,6 +108,7 @@ _DEMOTE = [
     # -- ROUND-11 TIER A: round-10 additions (never-rowed; lead the
     #    round-11 window) --
     "compaction_roundtrip",
+    "jsonl_roundtrip",
     # -- ROUND-11 TIER B: the 28 remaining r7-rowed names --
     "bigram_logprob_scores",
     "embedding_quantize_int8",

@@ -170,8 +170,9 @@ HEADLINE = [
     "sequence_packing",         # partition-local best-fit packing
     "sequence_packing_canonical",  # md5-bucket next-fit, FULL-oracled
     "tfidf_simhash_topk",       # weighted-SimHash tf-idf scale path
-    # Round-10 addition:
+    # Round-10 additions:
     "compaction_roundtrip",     # small-files rewrite + sorted layout gate
+    "jsonl_roundtrip",          # JSONL source/sink escape-exact roundtrip
 ]
 
 

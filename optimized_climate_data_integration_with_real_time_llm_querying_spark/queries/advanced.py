@@ -601,3 +601,38 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey").between(1, 150))
         .select("o_orderkey", "o_custkey", "price", "o_orderdate")
     )
+
+
+@register(
+    "jsonl_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    doc="Registry gate for the JSON-Lines source/sink (the "
+    "interchange format LLM training corpora ship in): writes the "
+    "documents table as JSONL, reads it back with a DECLARED schema "
+    "under FAILFAST, and the oracle checks content against the "
+    "ORIGINAL table — serialization may never change data, so every "
+    "string must survive JSON escaping byte-for-byte and every "
+    "number must round-trip exactly. The format is splittable "
+    "(one object per line), so at 100 TB the read parallelizes "
+    "per-line like CSV; schema declaration avoids the inference "
+    "scan, and the ingest discipline (FAILFAST, or PERMISSIVE + "
+    "_corrupt_record quarantine) is tested in tests/test_ingest.py.",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.ingest import read_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(os.getcwd(), "spark-warehouse", f"_jsonl_roundtrip_{tag}")
+    write_jsonl(d, path)
+    return read_jsonl(
+        spark,
+        path,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).select("doc_id", "text", "lang", "source", "n_chars")

@@ -32,6 +32,35 @@ def read_csv(
     return spark.read.csv(path, header=header, schema=schema, mode="FAILFAST")
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """JSON-Lines source — the interchange format LLM training
+    corpora actually ship in (one JSON object per line; splittable,
+    so a 100 TB archive parallelizes per-line like CSV).
+
+    Same discipline as the CSV source: pass a declared ``schema`` in
+    production (``schema=None`` infers, which costs an extra full
+    scan and drifts types — acceptable only for exploration), and
+    default ``FAILFAST`` so a malformed line fails the read loudly
+    instead of silently nulling a column. ``mode="PERMISSIVE"``
+    with a ``_corrupt_record`` field in the schema is the quarantine
+    pattern when dirty lines are expected."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("mode", mode).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-Lines sink (one object per line, Spark's json format);
+    strings round-trip through standard JSON escaping."""
+    df.write.mode("overwrite").json(path)
+
+
 def read_sqlite(
     spark: SparkSession,
     db_path: str,
