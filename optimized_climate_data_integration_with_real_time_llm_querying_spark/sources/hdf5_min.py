@@ -1,0 +1,545 @@
+"""Pure-stdlib reader for the netCDF-4 SUBSET of HDF5 — the second
+half of S4 (the classic CDF-1/2 half lives in netcdf_classic.py).
+
+The reference ingests ERA5 ``.nc`` files with xarray
+(ERA5_preprocessing.ipynb cell2-4); modern CDS downloads are
+netCDF-4, i.e. HDF5 containers. This container has no
+xarray/netcdf4/h5py, but the HDF5 file format is a public
+specification ("HDF5 File Format Specification Version 3.0") and the
+subset netCDF-4 actually uses is small enough to decode with
+``struct`` + ``zlib`` + numpy:
+
+- superblock version 0 (what libhdf5 writes under its default
+  H5F_LIBVER_EARLIEST compatibility bounds),
+- version-1 object headers (+ continuation blocks),
+- old-style groups: symbol-table message -> v1 B-tree -> SNOD symbol
+  nodes -> local heap names,
+- dataspace (v1), datatype (fixed-point / IEEE-float / fixed string /
+  reference / vlen-of-reference), fill value, attribute (v1 and v3),
+  data layout v3 (contiguous and chunked),
+- chunked data through the v1 B-tree (node type 1) with the deflate
+  (id 1) and shuffle (id 2) filters,
+- vlen attribute payloads through global heap collections (GCOL) —
+  what netCDF-4's DIMENSION_LIST uses to attach dimensions to
+  variables.
+
+netCDF-4 semantics on top: datasets whose CLASS attribute is
+"DIMENSION_SCALE" are dimensions (pure dimensions carry the "This is
+a netCDF dimension but not a netCDF variable" NAME and contribute
+only their length; dimension scales with real data are coordinate
+variables); every data variable's dims come from DIMENSION_LIST
+object references. CF unpacking (scale_factor / add_offset /
+_FillValue) and the grid assembly are shared with the classic reader
+(netcdf_classic.assemble_dataframe), so both halves of S4 produce
+the same xarray-shaped frame.
+
+Anything outside the subset — later superblocks, v2 object headers,
+fractal-heap ("new style") groups, compact/v1/v2 layouts, filters
+beyond deflate+shuffle, compound datatypes — raises a loud
+``NotImplementedError`` naming the feature; ``ingest.read_netcdf``
+then falls back to the xarray seam, which stays the documented
+escape hatch for exotic files.
+
+Tests assemble HDF5 bytes FROM THE SPEC (tests/test_hdf5_min.py), the
+same discipline that pinned the classic parser against the format
+rather than against itself.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from .netcdf_classic import _Var, assemble_dataframe
+
+MAGIC = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+class _F:
+    """Cursor-free random-access helpers over the whole file buffer."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+
+    def u(self, off: int, n: int) -> int:
+        return int.from_bytes(self.buf[off : off + n], "little")
+
+    def raw(self, off: int, n: int) -> bytes:
+        b = self.buf[off : off + n]
+        if len(b) != n:
+            raise ValueError("truncated HDF5 file")
+        return b
+
+
+# --------------------------------------------------------------- superblock
+
+
+def _superblock(f: _F) -> dict:
+    if f.raw(0, 8) != MAGIC:
+        raise ValueError("not an HDF5 file")
+    ver = f.u(8, 1)
+    if ver != 0:
+        raise NotImplementedError(
+            f"HDF5 superblock version {ver}: only version 0 (libhdf5's "
+            "default compatibility bounds) is supported"
+        )
+    size_off, size_len = f.u(13, 1), f.u(14, 1)
+    if (size_off, size_len) != (8, 8):
+        raise NotImplementedError(
+            f"HDF5 offsets/lengths of {size_off}/{size_len} bytes: only 8/8"
+        )
+    # addresses start at 24 (leaf/internal K at 16/18, consistency
+    # flags at 20); base + free-space + EOF + driver-info = 32 bytes,
+    # so the root group symbol table entry starts at 56 and its
+    # object header address is its second 8-byte field.
+    root_entry_off = 24 + 8 * 4
+    return {"root_header": f.u(root_entry_off + 8, 8)}
+
+
+# ----------------------------------------------------------- object headers
+
+
+def _messages(f: _F, header_addr: int) -> list[tuple[int, bytes]]:
+    """All (type, data) messages of a v1 object header, following
+    continuation blocks."""
+    ver = f.u(header_addr, 1)
+    if ver != 1:
+        raise NotImplementedError(
+            f"HDF5 object header version {ver}: only version 1 "
+            "(old-style, what netCDF-4 under default bounds writes)"
+        )
+    n_msgs = f.u(header_addr + 2, 2)
+    block_size = f.u(header_addr + 8, 4)
+    # v1 prefix is 12 bytes + 4 padding; messages are 8-aligned.
+    blocks = [(header_addr + 16, block_size)]
+    out: list[tuple[int, bytes]] = []
+    while blocks and len(out) < n_msgs:
+        off, remaining = blocks.pop(0)
+        while remaining >= 8 and len(out) < n_msgs:
+            mtype = f.u(off, 2)
+            msize = f.u(off + 2, 2)
+            body = f.raw(off + 8, msize)
+            off += 8 + msize
+            remaining -= 8 + msize
+            if mtype == 0x0010:  # continuation: (offset, length)
+                c_off = int.from_bytes(body[0:8], "little")
+                c_len = int.from_bytes(body[8:16], "little")
+                blocks.append((c_off, c_len))
+                out.append((mtype, body))
+            else:
+                out.append((mtype, body))
+    return out
+
+
+# ------------------------------------------------------------------- groups
+
+
+def _local_heap_name(f: _F, heap_addr: int, name_off: int) -> str:
+    if f.raw(heap_addr, 4) != b"HEAP":
+        raise ValueError("bad local heap signature")
+    data_addr = f.u(heap_addr + 24, 8)
+    end = self_end = data_addr + name_off
+    while f.buf[self_end] != 0:
+        self_end += 1
+    return f.buf[end:self_end].decode("utf-8")
+
+
+def _group_children(f: _F, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
+    """(name, object header address) for every link in an old-style
+    group, walking the v1 group B-tree down to SNOD leaves."""
+    out: list[tuple[str, int]] = []
+
+    def walk(addr: int) -> None:
+        sig = f.raw(addr, 4)
+        if sig == b"TREE":
+            level = f.u(addr + 5, 1)
+            n = f.u(addr + 6, 2)
+            # keys/children: key0 child0 key1 child1 ... key_n
+            p = addr + 8 + 16  # past sig/type/level/entries + siblings
+            p += 8  # key0
+            for _ in range(n):
+                child = f.u(p, 8)
+                walk(child)
+                p += 16  # child + next key
+            if level > 0:
+                return
+        elif sig == b"SNOD":
+            n = f.u(addr + 6, 2)
+            p = addr + 8
+            for _ in range(n):
+                name_off = f.u(p, 8)
+                obj_addr = f.u(p + 8, 8)
+                out.append((_local_heap_name(f, heap_addr, name_off), obj_addr))
+                p += 40
+        else:
+            raise ValueError(f"bad group node signature {sig!r}")
+
+    walk(btree_addr)
+    return out
+
+
+# ---------------------------------------------------------------- datatypes
+
+
+def _parse_datatype(body: bytes) -> dict:
+    cls = body[0] & 0x0F
+    ver = body[0] >> 4
+    bits0, bits8, bits16 = body[1], body[2], body[3]
+    size = int.from_bytes(body[4:8], "little")
+    if cls == 0:  # fixed-point
+        signed = bool(bits0 & 0x08)
+        if bits0 & 0x01:
+            raise NotImplementedError("big-endian HDF5 integers")
+        return {"cls": cls, "size": size, "dtype": np.dtype(f"<{'i' if signed else 'u'}{size}")}
+    if cls == 1:  # float
+        if bits0 & 0x01:
+            raise NotImplementedError("big-endian HDF5 floats")
+        if size not in (4, 8):
+            raise NotImplementedError(f"{size}-byte HDF5 float")
+        return {"cls": cls, "size": size, "dtype": np.dtype(f"<f{size}")}
+    if cls == 3:  # fixed string
+        return {"cls": cls, "size": size, "dtype": np.dtype(f"S{size}")}
+    if cls == 7:  # reference
+        return {"cls": cls, "size": size}
+    if cls == 9:  # vlen
+        base = _parse_datatype(body[8:])
+        return {"cls": cls, "size": size, "base": base}
+    raise NotImplementedError(
+        f"HDF5 datatype class {cls} (version {ver}): the netCDF-4 subset "
+        "covers fixed-point, float, fixed string, reference, and vlen"
+    )
+
+
+def _parse_dataspace(body: bytes) -> list[int]:
+    ver = body[0]
+    if ver == 1:
+        rank, flags = body[1], body[2]
+        off = 8  # version, rank, flags, 5 reserved
+    elif ver == 2:
+        rank, flags = body[1], body[2]
+        off = 4  # version, rank, flags, type
+    else:
+        raise NotImplementedError(f"HDF5 dataspace version {ver}")
+    dims = [
+        int.from_bytes(body[off + 8 * i : off + 8 * (i + 1)], "little")
+        for i in range(rank)
+    ]
+    return dims
+
+
+# --------------------------------------------------------------- attributes
+
+
+def _parse_attribute(f: _F, body: bytes):
+    """-> (name, value) for v1 and v3 attribute messages."""
+    ver = body[0]
+    name_size = int.from_bytes(body[2:4], "little")
+    dt_size = int.from_bytes(body[4:6], "little")
+    ds_size = int.from_bytes(body[6:8], "little")
+    if ver == 1:
+        pad = lambda n: (n + 7) // 8 * 8  # noqa: E731
+        off = 8
+        name = body[off : off + name_size].split(b"\0")[0].decode()
+        off += pad(name_size)
+        dt = _parse_datatype(body[off : off + dt_size])
+        off += pad(dt_size)
+        dims = _parse_dataspace(body[off : off + ds_size])
+        off += pad(ds_size)
+    elif ver == 3:
+        off = 9  # +1 name-encoding byte
+        name = body[off : off + name_size].split(b"\0")[0].decode()
+        off += name_size
+        dt = _parse_datatype(body[off : off + dt_size])
+        off += dt_size
+        dims = _parse_dataspace(body[off : off + ds_size])
+        off += ds_size
+    else:
+        raise NotImplementedError(f"HDF5 attribute message version {ver}")
+    n = 1
+    for d in dims:
+        n *= d
+    data = body[off:]
+    return name, _attr_value(f, dt, dims, n, data)
+
+
+def _attr_value(f: _F, dt: dict, dims: list[int], n: int, data: bytes):
+    if dt["cls"] == 3:  # fixed string -> python str
+        return data[: dt["size"]].split(b"\0")[0].decode("utf-8", "replace")
+    if dt["cls"] == 9:  # vlen: n descriptors of (length, gheap addr, index)
+        out = []
+        for i in range(n):
+            d = data[16 * i : 16 * (i + 1)]
+            length = int.from_bytes(d[0:4], "little")
+            gaddr = int.from_bytes(d[4:12], "little")
+            gidx = int.from_bytes(d[12:16], "little")
+            payload = _global_heap_object(f, gaddr, gidx)
+            base = dt["base"]
+            if base["cls"] == 7:  # references -> object header addresses
+                out.append(
+                    [
+                        int.from_bytes(payload[8 * j : 8 * (j + 1)], "little")
+                        for j in range(length)
+                    ]
+                )
+            elif "dtype" in base:
+                out.append(np.frombuffer(payload, dtype=base["dtype"], count=length))
+            else:
+                raise NotImplementedError("vlen of unsupported base type")
+        return out
+    if dt["cls"] == 7:
+        return [int.from_bytes(data[8 * j : 8 * (j + 1)], "little") for j in range(n)]
+    vals = np.frombuffer(data, dtype=dt["dtype"], count=n)
+    return vals[0] if n == 1 else vals
+
+
+def _global_heap_object(f: _F, collection_addr: int, index: int) -> bytes:
+    if f.raw(collection_addr, 4) != b"GCOL":
+        raise ValueError("bad global heap signature")
+    size = f.u(collection_addr + 8, 8)
+    p = collection_addr + 16
+    end = collection_addr + size
+    while p < end:
+        obj_idx = f.u(p, 2)
+        obj_size = f.u(p + 8, 8)
+        if obj_idx == 0:  # free space terminator
+            break
+        if obj_idx == index:
+            return f.raw(p + 16, obj_size)
+        p += 16 + (obj_size + 7) // 8 * 8
+    raise ValueError(f"global heap object {index} not found")
+
+
+# -------------------------------------------------------------- data layout
+
+
+def _read_data(f: _F, msgs: list[tuple[int, bytes]], dims: list[int], dtype) -> np.ndarray:
+    layout = next(b for t, b in msgs if t == 0x0008)
+    ver = layout[0]
+    if ver != 3:
+        raise NotImplementedError(f"HDF5 data layout version {ver}: only v3")
+    cls = layout[1]
+    n = 1
+    for d in dims:
+        n *= d
+    if cls == 1:  # contiguous
+        addr = int.from_bytes(layout[2:10], "little")
+        if addr == UNDEF or n == 0:
+            return np.zeros(dims, dtype=dtype)
+        return (
+            np.frombuffer(f.raw(addr, n * dtype.itemsize), dtype=dtype, count=n)
+            .reshape(dims)
+            .copy()
+        )
+    if cls == 2:  # chunked
+        ndims = layout[2]  # = rank + 1 (element-size pseudo-dim)
+        btree = int.from_bytes(layout[3:11], "little")
+        chunk_dims = [
+            int.from_bytes(layout[11 + 4 * i : 15 + 4 * i], "little")
+            for i in range(ndims - 1)
+        ]
+        filters = _filter_pipeline(msgs)
+        out = np.zeros(dims, dtype=dtype)
+        if btree != UNDEF:
+            for coords, raw in _chunks(f, btree, ndims):
+                for fid, _lvl in reversed(filters):
+                    if fid == 1:
+                        raw = zlib.decompress(raw)
+                    elif fid == 2:
+                        raw = _unshuffle(raw, dtype.itemsize)
+                    else:
+                        raise NotImplementedError(f"HDF5 filter id {fid}")
+                chunk = np.frombuffer(raw, dtype=dtype).reshape(chunk_dims)
+                sl = tuple(
+                    slice(c, min(c + cd, dims[i]))
+                    for i, (c, cd) in enumerate(zip(coords, chunk_dims))
+                )
+                clip = tuple(
+                    slice(0, sl[i].stop - sl[i].start) for i in range(len(sl))
+                )
+                out[sl] = chunk[clip]
+        return out
+    raise NotImplementedError(
+        f"HDF5 data layout class {cls}: only contiguous (1) and chunked (2)"
+    )
+
+
+def _filter_pipeline(msgs) -> list[tuple[int, int]]:
+    body = next((b for t, b in msgs if t == 0x000B), None)
+    if body is None:
+        return []
+    if body[0] != 1:
+        raise NotImplementedError(f"HDF5 filter pipeline version {body[0]}")
+    nf = body[1]
+    out = []
+    p = 8
+    for _ in range(nf):
+        fid = int.from_bytes(body[p : p + 2], "little")
+        name_len = int.from_bytes(body[p + 2 : p + 4], "little")
+        ncv = int.from_bytes(body[p + 6 : p + 8], "little")
+        p += 8 + name_len
+        level = int.from_bytes(body[p : p + 4], "little") if ncv else 0
+        p += 4 * ncv
+        if ncv % 2:
+            p += 4  # pad to 8
+        out.append((fid, level))
+    return out
+
+
+def _unshuffle(raw: bytes, itemsize: int) -> bytes:
+    n = len(raw) // itemsize
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(itemsize, n)
+    return a.T.tobytes()
+
+
+def _chunks(f: _F, btree_addr: int, ndims: int):
+    """Yield (chunk start coords, raw bytes) from a v1 chunk B-tree."""
+    sig = f.raw(btree_addr, 4)
+    if sig != b"TREE":
+        raise ValueError(f"bad chunk B-tree signature {sig!r}")
+    node_type = f.u(btree_addr + 4, 1)
+    if node_type != 1:
+        raise ValueError("chunk B-tree node type must be 1")
+    level = f.u(btree_addr + 5, 1)
+    n = f.u(btree_addr + 6, 2)
+    key_size = 8 + 8 * ndims  # chunk size(4) + filter mask(4) + offsets
+    p = btree_addr + 24  # past sig/type/level/entries + 2 siblings
+    for _ in range(n):
+        chunk_bytes = f.u(p, 4)
+        coords = [f.u(p + 8 + 8 * i, 8) for i in range(ndims - 1)]
+        child = f.u(p + key_size, 8)
+        if level > 0:
+            yield from _chunks(f, child, ndims)
+        else:
+            yield coords, f.raw(child, chunk_bytes)
+        p += key_size + 8
+
+
+# ---------------------------------------------------------- netCDF-4 layer
+
+_NC_DIM_SENTINEL = "This is a netCDF dimension but not a netCDF variable"
+
+
+def parse_netcdf4(buf: bytes):
+    """-> (dims, global_attrs, varlist) in netcdf_classic's shapes."""
+    f = _F(buf)
+    sb = _superblock(f)
+    root_msgs = _messages(f, sb["root_header"])
+    st = next((b for t, b in root_msgs if t == 0x0011), None)
+    if st is None:
+        raise NotImplementedError(
+            "HDF5 root group has no symbol-table message: new-style "
+            "(fractal heap) groups are outside the netCDF-4 subset"
+        )
+    btree = int.from_bytes(st[0:8], "little")
+    heap = int.from_bytes(st[8:16], "little")
+    gattrs = {}
+    for t, b in root_msgs:
+        if t == 0x000C:
+            k, v = _parse_attribute(f, b)
+            gattrs[k] = v
+
+    children = _group_children(f, btree, heap)
+    objects = {}
+    for name, addr in children:
+        msgs = _messages(f, addr)
+        attrs = {}
+        for t, b in msgs:
+            if t == 0x000C:
+                k, v = _parse_attribute(f, b)
+                attrs[k] = v
+        dt_body = next((b for t, b in msgs if t == 0x0003), None)
+        ds_body = next((b for t, b in msgs if t == 0x0001), None)
+        if dt_body is None or ds_body is None:
+            continue  # sub-group or typeless object: not in the subset
+        dt = _parse_datatype(dt_body)
+        shape = _parse_dataspace(ds_body)
+        objects[addr] = {
+            "name": name,
+            "attrs": attrs,
+            "dt": dt,
+            "shape": shape,
+            "msgs": msgs,
+        }
+
+    # Dimensions: CLASS == DIMENSION_SCALE, ordered by _Netcdf4Dimid
+    # when present (else file order).
+    dim_objs = [
+        (addr, o)
+        for addr, o in objects.items()
+        if o["attrs"].get("CLASS") == "DIMENSION_SCALE"
+    ]
+    dim_objs.sort(
+        key=lambda ao: (
+            int(ao[1]["attrs"].get("_Netcdf4Dimid", 2**31)),
+            ao[1]["name"],
+        )
+    )
+    dims: list[tuple[str, int]] = []
+    dim_index: dict[int, int] = {}  # object header addr -> dim id
+    varlist: list[_Var] = []
+    for addr, o in dim_objs:
+        dim_index[addr] = len(dims)
+        dims.append((o["name"], o["shape"][0] if o["shape"] else 1))
+        is_pure = _NC_DIM_SENTINEL in str(o["attrs"].get("NAME", ""))
+        if not is_pure and "dtype" in o["dt"]:
+            # coordinate variable: the scale carries real values
+            data = _read_data(f, o["msgs"], o["shape"], o["dt"]["dtype"])
+            varlist.append(
+                _Var(o["name"], [dim_index[addr]], o["attrs"], _nc_type_of(o["dt"]), 0, 0, data=data)
+            )
+
+    for addr, o in objects.items():
+        if addr in dim_index:
+            continue
+        dl = o["attrs"].get("DIMENSION_LIST")
+        if dl is None:
+            if len(o["shape"]) == 0:
+                dimids: list[int] = []
+            else:
+                raise NotImplementedError(
+                    f"dataset {o['name']!r} has no DIMENSION_LIST: plain "
+                    "HDF5 (non-netCDF-4) files are outside the subset"
+                )
+        else:
+            dimids = []
+            for refs in dl:  # one vlen element (ref list) per axis
+                ref = refs[0] if isinstance(refs, list) else int(refs)
+                if ref not in dim_index:
+                    raise ValueError(
+                        f"dataset {o['name']!r} references a non-dimension object"
+                    )
+                dimids.append(dim_index[ref])
+        if "dtype" not in o["dt"]:
+            raise NotImplementedError(
+                f"dataset {o['name']!r} has a non-scalar datatype class"
+            )
+        data = _read_data(f, o["msgs"], o["shape"], o["dt"]["dtype"])
+        varlist.append(
+            _Var(o["name"], dimids, o["attrs"], _nc_type_of(o["dt"]), 0, 0, data=data)
+        )
+    return dims, gattrs, varlist
+
+
+def _nc_type_of(dt: dict) -> int:
+    # assemble_dataframe only branches on char (2) vs numeric; HDF5
+    # fixed strings behave like classic char arrays after a byte view.
+    return 2 if dt["cls"] == 3 else 6
+
+
+def decode_netcdf4_bytes(buf: bytes) -> pd.DataFrame:
+    """bytes (HDF5/netCDF-4) -> the same xarray-shaped frame as
+    netcdf_classic.decode_netcdf_bytes."""
+    dims, _gattrs, varlist = parse_netcdf4(buf)
+    for v in varlist:
+        if v.nc_type == 2 and v.data.dtype.kind == "S":
+            # fixed S-strings -> an extra char axis so the shared
+            # char-to-str path (last dim = string length) applies
+            w = v.data.dtype.itemsize
+            v.data = v.data.view("S1").reshape(*v.data.shape, w)
+            v.dimids = list(v.dimids) + [len(dims)]
+            dims = dims + [(f"__strlen_{v.name}", w)]
+    return assemble_dataframe(dims, varlist)

@@ -255,34 +255,52 @@ def netcdf_table_to_df(spark: SparkSession, pdf) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
-def read_netcdf(spark: SparkSession, path: str) -> DataFrame:
-    """S4: NetCDF bridge (ERA5 .nc). Classic-format files (magic
-    ``CDF\\x01``/``CDF\\x02``) parse with the PURE-STDLIB reader in
-    :mod:`.netcdf_classic` — no xarray needed; netCDF-4 (HDF5-based)
-    files still require xarray and fail loudly without it (same
-    explicit seam as read_excel's openpyxl path). The reference's
-    equivalent is xarray.open_dataset(...).to_dataframe()
-    (ERA5_preprocessing notebook cell2-4); the conversion contract is
-    :func:`netcdf_table_to_df` either way, so downstream plans do not
-    care which decoder produced the frame."""
-    with open(path, "rb") as fh:
-        head = fh.read(4)
-    if head in (b"CDF\x01", b"CDF\x02"):
+def decode_netcdf_auto(buf: bytes):
+    """bytes -> xarray-shaped pandas frame, dispatching on the magic:
+    classic CDF-1/2 through :mod:`.netcdf_classic`, netCDF-4/HDF5
+    through :mod:`.hdf5_min` (both pure-stdlib). Raises ValueError on
+    non-NetCDF bytes and NotImplementedError (naming the feature) on
+    HDF5 constructs outside the netCDF-4 subset."""
+    if buf[:4] in (b"CDF\x01", b"CDF\x02"):
         from .netcdf_classic import decode_netcdf_bytes
 
-        with open(path, "rb") as fh:
-            return netcdf_table_to_df(spark, decode_netcdf_bytes(fh.read()))
-    if head != b"\x89HDF":
-        raise ValueError(f"not a NetCDF file (magic {head!r})")
+        return decode_netcdf_bytes(buf)
+    if buf[:4] == b"\x89HDF":
+        from .hdf5_min import decode_netcdf4_bytes
+
+        return decode_netcdf4_bytes(buf)
+    raise ValueError(f"not a NetCDF file (magic {buf[:4]!r})")
+
+
+def read_netcdf(spark: SparkSession, path: str) -> DataFrame:
+    """S4: NetCDF bridge (ERA5 .nc). BOTH format families now parse
+    pure-stdlib: classic CDF-1/2 via :mod:`.netcdf_classic`, and the
+    netCDF-4 subset of HDF5 (superblock v0, v1 headers, old-style
+    groups, contiguous + chunked/deflate layouts, DIMENSION_LIST)
+    via :mod:`.hdf5_min`. HDF5 files using features OUTSIDE that
+    subset fall back to the xarray seam, which stays the loud escape
+    hatch when xarray is absent (same explicit seam as read_excel's
+    openpyxl path). The reference's equivalent is
+    xarray.open_dataset(...).to_dataframe() (ERA5_preprocessing
+    notebook cell2-4); the conversion contract is
+    :func:`netcdf_table_to_df` whichever decoder produced the frame."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
     try:
-        import xarray as xr
-    except ImportError as e:
-        raise NotImplementedError(
-            "netCDF-4/HDF5 ingest needs xarray/netcdf4 (not in this "
-            "environment); classic CDF-1/2 files decode without them — "
-            "pre-convert to Parquet or classic format, or install xarray"
-        ) from e
-    return netcdf_table_to_df(spark, xr.open_dataset(path).to_dataframe().reset_index())
+        return netcdf_table_to_df(spark, decode_netcdf_auto(buf))
+    except NotImplementedError as stdlib_err:
+        try:
+            import xarray as xr
+        except ImportError as e:
+            raise NotImplementedError(
+                f"stdlib NetCDF decode failed ({stdlib_err}) and the "
+                "xarray fallback is unavailable in this environment; "
+                "pre-convert to Parquet or classic/netCDF-4-subset "
+                "format, or install xarray"
+            ) from e
+        return netcdf_table_to_df(
+            spark, xr.open_dataset(path).to_dataframe().reset_index()
+        )
 
 
 def read_netcdf_distributed(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -296,20 +314,20 @@ def read_netcdf_distributed(spark: SparkSession, path_glob: str) -> DataFrame:
     fixed up-front from the first file's header so Spark plans the
     downstream without touching data.
 
-    Classic files only (each task re-checks the magic and fails
-    loudly on HDF5); mixed archives should route netCDF-4 files
-    through the xarray seam out-of-band.
+    Both format families decode in-task (classic via
+    netcdf_classic, netCDF-4 via hdf5_min — a mixed archive works as
+    long as the variables match); HDF5 features outside the netCDF-4
+    subset fail loudly with the file path, since the xarray fallback
+    has no place inside an executor task.
     """
-    import pandas as pd
-
-    from .netcdf_classic import decode_netcdf_bytes
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
 
     files = spark.read.format("binaryFile").load(path_glob)
     first = files.select("path", "content").limit(1).collect()
     if not first:
         raise ValueError(f"no files match {path_glob!r}")
     proto_path = first[0].path
-    proto = decode_netcdf_bytes(bytes(first[0].content))
+    proto = decode_netcdf_auto(bytes(first[0].content))
     proto.columns = [c.lower() for c in proto.columns]
 
     def _spark_type(t) -> str:
@@ -364,7 +382,7 @@ def read_netcdf_distributed(spark: SparkSession, path_glob: str) -> DataFrame:
             for _, row in pdf.iterrows():
                 pathstr = row["path"]
                 try:
-                    out = decode_netcdf_bytes(bytes(row["content"]))
+                    out = decode_netcdf_auto(bytes(row["content"]))
                 except Exception as e:
                     raise ValueError(f"failed to decode {pathstr}: {e}") from e
                 out = _conform(out, pathstr)

@@ -28,8 +28,10 @@ CF packing is honored the way xarray's ``mask_and_scale`` does it:
 int16 temperatures, so without this the numbers would be raw counts.
 
 netCDF-4 files are HDF5 containers (magic ``\\x89HDF``) — a format an
-order of magnitude larger; those still route through the xarray seam
-and fail loudly without it. ``read_netcdf`` dispatches on the magic.
+order of magnitude larger; since round 10 the netCDF-4 SUBSET of it
+decodes pure-stdlib too (:mod:`.hdf5_min`), with the xarray seam as
+the fallback for exotic HDF5 features. ``read_netcdf`` dispatches on
+the magic (``ingest.decode_netcdf_auto``).
 
 Scale path: :func:`decode_netcdf_bytes` is bytes-in/pandas-out, so
 the distributed ingest is ``spark.read.format("binaryFile")`` over
@@ -313,6 +315,14 @@ def decode_netcdf_bytes(buf: bytes) -> pd.DataFrame:
     matching xarray's alignment.
     """
     dims, _gattrs, varlist = parse_classic(buf)
+    return assemble_dataframe(dims, varlist)
+
+
+def assemble_dataframe(dims, varlist) -> pd.DataFrame:
+    """(dims, vars) -> the xarray-shaped frame. Shared by the classic
+    parser and the netCDF-4/HDF5 reader (hdf5_min builds compatible
+    ``_Var`` objects): the grid/broadcast/CF-unpack semantics are the
+    FORMAT-INDEPENDENT half of S4."""
     dim_names = [n for n, _ in dims]
     coord_vars = {
         v.name: v
