@@ -122,6 +122,15 @@ def _messages(f: _F, header_addr: int) -> list[tuple[int, bytes]]:
         while remaining >= 8 and len(out) < n_msgs:
             mtype = f.u(off, 2)
             msize = f.u(off + 2, 2)
+            flags = f.u(off + 4, 1)
+            if flags & 0x02:
+                # A shared message's body is a REFERENCE into the
+                # shared-message heap, not the message itself —
+                # parsing it as inline data would silently misread.
+                raise NotImplementedError(
+                    f"HDF5 shared message (type 0x{mtype:04x}): the "
+                    "netCDF-4 subset stores messages inline"
+                )
             body = f.raw(off + 8, msize)
             off += 8 + msize
             remaining -= 8 + msize
@@ -142,10 +151,11 @@ def _local_heap_name(f: _F, heap_addr: int, name_off: int) -> str:
     if f.raw(heap_addr, 4) != b"HEAP":
         raise ValueError("bad local heap signature")
     data_addr = f.u(heap_addr + 24, 8)
-    end = self_end = data_addr + name_off
-    while f.buf[self_end] != 0:
-        self_end += 1
-    return f.buf[end:self_end].decode("utf-8")
+    start = data_addr + name_off
+    end = f.buf.find(b"\0", start)
+    if end < 0:
+        raise ValueError("unterminated name in local heap")
+    return f.buf[start:end].decode("utf-8")
 
 
 def _group_children(f: _F, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
@@ -344,8 +354,11 @@ def _read_data(f: _F, msgs: list[tuple[int, bytes]], dims: list[int], dtype) -> 
         filters = _filter_pipeline(msgs)
         out = np.zeros(dims, dtype=dtype)
         if btree != UNDEF:
-            for coords, raw in _chunks(f, btree, ndims):
-                for fid, _lvl in reversed(filters):
+            for coords, fmask, raw in _chunks(f, btree, ndims):
+                # fmask bit i set = filter i was SKIPPED for this chunk
+                for i, (fid, _lvl) in reversed(list(enumerate(filters))):
+                    if fmask & (1 << i):
+                        continue
                     if fid == 1:
                         raw = zlib.decompress(raw)
                     elif fid == 2:
@@ -409,12 +422,13 @@ def _chunks(f: _F, btree_addr: int, ndims: int):
     p = btree_addr + 24  # past sig/type/level/entries + 2 siblings
     for _ in range(n):
         chunk_bytes = f.u(p, 4)
+        fmask = f.u(p + 4, 4)
         coords = [f.u(p + 8 + 8 * i, 8) for i in range(ndims - 1)]
         child = f.u(p + key_size, 8)
         if level > 0:
             yield from _chunks(f, child, ndims)
         else:
-            yield coords, f.raw(child, chunk_bytes)
+            yield coords, fmask, f.raw(child, chunk_bytes)
         p += key_size + 8
 
 

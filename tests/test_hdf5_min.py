@@ -435,3 +435,60 @@ def test_distributed_read_mixed_classic_and_nc4(spark, tmp_path):
     for rs in by_file.values():
         vals = {(r.time, r.lat, r.lon): r.t2m for r in rs}
         assert vals[(0, 10.0, 100.0)] == pytest.approx(271.0)
+
+
+def test_shared_message_flag_is_loud():
+    """A shared message's body is a reference into the shared-message
+    heap — parsing it inline would silently misread, so the reader
+    must refuse. Flip the flags byte of the first message of the
+    first child header."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources import (
+        hdf5_min as H,
+    )
+
+    buf = bytearray(build_nc4())
+    f = H._F(bytes(buf))
+    sb = H._superblock(f)
+    msgs = H._messages(f, sb["root_header"])
+    st = next(b for t, b in msgs if t == 0x0011)
+    bt = int.from_bytes(st[0:8], "little")
+    heap = int.from_bytes(st[8:16], "little")
+    _, first_child = H._group_children(f, bt, heap)[0]
+    buf[first_child + 16 + 4] |= 0x02  # flags byte of message 0
+    with pytest.raises(NotImplementedError, match="shared message"):
+        parse_netcdf4(bytes(buf))
+
+
+def test_chunk_filter_mask_skips_filter():
+    """Per-chunk filter masks: a chunk whose deflate was skipped at
+    write time (mask bit 0) must be read raw. Rebuild the chunked
+    file but store chunk 1 uncompressed with mask=1."""
+    import struct as st
+
+    buf = bytearray(build_nc4(chunked_t2m=True))
+    # Find the chunk B-tree (TREE node type 1) and its second entry.
+    pos = 0
+    while True:
+        pos = buf.find(b"TREE", pos)
+        assert pos >= 0
+        if buf[pos + 4] == 1:
+            break
+        pos += 4
+    ndims = 4
+    key_size = 8 + 8 * ndims
+    entry1 = pos + 24 + (key_size + 8)
+    csize = int.from_bytes(buf[entry1 : entry1 + 4], "little")
+    caddr = int.from_bytes(
+        buf[entry1 + key_size : entry1 + key_size + 8], "little"
+    )
+    t2m_r1 = np.array([[700, 800, 900], [1000, 1100, 1200]], "<i2").tobytes()
+    assert zlib.decompress(bytes(buf[caddr : caddr + csize])) == t2m_r1
+    # Append the raw chunk, point entry 1 at it, set mask bit 0.
+    raw_addr = len(buf)
+    buf += t2m_r1
+    buf[entry1 : entry1 + 4] = st.pack("<I", len(t2m_r1))
+    buf[entry1 + 4 : entry1 + 8] = st.pack("<I", 1)  # deflate skipped
+    buf[entry1 + key_size : entry1 + key_size + 8] = st.pack("<Q", raw_addr)
+    pdf = decode_netcdf4_bytes(bytes(buf))
+    last = pdf[(pdf.time == 1) & (pdf.lat == 20.0) & (pdf.lon == 102.0)]
+    assert last.t2m.iloc[0] == pytest.approx(282.0)
