@@ -249,3 +249,84 @@ def test_nc_to_nl_trend_answer(spark, tmp_path):
     # The raw series grows 100 packed units/month = 1.0 K/month after
     # CF unpacking -> exactly +12/year once the state converges.
     assert rows[0].trend == pytest.approx(12.0)
+
+
+def test_nc4_to_nl_answer(spark, tmp_path):
+    """Round-10: the SAME lifecycle through the netCDF-4/HDF5
+    container — a chunked+deflate HDF5 file (assembled from the spec
+    by tests/test_hdf5_min.py's builder) ingests via the stdlib HDF5
+    reader and the NL engine answers over it, with the answer checked
+    against a Python recompute from the packed ints."""
+    import numpy as np
+
+    from test_hdf5_min import build_nc4
+
+    records = np.array(
+        [
+            [[_raw(m, i, j) for j in range(2)] for i in range(2)]
+            for m in range(N_MONTHS)
+        ],
+        "<i2",
+    )
+    p = tmp_path / "skt_2020.nc4"
+    p.write_bytes(
+        build_nc4(
+            chunked_t2m=True,
+            lat_vals=LATS,
+            lon_vals=LONS,
+            t2m=records,
+            scale=SCALE,
+            offset=OFFSET,
+            var_name="skt",
+            with_elevation=False,
+        )
+    )
+
+    grid = ingest.read_netcdf(spark, str(p)).select(
+        F.col("time").alias("valid_time"),
+        F.col("lat").alias("latitude"),
+        F.col("lon").alias("longitude"),
+        "skt",
+    )
+    assert grid.count() == N_MONTHS * 4
+    located = climate.reverse_geocode_join(grid, climate.city_gazetteer(spark))
+    cities = spark.createDataFrame(
+        [(c, city) for c, cs in climate.ERA5_CITIES.items() for city in cs],
+        "country string, city string",
+    )
+    fam, unit = climate.ERA5_METRICS["skin_temperature"]
+    era5 = (
+        located.groupBy(F.col("nearest_city").alias("city"), "valid_time")
+        .agg(F.avg("skt").alias("value"))
+        .select(
+            "city",
+            F.add_months(F.lit("2020-01-01").cast("date"), F.col("valid_time")).alias(
+                "date"
+            ),
+            "value",
+        )
+        .join(cities, "city")
+        .select(
+            "country",
+            "city",
+            "date",
+            F.lit(0.0).alias("latitude"),
+            F.lit(0.0).alias("longitude"),
+            F.lit("skin_temperature").alias("metric"),
+            F.lit(fam).alias("family"),
+            F.lit(unit).alias("unit"),
+            "value",
+        )
+    )
+    eng = ClimateEngine(spark, tables={"era5_monthly": era5})
+    a = eng.ask("Average skin temperature in Dhaka in 2020")
+    rows = a.result.collect()
+    assert len(rows) == 1 and rows[0]["city"] == "Dhaka"
+    vals = [
+        _raw(m, i, j) * SCALE + OFFSET
+        for m in range(N_MONTHS)
+        for i in range(2)
+        for j in range(2)
+        if _nearest_city(LATS[i], LONS[j]) == "Dhaka"
+    ]
+    assert rows[0]["value"] == pytest.approx(sum(vals) / len(vals))

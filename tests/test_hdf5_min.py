@@ -129,21 +129,38 @@ def build_nc4(
     chunked_t2m: bool = False,
     shuffle: bool = False,
     string_var: bool = False,
+    lat_vals=None,
+    lon_vals=None,
+    t2m=None,
+    scale: float = 0.01,
+    offset: float = 270.0,
+    var_name: str = "t2m",
+    with_elevation: bool = True,
 ) -> bytes:
-    """A netCDF-4 twin of the classic test file: dims time(2) (pure),
-    lat(2) + lon(3) (coordinate scales); data var t2m(time, lat, lon)
-    as packed int16 with CF attrs, elevation(lat, lon) f64; optional
-    chunked+deflate t2m layout, optional fixed-string name(lat) var."""
+    """A netCDF-4 twin of the classic test file: dims time (pure),
+    lat + lon (coordinate scales); data var (time, lat, lon) as
+    packed int16 with CF attrs, elevation(lat, lon) f64; optional
+    chunked+deflate layout, optional fixed-string name(lat) var.
+    The grid/data default to the classic fixture's but are
+    overridable so the ERA5 lifecycle can run through the HDF5
+    container with its own coordinates."""
     b = H5Builder()
 
-    lat_vals = np.array([10.0, 20.0], "<f8")
-    lon_vals = np.array([100.0, 101.0, 102.0], "<f8")
-    elev = np.array([[11, 12, 13], [21, 22, 23]], "<f8")
     FILL = -32767
-    t2m = np.array(
-        [[[100, 200, 300], [FILL, 500, 600]], [[700, 800, 900], [1000, 1100, 1200]]],
+    lat_vals = np.asarray(
+        [10.0, 20.0] if lat_vals is None else lat_vals, "<f8"
+    )
+    lon_vals = np.asarray(
+        [100.0, 101.0, 102.0] if lon_vals is None else lon_vals, "<f8"
+    )
+    elev = np.array([[11, 12, 13], [21, 22, 23]], "<f8")
+    t2m = np.asarray(
+        [[[100, 200, 300], [FILL, 500, 600]], [[700, 800, 900], [1000, 1100, 1200]]]
+        if t2m is None
+        else t2m,
         "<i2",
     )
+    n_time, n_lat, n_lon = t2m.shape
 
     lat_data = b.put(lat_vals.tobytes())
     lon_data = b.put(lon_vals.tobytes())
@@ -162,11 +179,15 @@ def build_nc4(
 
     # --- dimension datasets ---
     # time: pure dimension (sentinel NAME, no meaningful data)
-    time_name = b"This is a netCDF dimension but not a netCDF variable.         2\0"
+    time_name = (
+        b"This is a netCDF dimension but not a netCDF variable.         "
+        + str(n_time).encode()
+        + b"\0"
+    )
     time_hdr = b.put(
         object_header(
             [
-                msg(0x0001, ds_simple([2])),
+                msg(0x0001, ds_simple([n_time])),
                 msg(0x0003, dt_float(4)),
                 layout_contig(UNDEF, 0),
                 class_attr(),
@@ -178,7 +199,7 @@ def build_nc4(
     lat_hdr = b.put(
         object_header(
             [
-                msg(0x0001, ds_simple([2])),
+                msg(0x0001, ds_simple([len(lat_vals)])),
                 msg(0x0003, dt_float(8)),
                 layout_contig(lat_data, lat_vals.nbytes),
                 class_attr(),
@@ -189,7 +210,7 @@ def build_nc4(
     lon_hdr = b.put(
         object_header(
             [
-                msg(0x0001, ds_simple([3])),
+                msg(0x0001, ds_simple([len(lon_vals)])),
                 msg(0x0003, dt_float(8)),
                 layout_contig(lon_data, lon_vals.nbytes),
                 class_attr(),
@@ -228,17 +249,17 @@ def build_nc4(
 
     # --- t2m data (contiguous or chunked+deflate) ---
     t2m_msgs = [
-        msg(0x0001, ds_simple([2, 2, 3])),
+        msg(0x0001, ds_simple([n_time, n_lat, n_lon])),
         msg(0x0003, dt_fixed(2)),
         dimension_list([g_idx[0], g_idx[1], g_idx[2]]),
-        attr_v1("scale_factor", dt_float(8), ds_scalar(), struct.pack("<d", 0.01)),
-        attr_v1("add_offset", dt_float(8), ds_scalar(), struct.pack("<d", 270.0)),
+        attr_v1("scale_factor", dt_float(8), ds_scalar(), struct.pack("<d", scale)),
+        attr_v1("add_offset", dt_float(8), ds_scalar(), struct.pack("<d", offset)),
         attr_v1("_FillValue", dt_fixed(2), ds_scalar(), struct.pack("<h", FILL)),
     ]
     if chunked_t2m:
-        # chunk shape (1, 2, 3): one chunk per time step
+        # chunk shape (1, n_lat, n_lon): one chunk per time step
         chunks = []
-        for ti in range(2):
+        for ti in range(n_time):
             raw = t2m[ti : ti + 1].tobytes()
             if shuffle:
                 a = np.frombuffer(raw, np.uint8).reshape(-1, 2)
@@ -266,7 +287,7 @@ def build_nc4(
                 0x0008,
                 bytes([3, 2, 4])
                 + struct.pack("<Q", bt)
-                + struct.pack("<IIII", 1, 2, 3, 2),
+                + struct.pack("<IIII", 1, n_lat, n_lon, 2),
             )
         )
     else:
@@ -274,24 +295,24 @@ def build_nc4(
         t2m_msgs.append(layout_contig(t2m_data, t2m.nbytes))
     t2m_hdr = b.put(object_header(t2m_msgs))
 
-    elev_hdr = b.put(
-        object_header(
-            [
-                msg(0x0001, ds_simple([2, 3])),
-                msg(0x0003, dt_float(8)),
-                dimension_list([g_idx[1], g_idx[2]]),
-                layout_contig(elev_data, elev.nbytes),
-            ]
-        )
-    )
-
     entries = [
         ("time", time_hdr),
         ("lat", lat_hdr),
         ("lon", lon_hdr),
-        ("t2m", t2m_hdr),
-        ("elevation", elev_hdr),
+        (var_name, t2m_hdr),
     ]
+    if with_elevation:
+        elev_hdr = b.put(
+            object_header(
+                [
+                    msg(0x0001, ds_simple([2, 3])),
+                    msg(0x0003, dt_float(8)),
+                    dimension_list([g_idx[1], g_idx[2]]),
+                    layout_contig(elev_data, elev.nbytes),
+                ]
+            )
+        )
+        entries.append(("elevation", elev_hdr))
     if string_var:
         names = np.array([b"ABC", b"DE"], dtype="S4")
         nd = b.put(names.tobytes())
