@@ -109,6 +109,7 @@ _DEMOTE = [
     #    round-11 window) --
     "compaction_roundtrip",
     "jsonl_roundtrip",
+    "events_ohlc_daily",
     # -- ROUND-11 TIER B: the 28 remaining r7-rowed names --
     "bigram_logprob_scores",
     "embedding_quantize_int8",

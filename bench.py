@@ -173,6 +173,7 @@ HEADLINE = [
     # Round-10 additions:
     "compaction_roundtrip",     # small-files rewrite + sorted layout gate
     "jsonl_roundtrip",          # JSONL source/sink escape-exact roundtrip
+    "events_ohlc_daily",        # OHLC time-series downsample
 ]
 
 

@@ -669,3 +669,57 @@ def longest_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_len", "streak_start")
     )
+
+
+@register(
+    "events_ohlc_daily",
+    """
+    WITH base AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             ts, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 86400000000
+               ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY user_id, epoch_us(ts) // 86400000000) AS cnt
+      FROM events
+    )
+    SELECT user_id, day,
+           ROUND(MAX(CASE WHEN rn = 1 THEN value END), 2)   AS open_v,
+           ROUND(MAX(value), 2)                             AS high_v,
+           ROUND(MIN(value), 2)                             AS low_v,
+           ROUND(MAX(CASE WHEN rn = cnt THEN value END), 2) AS close_v,
+           COUNT(*)                                         AS n_events
+    FROM base GROUP BY user_id, day
+    """,
+    doc="OHLC downsampling — the canonical time-series resample "
+    "(metrics pipelines, market bars, sensor rollups): per (user, "
+    "day) the first/highest/lowest/last reading plus event count. "
+    "First/last are picked by ONE ascending row_number per partition "
+    "with event_id tie-breaks (total order, so close = rn == cnt "
+    "needs no second descending sort — one shuffle, one sort, then a "
+    "two-phase hash aggregate). At 100 TB this is the standing "
+    "downsample job ahead of dashboards: linear, partitioned by "
+    "(user, day), no driver work.",
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    base = e.select(
+        "user_id", day.alias("day"), "ts", "event_id", "value"
+    )
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wall = W.partitionBy("user_id", "day")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wall)
+    )
+    return ranked.groupBy("user_id", "day").agg(
+        F.round(F.max(F.when(F.col("rn") == 1, F.col("value"))), 2).alias("open_v"),
+        F.round(F.max("value"), 2).alias("high_v"),
+        F.round(F.min("value"), 2).alias("low_v"),
+        F.round(
+            F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value"))), 2
+        ).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
