@@ -504,3 +504,13 @@ def test_funnel_and_scd2_single_exchange(spark, sf_oracle):
     for name in ("funnel_conversion", "scd2_priority_history"):
         plan = plan_of(spark, sf_oracle, name)
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, name
+
+
+def test_ohlc_single_exchange(spark, sf_oracle):
+    """events_ohlc_daily: the row_number window, the count window, and
+    the final (user, day) aggregate must all share ONE hash exchange
+    (the groupBy keys equal the window partition keys), and the total
+    order makes a second descending sort unnecessary."""
+    plan = plan_of(spark, sf_oracle, "events_ohlc_daily")
+    assert plan.count("Exchange") == 1, plan
+    assert len(re.findall(r"\bSort\b", plan)) == 1, plan
