@@ -129,3 +129,55 @@ def test_watermark_drops_late_rows_in_append_mode(spark, sf_small):
         assert late_only == set(), f"late windows leaked: {sorted(late_only)[:3]}"
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_streaming_ohlc_matches_batch_query(spark, sf_small):
+    """The OHLC downsample runs as a STREAMING aggregation too: per
+    (user, 1-day window) min_by/max_by over struct(ts, event_id)
+    pick deterministic open/close under any arrival order — the
+    declarative twin of the batch query's row_number pick. Cell-for-
+    cell equality against the registered batch events_ohlc_daily."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    stream_dir = tempfile.mkdtemp(prefix="ev_ohlc_")
+    try:
+        events.write.mode("overwrite").parquet(stream_dir)
+        stream = spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(stream_dir)
+        tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+        agg = (
+            stream.groupBy("user_id", F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.round(F.min_by("value", tiebreak), 2).alias("open_v"),
+                F.round(F.max("value"), 2).alias("high_v"),
+                F.round(F.min("value"), 2).alias("low_v"),
+                F.round(F.max_by("value", tiebreak), 2).alias("close_v"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "user_id",
+                F.expr("unix_micros(w.start) div 86400000000").alias("day"),
+                "open_v",
+                "high_v",
+                "low_v",
+                "close_v",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ohlc_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        s = sorted(tuple(r) for r in spark.table("ohlc_stream").collect())
+        batch = all_queries()["events_ohlc_daily"].builder(spark, sf_small)
+        b = sorted(tuple(r) for r in batch.collect())
+        assert len(s) > 0
+        assert s == b
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
