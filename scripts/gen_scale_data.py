@@ -196,6 +196,38 @@ def gen_orders(n: int, seed: int = 45) -> pa.Table:
     )
 
 
+BASE_EVENTS = 100000
+
+
+def gen_events(n: int, seed: int = 46) -> pa.Table:
+    """Events twin for the window-family scale targets (OHLC,
+    sessionization): measured type mix (uniform over 5), users scale
+    with rows (n/66 like the real 1,500 per 100k), timestamps uniform
+    over the real table's 30-day span, values U(0, 560) 2dp."""
+    rng = np.random.default_rng(seed)
+    types = ["click", "error", "purchase", "signup", "view"]
+    t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+    span_us = 30 * 86_400_000_000
+    n_users = max(1, n * 1500 // BASE_EVENTS)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(t0 + rng.integers(0, span_us, size=n), pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, size=n), pa.int64()),
+            "event_type": pa.array(
+                [types[i] for i in rng.integers(0, len(types), size=n)], pa.string()
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0.0, 560.0, size=n), 2), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n)],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=float, required=True, help="multiple of sf0.1")
@@ -203,7 +235,7 @@ def main() -> None:
     ap.add_argument(
         "--tables",
         nargs="*",
-        default=["documents", "embeddings", "part", "orders"],
+        default=["documents", "embeddings", "part", "orders", "events"],
         help="subset of tables to (re)write into --out",
     )
     args = ap.parse_args()
@@ -225,6 +257,10 @@ def main() -> None:
         n = int(BASE_ORDERS * args.mult)
         pq.write_table(gen_orders(n), os.path.join(args.out, "orders.parquet"))
         wrote.append(f"{n} orders")
+    if "events" in args.tables:
+        n = int(BASE_EVENTS * args.mult)
+        pq.write_table(gen_events(n), os.path.join(args.out, "events.parquet"))
+        wrote.append(f"{n} events")
     print(f"wrote {' / '.join(wrote)} to {args.out}")
 
 

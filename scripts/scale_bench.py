@@ -48,6 +48,9 @@ QUERIES = [
     # Round-10: the maintenance job (needs the orders twin
     # gen_scale_data now writes; expected alpha ~1 — IO-linear).
     "compaction_roundtrip",
+    # Round-10: the window family over the events twin.
+    "events_ohlc_daily",
+    "user_sessionization",
 ]
 # Non-registry knob variants (VERDICT r9 item 5): the SAME weighted-
 # SimHash candidate generator at two bits-per-band settings, returning
