@@ -9,11 +9,14 @@ specification ("HDF5 File Format Specification Version 3.0") and the
 subset netCDF-4 actually uses is small enough to decode with
 ``struct`` + ``zlib`` + numpy:
 
-- superblock version 0 (what libhdf5 writes under its default
-  H5F_LIBVER_EARLIEST compatibility bounds),
-- version-1 object headers (+ continuation blocks),
-- old-style groups: symbol-table message -> v1 B-tree -> SNOD symbol
-  nodes -> local heap names,
+- superblock versions 0 (libhdf5's default compatibility bounds) and
+  2/3 (LIBVER_LATEST bounds),
+- version-1 object headers (+ continuation blocks) AND version-2
+  "OHDR" headers (+ OCHK continuations; checksums skipped, not
+  verified),
+- old-style groups (symbol-table message -> v1 B-tree -> SNOD symbol
+  nodes -> local heap names) and new-style COMPACT groups (inline
+  Link messages; dense fractal-heap groups raise),
 - dataspace (v1), datatype (fixed-point / IEEE-float / fixed string /
   reference / vlen-of-reference), fill value, attribute (v1 and v3),
   data layout v3 (contiguous and chunked),
@@ -82,35 +85,47 @@ def _superblock(f: _F) -> dict:
     if f.raw(0, 8) != MAGIC:
         raise ValueError("not an HDF5 file")
     ver = f.u(8, 1)
-    if ver != 0:
-        raise NotImplementedError(
-            f"HDF5 superblock version {ver}: only version 0 (libhdf5's "
-            "default compatibility bounds) is supported"
-        )
-    size_off, size_len = f.u(13, 1), f.u(14, 1)
-    if (size_off, size_len) != (8, 8):
-        raise NotImplementedError(
-            f"HDF5 offsets/lengths of {size_off}/{size_len} bytes: only 8/8"
-        )
-    # addresses start at 24 (leaf/internal K at 16/18, consistency
-    # flags at 20); base + free-space + EOF + driver-info = 32 bytes,
-    # so the root group symbol table entry starts at 56 and its
-    # object header address is its second 8-byte field.
-    root_entry_off = 24 + 8 * 4
-    return {"root_header": f.u(root_entry_off + 8, 8)}
+    if ver == 0:
+        size_off, size_len = f.u(13, 1), f.u(14, 1)
+        if (size_off, size_len) != (8, 8):
+            raise NotImplementedError(
+                f"HDF5 offsets/lengths of {size_off}/{size_len} bytes: only 8/8"
+            )
+        # addresses start at 24 (leaf/internal K at 16/18, consistency
+        # flags at 20); base + free-space + EOF + driver-info = 32
+        # bytes, so the root group symbol table entry starts at 56 and
+        # its object header address is its second 8-byte field.
+        root_entry_off = 24 + 8 * 4
+        return {"root_header": f.u(root_entry_off + 8, 8)}
+    if ver in (2, 3):
+        # v2/v3 (LIBVER_LATEST bounds): version(8), size of offsets(9),
+        # size of lengths(10), consistency flags(11), then base /
+        # superblock-extension / EOF / root OBJECT HEADER addresses,
+        # then a checksum (not verified — see module doc).
+        size_off, size_len = f.u(9, 1), f.u(10, 1)
+        if (size_off, size_len) != (8, 8):
+            raise NotImplementedError(
+                f"HDF5 offsets/lengths of {size_off}/{size_len} bytes: only 8/8"
+            )
+        return {"root_header": f.u(36, 8)}
+    raise NotImplementedError(
+        f"HDF5 superblock version {ver}: versions 0, 2, and 3 are supported"
+    )
 
 
 # ----------------------------------------------------------- object headers
 
 
 def _messages(f: _F, header_addr: int) -> list[tuple[int, bytes]]:
-    """All (type, data) messages of a v1 object header, following
-    continuation blocks."""
+    """All (type, data) messages of a v1 or v2 object header,
+    following continuation blocks."""
+    if f.raw(header_addr, 4) == b"OHDR":
+        return _messages_v2(f, header_addr)
     ver = f.u(header_addr, 1)
     if ver != 1:
         raise NotImplementedError(
             f"HDF5 object header version {ver}: only version 1 "
-            "(old-style, what netCDF-4 under default bounds writes)"
+            "(old-style) and version 2 (OHDR) are supported"
         )
     n_msgs = f.u(header_addr + 2, 2)
     block_size = f.u(header_addr + 8, 4)
@@ -142,6 +157,81 @@ def _messages(f: _F, header_addr: int) -> list[tuple[int, bytes]]:
             else:
                 out.append((mtype, body))
     return out
+
+
+def _messages_v2(f: _F, header_addr: int) -> list[tuple[int, bytes]]:
+    """Version-2 ("OHDR") object header + OCHK continuation blocks.
+    Checksums are skipped, not verified (the decode targets trusted
+    archives; a flipped bit surfaces as a loud parse error instead).
+    """
+    ver = f.u(header_addr + 4, 1)
+    if ver != 2:
+        raise NotImplementedError(f"OHDR version {ver}")
+    flags = f.u(header_addr + 5, 1)
+    p = header_addr + 6
+    if flags & 0x20:  # access/mod/change/birth times stored
+        p += 16
+    if flags & 0x10:  # non-default attribute phase-change values
+        p += 4
+    c0len = 1 << (flags & 0x03)
+    chunk0 = f.u(p, c0len)
+    p += c0len
+    track_order = bool(flags & 0x04)
+    # each block = (start of message bytes, length of message bytes);
+    # chunk 0 ends with a 4-byte checksum, OCHK blocks carry a 4-byte
+    # signature up front and a checksum at the end.
+    blocks = [(p, chunk0)]
+    out: list[tuple[int, bytes]] = []
+    while blocks:
+        off, remaining = blocks.pop(0)
+        hdr = 4 + (2 if track_order else 0)
+        while remaining >= hdr + 4:
+            mtype = f.u(off, 1)
+            msize = f.u(off + 1, 2)
+            mflags = f.u(off + 3, 1)
+            if mflags & 0x02:
+                raise NotImplementedError(
+                    f"HDF5 shared message (type 0x{mtype:02x}): the "
+                    "netCDF-4 subset stores messages inline"
+                )
+            body = f.raw(off + hdr, msize)
+            off += hdr + msize
+            remaining -= hdr + msize
+            if mtype == 0x10:
+                c_off = int.from_bytes(body[0:8], "little")
+                c_len = int.from_bytes(body[8:16], "little")
+                if f.raw(c_off, 4) != b"OCHK":
+                    raise ValueError("bad continuation block signature")
+                blocks.append((c_off + 4, c_len - 8))  # minus sig+checksum
+            out.append((mtype, body))
+    return out
+
+
+def _link_message(body: bytes) -> tuple[str, int]:
+    """(name, object header address) from a hard Link message (the
+    compact-group storage LIBVER_LATEST uses for small groups)."""
+    ver, flags = body[0], body[1]
+    if ver != 1:
+        raise NotImplementedError(f"link message version {ver}")
+    p = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[p]
+        p += 1
+    if flags & 0x04:  # creation order
+        p += 8
+    if flags & 0x10:  # charset
+        p += 1
+    nlen_size = 1 << (flags & 0x03)
+    nlen = int.from_bytes(body[p : p + nlen_size], "little")
+    p += nlen_size
+    name = body[p : p + nlen].decode("utf-8")
+    p += nlen
+    if ltype != 0:
+        raise NotImplementedError(
+            f"link type {ltype} ({name!r}): only hard links are in the subset"
+        )
+    return name, int.from_bytes(body[p : p + 8], "little")
 
 
 # ------------------------------------------------------------------- groups
@@ -330,7 +420,11 @@ def _read_data(f: _F, msgs: list[tuple[int, bytes]], dims: list[int], dtype) -> 
     layout = next(b for t, b in msgs if t == 0x0008)
     ver = layout[0]
     if ver != 3:
-        raise NotImplementedError(f"HDF5 data layout version {ver}: only v3")
+        raise NotImplementedError(
+            f"HDF5 data layout version {ver}: only v3 (v4's fixed/"
+            "extensible-array chunk indexes, written for chunked data "
+            "under LIBVER_LATEST bounds, route to the xarray seam)"
+        )
     cls = layout[1]
     n = 1
     for d in dims:
@@ -384,20 +478,26 @@ def _filter_pipeline(msgs) -> list[tuple[int, int]]:
     body = next((b for t, b in msgs if t == 0x000B), None)
     if body is None:
         return []
-    if body[0] != 1:
-        raise NotImplementedError(f"HDF5 filter pipeline version {body[0]}")
-    nf = body[1]
+    ver, nf = body[0], body[1]
+    if ver not in (1, 2):
+        raise NotImplementedError(f"HDF5 filter pipeline version {ver}")
     out = []
-    p = 8
+    p = 8 if ver == 1 else 2  # v1 has 6 reserved bytes after nfilters
     for _ in range(nf):
         fid = int.from_bytes(body[p : p + 2], "little")
-        name_len = int.from_bytes(body[p + 2 : p + 4], "little")
-        ncv = int.from_bytes(body[p + 6 : p + 8], "little")
-        p += 8 + name_len
+        p += 2
+        # v2 drops the name-length field for built-in filters (<256)
+        if ver == 1 or fid >= 256:
+            name_len = int.from_bytes(body[p : p + 2], "little")
+            p += 2
+        else:
+            name_len = 0
+        ncv = int.from_bytes(body[p + 2 : p + 4], "little")
+        p += 4 + name_len
         level = int.from_bytes(body[p : p + 4], "little") if ncv else 0
         p += 4 * ncv
-        if ncv % 2:
-            p += 4  # pad to 8
+        if ver == 1 and ncv % 2:
+            p += 4  # v1 pads client values to an even count
         out.append((fid, level))
     return out
 
@@ -443,20 +543,38 @@ def parse_netcdf4(buf: bytes):
     sb = _superblock(f)
     root_msgs = _messages(f, sb["root_header"])
     st = next((b for t, b in root_msgs if t == 0x0011), None)
-    if st is None:
-        raise NotImplementedError(
-            "HDF5 root group has no symbol-table message: new-style "
-            "(fractal heap) groups are outside the netCDF-4 subset"
-        )
-    btree = int.from_bytes(st[0:8], "little")
-    heap = int.from_bytes(st[8:16], "little")
+    if st is not None:
+        # old-style group: symbol-table message -> B-tree + local heap
+        btree = int.from_bytes(st[0:8], "little")
+        heap = int.from_bytes(st[8:16], "little")
+        children = _group_children(f, btree, heap)
+    else:
+        # new-style group (LIBVER_LATEST): COMPACT storage keeps one
+        # Link message per member inline; DENSE storage (fractal
+        # heap, signalled by a defined heap address in Link Info) is
+        # outside the subset.
+        li = next((b for t, b in root_msgs if t == 0x0002), None)
+        if li is not None:
+            flags = li[1]
+            p = 2 + (8 if flags & 0x01 else 0)
+            fheap = int.from_bytes(li[p : p + 8], "little")
+            if fheap != UNDEF:
+                raise NotImplementedError(
+                    "HDF5 dense (fractal-heap) group storage: the "
+                    "netCDF-4 subset covers symbol-table and compact "
+                    "link-message groups"
+                )
+        children = [_link_message(b) for t, b in root_msgs if t == 0x0006]
+        if not children:
+            raise NotImplementedError(
+                "HDF5 root group has neither a symbol-table message "
+                "nor link messages"
+            )
     gattrs = {}
     for t, b in root_msgs:
         if t == 0x000C:
             k, v = _parse_attribute(f, b)
             gattrs[k] = v
-
-    children = _group_children(f, btree, heap)
     objects = {}
     for name, addr in children:
         msgs = _messages(f, addr)

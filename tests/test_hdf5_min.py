@@ -1,8 +1,10 @@
 """netCDF-4/HDF5 reader (the second half of S4): the test assembles
-HDF5 bytes FROM THE FILE FORMAT SPEC (superblock v0, v1 object
-headers, symbol-table group, local/global heaps, v1 B-trees,
-contiguous + chunked/deflate layouts, v1 attributes incl. the
-vlen-of-reference DIMENSION_LIST netCDF-4 uses) — not via any writer
+HDF5 bytes FROM THE FILE FORMAT SPEC — both the old-style shapes
+(superblock v0, v1 object headers, symbol-table group, local/global
+heaps, v1 B-trees, v1 attributes) and the LIBVER_LATEST shapes
+(superblock v2, OHDR v2 headers, v3 attributes, compact link-message
+groups), with contiguous + chunked/deflate(/shuffle) layouts and the
+vlen-of-reference DIMENSION_LIST netCDF-4 uses — not via any writer
 in the package and not via h5py (absent here), so the parser is
 pinned against the format, the same discipline as
 tests/test_netcdf_classic.py.
@@ -89,6 +91,42 @@ def attr_v1(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
     return msg(0x000C, body)
 
 
+def msg2(mtype: int, body: bytes) -> bytes:
+    # v2 message frame: type(1), size(2), flags(1); no 8-alignment
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
+def attr_v3_body(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
+    nb = name.encode() + b"\0"
+    return (
+        struct.pack("<BBHHH", 3, 0, len(nb), len(dt), len(ds))
+        + bytes([0])  # name character-set encoding (ASCII)
+        + nb
+        + dt
+        + ds
+        + data
+    )
+
+
+def object_header_v2(messages: list[bytes]) -> bytes:
+    blob = b"".join(messages)
+    # flags 0x02: chunk-0 size stored in 4 bytes; no times/phase vals
+    return (
+        b"OHDR"
+        + bytes([2, 0x02])
+        + struct.pack("<I", len(blob))
+        + blob
+        + b"\0\0\0\0"  # checksum (reader skips verification)
+    )
+
+
+def link_msg(name: str, addr: int) -> bytes:
+    nb = name.encode()
+    return msg2(
+        0x0006, bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", addr)
+    )
+
+
 def object_header(messages: list[bytes]) -> bytes:
     blob = b"".join(messages)
     return (
@@ -109,6 +147,17 @@ class H5Builder:
         addr = len(self.buf)
         self.buf.extend(b)
         return addr
+
+    def finish_v2(self, root_header_addr: int) -> bytes:
+        sb = bytearray()
+        sb += b"\x89HDF\r\n\x1a\n"
+        sb += bytes([2, 8, 8, 0])  # version 2, offsets 8, lengths 8, flags
+        sb += struct.pack(
+            "<QQQQ", 0, UNDEF, len(self.buf), root_header_addr
+        )
+        sb += b"\0\0\0\0"  # checksum (reader skips verification)
+        self.buf[: len(sb)] = sb
+        return bytes(self.buf)
 
     def finish(self, root_header_addr: int) -> bytes:
         sb = bytearray()
@@ -136,6 +185,7 @@ def build_nc4(
     offset: float = 270.0,
     var_name: str = "t2m",
     with_elevation: bool = True,
+    modern: bool = False,
 ) -> bytes:
     """A netCDF-4 twin of the classic test file: dims time (pure),
     lat + lon (coordinate scales); data var (time, lat, lon) as
@@ -143,8 +193,18 @@ def build_nc4(
     chunked+deflate layout, optional fixed-string name(lat) var.
     The grid/data default to the classic fixture's but are
     overridable so the ERA5 lifecycle can run through the HDF5
-    container with its own coordinates."""
+    container with its own coordinates. ``modern=True`` writes the
+    LIBVER_LATEST shapes instead: superblock v2, OHDR v2 object
+    headers, v3 attributes, and a compact link-message root group
+    (data/chunk/global-heap structures are format-shared)."""
     b = H5Builder()
+    M = msg2 if modern else msg
+    OH = object_header_v2 if modern else object_header
+
+    def A(name, dt, ds, data):
+        if modern:
+            return M(0x000C, attr_v3_body(name, dt, ds, data))
+        return attr_v1(name, dt, ds, data)
 
     FILL = -32767
     lat_vals = np.asarray(
@@ -167,15 +227,15 @@ def build_nc4(
     elev_data = b.put(elev.tobytes())
 
     def layout_contig(addr: int, size: int) -> bytes:
-        return msg(0x0008, bytes([3, 1]) + struct.pack("<QQ", addr, size))
+        return M(0x0008, bytes([3, 1]) + struct.pack("<QQ", addr, size))
 
     def class_attr() -> bytes:
-        return attr_v1(
+        return A(
             "CLASS", dt_string(16), ds_scalar(), b"DIMENSION_SCALE\0"
         )
 
     def dimid_attr(i: int) -> bytes:
-        return attr_v1("_Netcdf4Dimid", dt_fixed(4), ds_scalar(), struct.pack("<i", i))
+        return A("_Netcdf4Dimid", dt_fixed(4), ds_scalar(), struct.pack("<i", i))
 
     # --- dimension datasets ---
     # time: pure dimension (sentinel NAME, no meaningful data)
@@ -185,22 +245,22 @@ def build_nc4(
         + b"\0"
     )
     time_hdr = b.put(
-        object_header(
+        OH(
             [
-                msg(0x0001, ds_simple([n_time])),
-                msg(0x0003, dt_float(4)),
+                M(0x0001, ds_simple([n_time])),
+                M(0x0003, dt_float(4)),
                 layout_contig(UNDEF, 0),
                 class_attr(),
                 dimid_attr(0),
-                attr_v1("NAME", dt_string(len(time_name)), ds_scalar(), time_name),
+                A("NAME", dt_string(len(time_name)), ds_scalar(), time_name),
             ]
         )
     )
     lat_hdr = b.put(
-        object_header(
+        OH(
             [
-                msg(0x0001, ds_simple([len(lat_vals)])),
-                msg(0x0003, dt_float(8)),
+                M(0x0001, ds_simple([len(lat_vals)])),
+                M(0x0003, dt_float(8)),
                 layout_contig(lat_data, lat_vals.nbytes),
                 class_attr(),
                 dimid_attr(1),
@@ -208,10 +268,10 @@ def build_nc4(
         )
     )
     lon_hdr = b.put(
-        object_header(
+        OH(
             [
-                msg(0x0001, ds_simple([len(lon_vals)])),
-                msg(0x0003, dt_float(8)),
+                M(0x0001, ds_simple([len(lon_vals)])),
+                M(0x0003, dt_float(8)),
                 layout_contig(lon_data, lon_vals.nbytes),
                 class_attr(),
                 dimid_attr(2),
@@ -243,18 +303,18 @@ def build_nc4(
         data = b"".join(
             struct.pack("<IQI", 1, g_addr, i) for i in refs_idx
         )
-        return attr_v1(
+        return A(
             "DIMENSION_LIST", dt_vlen_of_ref(), ds_simple([len(refs_idx)]), data
         )
 
     # --- t2m data (contiguous or chunked+deflate) ---
     t2m_msgs = [
-        msg(0x0001, ds_simple([n_time, n_lat, n_lon])),
-        msg(0x0003, dt_fixed(2)),
+        M(0x0001, ds_simple([n_time, n_lat, n_lon])),
+        M(0x0003, dt_fixed(2)),
         dimension_list([g_idx[0], g_idx[1], g_idx[2]]),
-        attr_v1("scale_factor", dt_float(8), ds_scalar(), struct.pack("<d", scale)),
-        attr_v1("add_offset", dt_float(8), ds_scalar(), struct.pack("<d", offset)),
-        attr_v1("_FillValue", dt_fixed(2), ds_scalar(), struct.pack("<h", FILL)),
+        A("scale_factor", dt_float(8), ds_scalar(), struct.pack("<d", scale)),
+        A("add_offset", dt_float(8), ds_scalar(), struct.pack("<d", offset)),
+        A("_FillValue", dt_fixed(2), ds_scalar(), struct.pack("<h", FILL)),
     ]
     if chunked_t2m:
         # chunk shape (1, n_lat, n_lon): one chunk per time step
@@ -281,9 +341,9 @@ def build_nc4(
         fbody = bytes([1, len(filters)]) + b"\0" * 6
         for fid, cv in filters:
             fbody += struct.pack("<HHHH", fid, 0, 0, 1) + struct.pack("<I", cv) + b"\0" * 4
-        t2m_msgs.append(msg(0x000B, fbody))
+        t2m_msgs.append(M(0x000B, fbody))
         t2m_msgs.append(
-            msg(
+            M(
                 0x0008,
                 bytes([3, 2, 4])
                 + struct.pack("<Q", bt)
@@ -293,7 +353,7 @@ def build_nc4(
     else:
         t2m_data = b.put(t2m.tobytes())
         t2m_msgs.append(layout_contig(t2m_data, t2m.nbytes))
-    t2m_hdr = b.put(object_header(t2m_msgs))
+    t2m_hdr = b.put(OH(t2m_msgs))
 
     entries = [
         ("time", time_hdr),
@@ -303,10 +363,10 @@ def build_nc4(
     ]
     if with_elevation:
         elev_hdr = b.put(
-            object_header(
+            OH(
                 [
-                    msg(0x0001, ds_simple([2, 3])),
-                    msg(0x0003, dt_float(8)),
+                    M(0x0001, ds_simple([2, 3])),
+                    M(0x0003, dt_float(8)),
                     dimension_list([g_idx[1], g_idx[2]]),
                     layout_contig(elev_data, elev.nbytes),
                 ]
@@ -317,16 +377,20 @@ def build_nc4(
         names = np.array([b"ABC", b"DE"], dtype="S4")
         nd = b.put(names.tobytes())
         name_hdr = b.put(
-            object_header(
+            OH(
                 [
-                    msg(0x0001, ds_simple([2])),
-                    msg(0x0003, dt_string(4)),
+                    M(0x0001, ds_simple([2])),
+                    M(0x0003, dt_string(4)),
                     dimension_list([g_idx[1]]),
                     layout_contig(nd, names.nbytes),
                 ]
             )
         )
         entries.append(("name", name_hdr))
+
+    if modern:
+        root_hdr = b.put(OH([link_msg(nm, hdr) for nm, hdr in entries]))
+        return b.finish_v2(root_hdr)
 
     # --- local heap, SNOD, group B-tree, root header ---
     heap_data = bytearray(b"\0" * 8)  # offset 0 = empty string
@@ -350,7 +414,7 @@ def build_nc4(
     bt_addr = b.put(btree)
 
     root_hdr = b.put(
-        object_header([msg(0x0011, struct.pack("<QQ", bt_addr, heap_hdr))])
+        OH([M(0x0011, struct.pack("<QQ", bt_addr, heap_hdr))])
     )
     return b.finish(root_hdr)
 
@@ -406,8 +470,8 @@ def test_fixed_string_variable_decodes_to_str():
 
 def test_unsupported_superblock_is_loud():
     buf = bytearray(build_nc4())
-    buf[8] = 2  # superblock version 2
-    with pytest.raises(NotImplementedError, match="superblock version 2"):
+    buf[8] = 1  # superblock version 1 (B-tree-K extension, unsupported)
+    with pytest.raises(NotImplementedError, match="superblock version 1"):
         parse_netcdf4(bytes(buf))
 
 
@@ -578,3 +642,53 @@ def test_hdf5_roundtrip_property():
                         assert g == pytest.approx(want)
 
     run()
+
+
+# ------------------------------------------ LIBVER_LATEST shapes (v2/OHDR)
+
+
+def test_modern_file_decodes_identically():
+    """superblock v2 + OHDR headers + v3 attributes + compact
+    link-message root group must decode to the SAME frame as the
+    old-style encoding of the same content."""
+    a = decode_netcdf4_bytes(build_nc4())
+    m = decode_netcdf4_bytes(build_nc4(modern=True))
+    assert sorted(a.columns) == sorted(m.columns)
+    ka = a.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    km = m.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    for c in a.columns:
+        np.testing.assert_array_equal(
+            ka[c].to_numpy(), km[c].to_numpy(), err_msg=c
+        )
+
+
+def test_modern_chunked_deflate():
+    pdf = decode_netcdf4_bytes(build_nc4(modern=True, chunked_t2m=True))
+    last = pdf[(pdf.time == 1) & (pdf.lat == 20.0) & (pdf.lon == 102.0)]
+    assert last.t2m.iloc[0] == pytest.approx(282.0)
+
+
+def test_dense_group_storage_is_loud():
+    """A root OHDR whose Link Info message carries a DEFINED fractal
+    heap address is dense storage — outside the subset, must raise."""
+    b = H5Builder()
+    li = msg2(
+        0x0002,
+        bytes([0, 0]) + struct.pack("<QQ", 12345, UNDEF),  # fheap defined
+    )
+    root = b.put(object_header_v2([li]))
+    buf = b.finish_v2(root)
+    with pytest.raises(NotImplementedError, match="fractal-heap"):
+        parse_netcdf4(buf)
+
+
+def test_modern_read_netcdf_via_spark(spark, tmp_path):
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources import (
+        ingest,
+    )
+
+    p = tmp_path / "modern.nc4"
+    p.write_bytes(build_nc4(modern=True, chunked_t2m=True))
+    df = ingest.read_netcdf(spark, str(p))
+    rows = df.orderBy("time", "lat", "lon").collect()
+    assert len(rows) == 12 and rows[0]["t2m"] == pytest.approx(271.0)
