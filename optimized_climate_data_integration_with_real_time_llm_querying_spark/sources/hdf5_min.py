@@ -20,8 +20,11 @@ subset netCDF-4 actually uses is small enough to decode with
 - dataspace (v1), datatype (fixed-point / IEEE-float / fixed string /
   reference / vlen-of-reference), fill value, attribute (v1 and v3),
   data layout v3 (contiguous and chunked),
-- chunked data through the v1 B-tree (node type 1) with the deflate
-  (id 1) and shuffle (id 2) filters,
+- chunked data through the v1 B-tree (node type 1) AND the v4-layout
+  chunk indexes LIBVER_LATEST writes for fixed-dims datasets
+  (single-chunk, implicit, fixed-array — unpaged — with filtered
+  entries), with the deflate (id 1) and shuffle (id 2) filters
+  (pipeline message v1 and v2),
 - vlen attribute payloads through global heap collections (GCOL) —
   what netCDF-4's DIMENSION_LIST uses to attach dimensions to
   variables.
@@ -419,11 +422,11 @@ def _global_heap_object(f: _F, collection_addr: int, index: int) -> bytes:
 def _read_data(f: _F, msgs: list[tuple[int, bytes]], dims: list[int], dtype) -> np.ndarray:
     layout = next(b for t, b in msgs if t == 0x0008)
     ver = layout[0]
+    if ver == 4:
+        return _read_data_v4(f, layout, msgs, dims, dtype)
     if ver != 3:
         raise NotImplementedError(
-            f"HDF5 data layout version {ver}: only v3 (v4's fixed/"
-            "extensible-array chunk indexes, written for chunked data "
-            "under LIBVER_LATEST bounds, route to the xarray seam)"
+            f"HDF5 data layout version {ver}: versions 3 and 4 only"
         )
     cls = layout[1]
     n = 1
@@ -450,15 +453,7 @@ def _read_data(f: _F, msgs: list[tuple[int, bytes]], dims: list[int], dtype) -> 
         if btree != UNDEF:
             for coords, fmask, raw in _chunks(f, btree, ndims):
                 # fmask bit i set = filter i was SKIPPED for this chunk
-                for i, (fid, _lvl) in reversed(list(enumerate(filters))):
-                    if fmask & (1 << i):
-                        continue
-                    if fid == 1:
-                        raw = zlib.decompress(raw)
-                    elif fid == 2:
-                        raw = _unshuffle(raw, dtype.itemsize)
-                    else:
-                        raise NotImplementedError(f"HDF5 filter id {fid}")
+                raw = _apply_filters(raw, filters, fmask, dtype.itemsize)
                 chunk = np.frombuffer(raw, dtype=dtype).reshape(chunk_dims)
                 sl = tuple(
                     slice(c, min(c + cd, dims[i]))
@@ -471,6 +466,143 @@ def _read_data(f: _F, msgs: list[tuple[int, bytes]], dims: list[int], dtype) -> 
         return out
     raise NotImplementedError(
         f"HDF5 data layout class {cls}: only contiguous (1) and chunked (2)"
+    )
+
+
+def _apply_filters(raw: bytes, filters, fmask: int, itemsize: int) -> bytes:
+    for i, (fid, _lvl) in reversed(list(enumerate(filters))):
+        if fmask & (1 << i):
+            continue
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:
+            raw = _unshuffle(raw, itemsize)
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return raw
+
+
+def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndarray:
+    """Version-4 data layout (LIBVER_LATEST chunked datasets): the
+    single-chunk (1), implicit (2), and fixed-array (3) chunk
+    indexes. Extensible arrays and v2 B-trees (unlimited dims) raise
+    and route to the xarray seam."""
+    cls = layout[1]
+    if cls == 1:  # contiguous: same fields as v3
+        addr = int.from_bytes(layout[2:10], "little")
+        n = 1
+        for d in dims:
+            n *= d
+        if addr == UNDEF or n == 0:
+            return np.zeros(dims, dtype=dtype)
+        return (
+            np.frombuffer(f.raw(addr, n * dtype.itemsize), dtype=dtype, count=n)
+            .reshape(dims)
+            .copy()
+        )
+    if cls != 2:
+        raise NotImplementedError(f"HDF5 v4 layout class {cls}")
+    flags = layout[2]
+    ndims = layout[3]  # rank + 1 (element-size pseudo-dim)
+    enc = layout[4]  # bytes per encoded chunk-dim size
+    p = 5
+    chunk_dims = [
+        int.from_bytes(layout[p + enc * i : p + enc * (i + 1)], "little")
+        for i in range(ndims)
+    ][: ndims - 1]
+    p += enc * ndims
+    index_type = layout[p]
+    p += 1
+    filters = _filter_pipeline(msgs)
+    filtered = bool(filters)
+    out = np.zeros(dims, dtype=dtype)
+    grid = [
+        (dims[i] + chunk_dims[i] - 1) // chunk_dims[i] for i in range(len(chunk_dims))
+    ]
+    n_chunks = 1
+    for g in grid:
+        n_chunks *= g
+
+    def place(idx: int, raw: bytes, fmask: int) -> None:
+        raw = _apply_filters(raw, filters, fmask, dtype.itemsize)
+        chunk = np.frombuffer(raw, dtype=dtype).reshape(chunk_dims)
+        coords = []
+        rem = idx
+        for g in reversed(grid):
+            coords.append(rem % g)
+            rem //= g
+        coords = [c * cd for c, cd in zip(reversed(coords), chunk_dims)]
+        sl = tuple(
+            slice(c, min(c + cd, dims[i]))
+            for i, (c, cd) in enumerate(zip(coords, chunk_dims))
+        )
+        clip = tuple(slice(0, s.stop - s.start) for s in sl)
+        out[sl] = chunk[clip]
+
+    if index_type == 1:  # single chunk
+        if flags & 0x02:  # filtered single chunk: size + mask in layout
+            csize = int.from_bytes(layout[p : p + 8], "little")
+            fmask = int.from_bytes(layout[p + 8 : p + 12], "little")
+            p += 12
+        else:
+            csize = dtype.itemsize
+            for cd in chunk_dims:
+                csize *= cd
+            fmask = 0
+        addr = int.from_bytes(layout[p : p + 8], "little")
+        if addr != UNDEF:
+            place(0, f.raw(addr, csize), fmask)
+        return out
+    if index_type == 2:  # implicit: unfiltered chunks back to back
+        addr = int.from_bytes(layout[p : p + 8], "little")
+        nbytes = dtype.itemsize
+        for cd in chunk_dims:
+            nbytes *= cd
+        if addr != UNDEF:
+            for i in range(n_chunks):
+                place(i, f.raw(addr + i * nbytes, nbytes), 0)
+        return out
+    if index_type == 3:  # fixed array
+        # layout carries page-bits(1) then the FAHD header address
+        addr = int.from_bytes(layout[p + 1 : p + 9], "little")
+        if addr == UNDEF:
+            return out
+        if f.raw(addr, 4) != b"FAHD":
+            raise ValueError("bad fixed-array header signature")
+        client = f.u(addr + 5, 1)
+        entry_size = f.u(addr + 6, 1)
+        page_bits = f.u(addr + 7, 1)
+        n_entries = f.u(addr + 8, 8)
+        dblock = f.u(addr + 16, 8)
+        if f.raw(dblock, 4) != b"FADB":
+            raise ValueError("bad fixed-array data block signature")
+        if n_entries > (1 << page_bits):
+            raise NotImplementedError(
+                "paged fixed-array chunk index (very large chunk grids)"
+            )
+        # FADB: sig(4) version(1) client(1) header address(8), then
+        # elements (unpaged when n_entries <= page size)
+        ep = dblock + 14
+        nbytes = dtype.itemsize
+        for cd in chunk_dims:
+            nbytes *= cd
+        for i in range(int(n_entries)):
+            e = f.raw(ep + i * entry_size, entry_size)
+            caddr = int.from_bytes(e[0:8], "little")
+            if caddr == UNDEF:
+                continue
+            if client == 0:  # non-filtered: element = address only
+                place(i, f.raw(caddr, nbytes), 0)
+            else:  # filtered: address + chunk size + filter mask(4)
+                size_len = entry_size - 12
+                csize = int.from_bytes(e[8 : 8 + size_len], "little")
+                fmask = int.from_bytes(e[8 + size_len : entry_size], "little")
+                place(i, f.raw(caddr, csize), fmask)
+        return out
+    raise NotImplementedError(
+        f"HDF5 v4 chunk index type {index_type}: single-chunk, implicit, "
+        "and fixed-array are supported; extensible arrays / v2 B-trees "
+        "(unlimited dimensions) route to the xarray seam"
     )
 
 

@@ -186,6 +186,7 @@ def build_nc4(
     var_name: str = "t2m",
     with_elevation: bool = True,
     modern: bool = False,
+    layout4: str | None = None,
 ) -> bytes:
     """A netCDF-4 twin of the classic test file: dims time (pure),
     lat + lon (coordinate scales); data var (time, lat, lon) as
@@ -307,6 +308,70 @@ def build_nc4(
             "DIMENSION_LIST", dt_vlen_of_ref(), ds_simple([len(refs_idx)]), data
         )
 
+    def _layout4_msgs() -> list[bytes]:
+        # v4 chunked layout (LIBVER_LATEST): rank+1 chunk dims with
+        # the element size last (the v3 convention the shared
+        # internal struct keeps), 4-byte dim encoding.
+        msgs4 = []
+        cdims = struct.pack("<IIII", 1, n_lat, n_lon, 2)  # 1-step chunks
+        if layout4 == "single":
+            addr = b.put(t2m.tobytes())
+            body = (
+                bytes([4, 2, 0, 4, 4])
+                + struct.pack("<IIII", n_time, n_lat, n_lon, 2)
+                + bytes([1])
+                + struct.pack("<Q", addr)
+            )
+        elif layout4 == "implicit":
+            # row-major 1-step chunks stored back to back == the full
+            # C-order array
+            addr = b.put(t2m.tobytes())
+            body = bytes([4, 2, 0, 4, 4]) + cdims + bytes([2]) + struct.pack("<Q", addr)
+        elif layout4 in ("fixed", "fixed_filtered"):
+            filtered = layout4 == "fixed_filtered"
+            entries = []
+            for ti in range(n_time):
+                raw = t2m[ti : ti + 1].tobytes()
+                if filtered:
+                    comp = zlib.compress(raw, 6)
+                    entries.append((b.put(comp), len(comp), 0))
+                else:
+                    entries.append((b.put(raw), len(raw), 0))
+            entry_size = 8 + 8 + 4 if filtered else 8
+            fadb = bytearray(b"FADB" + bytes([0, 1 if filtered else 0]))
+            fadb += struct.pack("<Q", 0)  # header addr, patched below
+            for caddr, csize, fmask in entries:
+                fadb += struct.pack("<Q", caddr)
+                if filtered:
+                    fadb += struct.pack("<QI", csize, fmask)
+            fadb += b"\0\0\0\0"  # checksum (not verified)
+            dblock = b.put(bytes(fadb))
+            fahd = (
+                b"FAHD"
+                + bytes([0, 1 if filtered else 0, entry_size, 10])
+                + struct.pack("<QQ", n_time, dblock)
+                + b"\0\0\0\0"
+            )
+            fah = b.put(fahd)
+            b.buf[dblock + 6 : dblock + 14] = struct.pack("<Q", fah)
+            body = (
+                bytes([4, 2, 0, 4, 4])
+                + cdims
+                + bytes([3, 10])  # fixed-array index, page bits
+                + struct.pack("<Q", fah)
+            )
+            if filtered:
+                msgs4.append(
+                    M(
+                        0x000B,
+                        bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6),
+                    )
+                )
+        else:
+            raise ValueError(layout4)
+        msgs4.append(M(0x0008, body))
+        return msgs4
+
     # --- t2m data (contiguous or chunked+deflate) ---
     t2m_msgs = [
         M(0x0001, ds_simple([n_time, n_lat, n_lon])),
@@ -316,7 +381,9 @@ def build_nc4(
         A("add_offset", dt_float(8), ds_scalar(), struct.pack("<d", offset)),
         A("_FillValue", dt_fixed(2), ds_scalar(), struct.pack("<h", FILL)),
     ]
-    if chunked_t2m:
+    if layout4:
+        t2m_msgs.extend(_layout4_msgs())
+    elif chunked_t2m:
         # chunk shape (1, n_lat, n_lon): one chunk per time step
         chunks = []
         for ti in range(n_time):
@@ -692,3 +759,25 @@ def test_modern_read_netcdf_via_spark(spark, tmp_path):
     df = ingest.read_netcdf(spark, str(p))
     rows = df.orderBy("time", "lat", "lon").collect()
     assert len(rows) == 12 and rows[0]["t2m"] == pytest.approx(271.0)
+
+
+@pytest.mark.parametrize(
+    "index", ["single", "implicit", "fixed", "fixed_filtered"]
+)
+def test_layout_v4_chunk_indexes(index):
+    """Version-4 data layouts: the single-chunk, implicit, and
+    fixed-array (unfiltered + deflate) chunk indexes all decode to
+    the same frame as the old-style encodings."""
+    pdf = decode_netcdf4_bytes(build_nc4(modern=True, layout4=index))
+    ref = decode_netcdf4_bytes(build_nc4())
+    a = pdf.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    r = ref.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    for c in r.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
+
+
+def test_layout_v4_single_chunk_whole_array():
+    # single-chunk stores the WHOLE array as one chunk: the builder's
+    # v4 'single' body declares dataset-sized chunk dims on purpose
+    pdf = decode_netcdf4_bytes(build_nc4(modern=True, layout4="single"))
+    assert len(pdf) == 12
