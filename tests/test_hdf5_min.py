@@ -781,3 +781,15 @@ def test_layout_v4_single_chunk_whole_array():
     # v4 'single' body declares dataset-sized chunk dims on purpose
     pdf = decode_netcdf4_bytes(build_nc4(modern=True, layout4="single"))
     assert len(pdf) == 12
+
+
+def test_dataspace_v2_parses():
+    """LIBVER_LATEST writes version-2 dataspace messages (4-byte
+    header with a type field, no reserved block)."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.hdf5_min import (
+        _parse_dataspace,
+    )
+
+    body = bytes([2, 2, 0, 1]) + struct.pack("<QQ", 4, 5)
+    assert _parse_dataspace(body) == [4, 5]
+    assert _parse_dataspace(bytes([2, 0, 0, 0])) == []
