@@ -110,6 +110,7 @@ _DEMOTE = [
     "compaction_roundtrip",
     "jsonl_roundtrip",
     "events_ohlc_daily",
+    "allpairs_jaccard_exact",
     # -- ROUND-11 TIER B: the 28 remaining r7-rowed names --
     "bigram_logprob_scores",
     "embedding_quantize_int8",

@@ -174,6 +174,7 @@ HEADLINE = [
     "compaction_roundtrip",     # small-files rewrite + sorted layout gate
     "jsonl_roundtrip",          # JSONL source/sink escape-exact roundtrip
     "events_ohlc_daily",        # OHLC time-series downsample
+    "allpairs_jaccard_exact",   # prefix-filtered exact Jaccard join
 ]
 
 

@@ -201,6 +201,133 @@ def ngram_jaccard_pairs(
     )
 
 
+def allpairs_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    hash_family=F.xxhash64,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= ``threshold`` via prefix filtering
+    (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08).
+
+    The third point in the near-dup design space, alongside
+    :func:`ngram_jaccard_pairs` (exact per-pair score, but candidate
+    generation needs the stop-shingle df cap — an approximation that
+    silently drops pairs whose overlap is all boilerplate) and
+    :func:`minhash_near_duplicates` (sub-quadratic but probabilistic).
+    Prefix filtering is exact AND sub-quadratic at a fixed threshold:
+    order each doc's shingles by ascending global document frequency
+    (rarest first, ties by shingle value), keep only the first
+    ``|d| - ceil(t*|d|) + 1`` shingles as the doc's *prefix*, and
+    equi-join prefixes. Any pair with J >= t must share a prefix
+    shingle (prefix-filtering principle: |x ∩ y| >= ceil(t*max(|x|,
+    |y|)) forces an intersection inside the (|z| - ceil(t*|z|) +
+    1)-prefixes), so candidate generation has NO false negatives; an
+    exact intersection count on the candidates then removes the false
+    positives. No df cap, no probability — brute force ground truth,
+    reached without the quadratic join.
+
+    Scale shape: the prefix join fans out on the *rarest* tokens of
+    each doc, so ubiquitous shingles participate only for docs where
+    nothing rarer exists; candidate volume is sum over prefix shingles
+    of df_prefix^2, tiny next to the full join's sum of df^2. The
+    verify join is bounded by sum(|d1|) over candidates. Shingles are
+    hashed to 8-byte keys before any shuffle; the df ranking reuses
+    the shingle-partitioned shuffle and the per-doc position window
+    shares its doc-partitioning with the size aggregate. Raising
+    ``threshold`` shrinks prefixes (cost falls as the job gets more
+    selective — the right direction for a 100 TB dedup pass).
+
+    ``hash_family``: xxhash64 (production) or :func:`md5_hash64` (the
+    DuckDB-recomputable twin — with it the ENTIRE pipeline, filter
+    included, is checkable against brute force in SQL, which is the
+    strongest statement the exactness theorem can get). The epsilon in
+    the two ceil/size filters only ever *lengthens* a prefix or
+    *keeps* a borderline candidate under float rounding of t*n — both
+    directions preserve exactness (extra candidates die in verify).
+    """
+    from pyspark.sql import Window as W
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    if hash_family is F.xxhash64:
+        sh = hashed_shingles(df, text_col, id_col, k, distinct=False)
+    else:
+        sh = shingles(df, text_col, id_col, k, distinct=False).select(
+            F.col(id_col), hash_family(F.col("shingle")).alias("shingle")
+        )
+    # Distinct AFTER hashing: a (vanishingly rare) in-doc hash
+    # collision then shrinks the set identically to how an oracle
+    # recomputing distinct hashed shingles sees it.
+    sh = sh.distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+    w_pos = W.partitionBy(id_col).orderBy("df_count", "shingle")
+    positioned = sh.join(dfreq, "shingle").select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("set_size"),
+    )
+    prefix = positioned.filter(
+        F.col("pos")
+        <= F.col("set_size") - F.ceil(F.col("set_size") * t - 1e-9) + 1
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("set_size").alias("size_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("set_size").alias("size_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # Length filter: J >= t forces min(|x|,|y|) >= t*max(|x|,|y|).
+        .filter(
+            F.least("size_a", "size_b").cast("double")
+            >= F.greatest("size_a", "size_b") * t - 1e-9
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    tb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    raw = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")),
+            "id_b",
+        )
+        # Exact-threshold verify on the RAW double (rounding only for
+        # display): same integer inputs -> same IEEE division in any
+        # engine recomputing it.
+        .filter(raw >= F.lit(t))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.round(raw, 6).alias("jaccard"),
+        )
+    )
+
+
 def weighted_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

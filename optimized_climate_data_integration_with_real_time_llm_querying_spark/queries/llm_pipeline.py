@@ -403,6 +403,66 @@ def weighted_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "allpairs_jaccard_exact",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), shs AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS sh
+      FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 3
+        )
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM toks WHERE len(t) < 3
+      ) WHERE sh <> ''
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM shs GROUP BY doc_id
+    ), inter AS (
+      -- BRUTE FORCE ground truth: the oracle deliberately does NOT
+      -- mirror the prefix filter. The engine's filtered plan must
+      -- equal the unfiltered quadratic join exactly — that is the
+      -- prefix-filtering theorem under test.
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    doc="EXACT all-pairs Jaccard >= 0.6 via prefix filtering "
+    "(AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — "
+    "the third near-dup path: exact like ngram_jaccard (but with NO "
+    "stop-shingle df cap, so no silently dropped boilerplate-overlap "
+    "pairs) and sub-quadratic like MinHash (but with zero false-"
+    "negative probability). Docs order their shingles rarest-first by "
+    "global document frequency; only each doc's (|d| - ceil(t|d|) + "
+    "1)-prefix enters the candidate join, and an exact intersection "
+    "count verifies. The oracle is the UNfiltered brute-force join — "
+    "equality IS the prefix-filtering theorem. md5-hashed 8-byte "
+    "shingle keys (rule 6) keep the oracle able to recompute every "
+    "stage.",
+)
+def allpairs_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return dedup.allpairs_jaccard_pairs(
+        d, k=3, threshold=0.6, hash_family=dedup.md5_hash64
+    ).select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+
+
+@register(
     "cdc_chunk_dedup",
     r"""
     WITH base AS (
