@@ -111,6 +111,9 @@ _DEMOTE = [
     "jsonl_roundtrip",
     "events_ohlc_daily",
     "allpairs_jaccard_exact",
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "sqlite_roundtrip",
     # -- ROUND-11 TIER B: the 28 remaining r7-rowed names --
     "bigram_logprob_scores",
     "embedding_quantize_int8",

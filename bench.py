@@ -175,6 +175,9 @@ HEADLINE = [
     "jsonl_roundtrip",          # JSONL source/sink escape-exact roundtrip
     "events_ohlc_daily",        # OHLC time-series downsample
     "allpairs_jaccard_exact",   # prefix-filtered exact Jaccard join
+    "csv_roundtrip",            # CSV sink/source escape-exact roundtrip
+    "orc_roundtrip",            # ORC columnar interchange roundtrip
+    "sqlite_roundtrip",         # S1 sink/source via reference's store
 ]
 
 

@@ -636,3 +636,119 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
     ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "csv_roundtrip",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    """,
+    doc="Registry gate for the CSV source/sink (S2 — the reference "
+    "ingests its disaster-dollar dataset from CSV before loading "
+    "SQLite): writes the lineitem measure columns as header'd CSV, "
+    "reads them back with a DECLARED schema under FAILFAST, and the "
+    "oracle checks content against the ORIGINAL table. Doubles "
+    "round-trip via Java shortest-repr printing, timestamps via the "
+    "shared microsecond format; one-record-per-line means the read "
+    "splits across executors at any size. Free text stays out by "
+    "design — newline-bearing columns belong to the JSONL/parquet "
+    "gates; hostile-string quoting is pinned in tests/test_ingest.py.",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.ingest import read_csv, write_csv
+
+    cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(os.getcwd(), "spark-warehouse", f"_csv_roundtrip_{tag}")
+    write_csv(li, path)
+    return read_csv(
+        spark,
+        path,
+        schema=(
+            "l_orderkey bigint, l_linenumber int, l_quantity double, "
+            "l_extendedprice double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp"
+        ),
+    ).select(*cols)
+
+
+@register(
+    "orc_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    doc="Registry gate for the ORC source/sink — the second columnar "
+    "interchange format (Hive-ecosystem lakes ship ORC where "
+    "everything else ships parquet). Writes the documents table as "
+    "ORC and reads it back; the oracle checks content against the "
+    "ORIGINAL parquet table, so the two columnar codecs must agree "
+    "byte-for-byte on every value including multi-line text. Spark's "
+    "native reader gives ORC the same scan machinery as parquet "
+    "(column pruning, predicate pushdown into row-group indexes, "
+    "vectorized decode — pushdown plan-asserted in "
+    "tests/test_plan_quality.py), so a 100 TB ORC lake needs no "
+    "conversion pass before this engine queries it.",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.ingest import read_orc, write_orc
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(os.getcwd(), "spark-warehouse", f"_orc_roundtrip_{tag}")
+    write_orc(d, path)
+    return read_orc(spark, path).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "sqlite_roundtrip",
+    """
+    SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM customer
+    """,
+    doc="Registry gate for the SQLite source/sink pair (S1 — the "
+    "reference's operational store; every one of its four servers "
+    "opens a single .db file). Writes the customer dim into SQLite "
+    "through the batched driver-side sink (toLocalIterator, never a "
+    "full collect), reads it back through the S1 reader, and the "
+    "oracle checks content against the ORIGINAL table. SQLite is "
+    "single-file/single-writer by nature, so the sink is explicitly "
+    "a hand-back-to-reference-tooling path for dim-sized results — "
+    "parquet is the fact sink; the 32-bit nationkey widens to BIGINT "
+    "through SQLite's dynamic typing, mirrored by the oracle's CAST.",
+)
+def sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.ingest import read_sqlite, write_sqlite
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    db = os.path.join(os.getcwd(), "spark-warehouse", f"_sqlite_roundtrip_{tag}.db")
+    write_sqlite(c, db, "customer")
+    return read_sqlite(spark, db, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )

@@ -24,12 +24,64 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# One timestamp format shared by the CSV reader and writer so
+# timestamps round-trip at full microsecond precision (Spark's CSV
+# default prints milliseconds only, silently truncating µs).
+_CSV_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
 def read_csv(
-    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+    spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True
 ) -> DataFrame:
     """S2: CSV with a declared schema — never inferSchema in
     production (extra pass + type drift)."""
-    return spark.read.csv(path, header=header, schema=schema, mode="FAILFAST")
+    return spark.read.csv(
+        path,
+        header=header,
+        schema=schema,
+        mode="FAILFAST",
+        timestampFormat=_CSV_TS_FMT,
+        multiLine=False,
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV sink, the writer half of S2. Splittable one-record-per-line
+    output (multiLine stays False on the read side — embedded
+    newlines belong in JSONL/parquet, not CSV, because a multi-line
+    CSV file cannot be split across executors); quoting handles
+    embedded delimiters/quotes, doubles print in Java shortest-repr
+    form (parse-back is bit-exact), and timestamps use the shared
+    microsecond format. Free-text columns with newlines are the
+    JSONL sink's job; this sink serves the tabular interchange the
+    reference ingests with pandas (Disaster dollar/
+    disaster_dollar_preprocessing.ipynb: pd.read_csv on the
+    disaster-dollar dataset before loading SQLite).
+    """
+    df.write.mode("overwrite").option("header", header).option(
+        "timestampFormat", _CSV_TS_FMT
+    ).csv(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """ORC source — the second columnar interchange format (Hive
+    ecosystems ship ORC where everything else ships parquet). Native
+    Spark reader: column pruning, predicate pushdown into ORC
+    row-group indexes, and vectorized decoding all apply exactly as
+    for parquet, so a 100 TB ORC lake scans with the same plan
+    shape. Declared schema optional: unlike CSV/JSON, ORC files
+    carry their types."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (native writer, default compression)."""
+    df.write.mode("overwrite").orc(path)
 
 
 def read_jsonl(
@@ -100,6 +152,72 @@ def read_sqlite(
     finally:
         con.close()
     return spark.createDataFrame(pdf)
+
+
+def write_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    batch_size: int = 50_000,
+) -> int:
+    """SQLite sink, the writer half of S1. SQLite is the reference's
+    operational store (server.py:22, era5server.py, emissions_mcp.py
+    all open one DB file) — a single-file, single-writer engine, so
+    this sink is inherently driver-side; it exists to hand results
+    back to the reference's own tooling, not to be a 100 TB sink
+    (that is parquet's job). The frame streams through
+    ``toLocalIterator`` in ``batch_size`` chunks so the driver never
+    holds the whole result, and the identifier is validated like the
+    reader's (letters/digits/underscore only) before interpolation.
+
+    Returns the number of rows written.
+    """
+    import datetime
+    import re
+    import sqlite3
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(f"invalid SQLite table identifier: {table!r}")
+    cols = df.columns
+
+    def _sql_type(dt) -> str:
+        name = dt.simpleString()
+        if name in ("tinyint", "smallint", "int", "bigint", "boolean"):
+            return "INTEGER"
+        if name in ("float", "double") or name.startswith("decimal"):
+            return "REAL"
+        return "TEXT"
+
+    ddl = ", ".join(
+        f'"{c}" {_sql_type(f.dataType)}' for c, f in zip(cols, df.schema.fields)
+    )
+    placeholders = ", ".join("?" for _ in cols)
+    con = sqlite3.connect(db_path)
+    n = 0
+    try:
+        con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(f'CREATE TABLE "{table}" ({ddl})')
+
+        def _cell(v):
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat()
+            return v
+
+        batch: list[tuple] = []
+        insert = f'INSERT INTO "{table}" VALUES ({placeholders})'
+        for row in df.toLocalIterator():
+            batch.append(tuple(_cell(v) for v in row))
+            if len(batch) >= batch_size:
+                con.executemany(insert, batch)
+                n += len(batch)
+                batch.clear()
+        if batch:
+            con.executemany(insert, batch)
+            n += len(batch)
+        con.commit()
+    finally:
+        con.close()
+    return n
 
 
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"

@@ -449,3 +449,102 @@ def test_jsonl_permissive_quarantines_corrupt_records(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert {r.id for r in good} == {1, 2}
     assert len(bad) == 1 and bad[0]._corrupt_record.startswith("{not json")
+
+
+def test_csv_roundtrip_hostile_strings(spark, tmp_path):
+    """CSV quoting must round-trip delimiters, quotes, backslashes,
+    and unicode. Newlines are deliberately OUT of scope — the sink
+    serves splittable one-record-per-line files; newline-bearing text
+    belongs to JSONL/parquet (write_csv docstring)."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.ingest import (
+        read_csv,
+        write_csv,
+    )
+
+    rows = [
+        (1, 'say "hi"'),
+        (2, "comma, inside"),
+        (3, "back\\slash"),
+        (4, "emoji \U0001f600 and café"),
+        (5, ""),
+        (6, None),
+        (7, "both, \"quoted and, delimited\""),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    path = str(tmp_path / "hostile_csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema="id bigint, text string")
+    got = {r.id: r.text for r in back.collect()}
+    want = dict(rows)
+    # CSV cannot distinguish empty string from null on read; Spark
+    # reads both back as null. Everything else must be byte-exact.
+    want[5] = None
+    assert got == want
+
+
+def test_csv_roundtrip_microsecond_timestamps_and_doubles(spark, tmp_path):
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.ingest import (
+        read_csv,
+        write_csv,
+    )
+
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, TIMESTAMP'2024-02-29 23:59:59.123456', CAST(0.1 AS DOUBLE)), "
+        "(2, TIMESTAMP'1999-01-01 00:00:00.000001', CAST(1e-300 AS DOUBLE)), "
+        "(3, TIMESTAMP'2024-06-01 12:00:00', CAST(12345.678900000001 AS DOUBLE)) "
+        "AS t(id, ts, x)"
+    )
+    path = str(tmp_path / "ts_csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema="id bigint, ts timestamp, x double")
+    orig = {r.id: (r.ts, r.x) for r in df.collect()}
+    got = {r.id: (r.ts, r.x) for r in back.collect()}
+    assert got == orig  # microseconds and shortest-repr doubles exact
+
+
+def test_orc_roundtrip_hostile_strings(spark, tmp_path):
+    """ORC is binary-columnar: newlines and every other byte must
+    survive, unlike the textual formats."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.ingest import (
+        read_orc,
+        write_orc,
+    )
+
+    rows = [
+        (1, "line\nbreak and \"quote\""),
+        (2, "nul-adjacent \x01 control"),
+        (3, None),
+        (4, "emoji \U0001f600"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, schema="id bigint, text string")
+    assert {r.id: r.text for r in back.collect()} == dict(rows)
+
+
+def test_write_sqlite_roundtrip_and_guard(spark, tmp_path):
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.ingest import (
+        read_sqlite,
+        write_sqlite,
+    )
+
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'alpha', 1.5, DATE'2024-01-31'), "
+        "(2, 'two, \"quoted\"', -0.25, DATE'1999-12-31'), "
+        "(3, CAST(NULL AS STRING), CAST(NULL AS DOUBLE), CAST(NULL AS DATE)) "
+        "AS t(id, name, score, d)"
+    )
+    db = str(tmp_path / "out.db")
+    n = write_sqlite(df, db, "results", batch_size=2)
+    assert n == 3
+    back = read_sqlite(spark, db, "results")
+    got = {r.id: (r.name, r.score, r.d) for r in back.collect()}
+    # Dates persist as ISO TEXT (SQLite has no date type).
+    assert got[1] == ("alpha", 1.5, "2024-01-31")
+    assert got[2] == ('two, "quoted"', -0.25, "1999-12-31")
+    assert got[3] == (None, None, None)
+    with pytest.raises(ValueError, match="identifier"):
+        write_sqlite(df, db, 'bad"; DROP TABLE results')
