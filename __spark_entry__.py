@@ -114,6 +114,7 @@ _DEMOTE = [
     "csv_roundtrip",
     "orc_roundtrip",
     "sqlite_roundtrip",
+    "excel_roundtrip",
     # -- ROUND-11 TIER B: the 28 remaining r7-rowed names --
     "bigram_logprob_scores",
     "embedding_quantize_int8",

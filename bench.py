@@ -178,6 +178,7 @@ HEADLINE = [
     "csv_roundtrip",            # CSV sink/source escape-exact roundtrip
     "orc_roundtrip",            # ORC columnar interchange roundtrip
     "sqlite_roundtrip",         # S1 sink/source via reference's store
+    "excel_roundtrip",          # S3 sink/source via stdlib OOXML
 ]
 
 

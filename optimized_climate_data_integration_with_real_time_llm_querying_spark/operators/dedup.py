@@ -247,6 +247,17 @@ def allpairs_jaccard_pairs(
     the two ceil/size filters only ever *lengthens* a prefix or
     *keeps* a borderline candidate under float rounding of t*n — both
     directions preserve exactness (extra candidates die in verify).
+
+    REGIME BOUNDARY (measured, BASELINE.md): prefix filtering is
+    content-rarity-based blocking, so above VOCABULARY SATURATION —
+    when even a doc's rarest shingles are shared by many docs —
+    candidate volume goes quadratic (measured alpha 1.68 on the
+    uniform-vocabulary twin; the PPJoin positional filter was
+    measured to remove only ~1% there and is deliberately not
+    shipped). In that density regime use
+    :func:`minhash_near_duplicates` / the SimHash band family, whose
+    hash-based blocking is content-rarity-independent; this operator
+    is the exact-threshold tool for real Zipfian corpora.
     """
     from pyspark.sql import Window as W
 

@@ -752,3 +752,38 @@ def sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
         "c_mktsegment",
     )
+
+
+@register(
+    "excel_roundtrip",
+    """
+    SELECT CAST(s_suppkey AS DOUBLE) AS s_suppkey, s_name,
+           CAST(s_nationkey AS DOUBLE) AS s_nationkey, s_acctbal
+    FROM supplier
+    """,
+    doc="Registry gate for the Excel source/sink pair (S3 — the "
+    "reference's emissions notebooks all start at pd.read_excel on "
+    "EDGAR/NOAA workbooks). Writes the supplier dim through the "
+    "stdlib zip+OOXML writer (inline strings, shortest-repr number "
+    "cells), reads it back through the S3 reader, and the oracle "
+    "checks content against the ORIGINAL table. Excel's only numeric "
+    "type is double, so integer keys widen — mirrored by the "
+    "oracle's CASTs, exactly how the reference's to_sql roundtrip "
+    "sees them. Like SQLite, a workbook is single-file by nature: "
+    "this is the dim-sized hand-back path, streamed driver-side via "
+    "toLocalIterator; facts stay columnar.",
+)
+def excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.ingest import read_excel, write_excel
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(os.getcwd(), "spark-warehouse", f"_excel_roundtrip_{tag}.xlsx")
+    write_excel(s, path, sheet_name="supplier")
+    return read_excel(spark, path, sheet=0).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

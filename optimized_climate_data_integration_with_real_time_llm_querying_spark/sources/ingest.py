@@ -349,6 +349,116 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFram
     return spark.createDataFrame(pd.DataFrame(cols))
 
 
+def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> int:
+    """Excel sink, the writer half of S3 — a minimal stdlib xlsx
+    writer (zipfile + hand-built OOXML parts, the mirror of
+    :func:`_xlsx_rows`). Strings go as inline strings (no
+    sharedStrings table), numbers as plain ``<v>`` cells in Python
+    shortest-repr (floats parse back bit-exact), booleans as t="b",
+    nulls as omitted cells. Like the SQLite sink this is a
+    hand-back-to-reference-tooling path for dim-sized results — the
+    reference's world is workbooks (its emissions notebooks all start
+    at pd.read_excel) — streamed through ``toLocalIterator`` so the
+    driver never holds the whole frame. Returns rows written.
+    """
+    import re
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    if not re.fullmatch(r"[^\[\]*/\\?:]{1,31}", sheet_name):
+        raise ValueError(f"invalid sheet name: {sheet_name!r}")
+
+    import decimal
+
+    def _cell(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, decimal.Decimal):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        s = escape(str(v))
+        return (
+            f'<c r="{ref}" t="inlineStr"><is>'
+            f'<t xml:space="preserve">{s}</t></is></c>'
+        )
+
+    def _ref(row: int, col: int) -> str:
+        letters = ""
+        c = col
+        while True:
+            letters = chr(ord("A") + c % 26) + letters
+            c = c // 26 - 1
+            if c < 0:
+                break
+        return f"{letters}{row}"
+
+    cols = df.columns
+    n = 0
+    body_rows: list[str] = []
+    header = "".join(_cell(_ref(1, j), c) for j, c in enumerate(cols))
+    body_rows.append(f'<row r="1">{header}</row>')
+    for row in df.toLocalIterator():
+        n += 1
+        cells = "".join(_cell(_ref(n + 1, j), row[j]) for j in range(len(cols)))
+        body_rows.append(f'<row r="{n + 1}">{cells}</row>')
+
+    sheet_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(body_rows)
+        + "</sheetData></worksheet>"
+    )
+    workbook_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" '
+        'r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="'
+        "application/vnd.openxmlformats-officedocument.spreadsheetml"
+        '.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="'
+        "application/vnd.openxmlformats-officedocument.spreadsheetml"
+        '.worksheet+xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook_xml)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    return n
+
+
 def netcdf_table_to_df(spark: SparkSession, pdf) -> DataFrame:
     """S4's conversion contract, separated from the xarray seam so it
     is testable without the lib: takes the frame

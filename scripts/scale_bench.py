@@ -58,7 +58,7 @@ QUERIES = [
 # per-band n^2 / 2^(bits) collision term controls. 16-bit bands are
 # the registry query's setting; 24-bit bands (n_bits=48) are the
 # next decade's, dividing the random-collision term by 256.
-KNOB_QUERIES = ["simhash_cand_16b", "simhash_cand_24b"]
+KNOB_QUERIES = ["simhash_cand_16b", "simhash_cand_24b", "allpairs_xxhash"]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with
 # gen_scale_data --mult 100 --out .scale/sf10): pass --three to
@@ -99,6 +99,17 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    def _allpairs_xxhash(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+            load_table,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+            dedup,
+        )
+
+        docs = load_table(s, d, "documents", rebalance=True)
+        return dedup.allpairs_jaccard_pairs(docs, k=3, threshold=0.6)
+
     # Both knob settings use the 64-bit xxhash64 family so the ONLY
     # difference is band width (md5_hash64 is 32-bit-valued and would
     # silently truncate the 48-bit signature — the builder guards it).
@@ -109,6 +120,10 @@ def main() -> None:
         "simhash_cand_24b": lambda s, d: tfidf_simhash_candidates(
             s, d, n_bits=48, n_bands=2, hash_family=F.xxhash64
         ),
+        # Production-family twin of allpairs_jaccard_exact: same plan,
+        # 8-byte xxhash64 shingle keys instead of the oracle-able md5
+        # string transform.
+        "allpairs_xxhash": lambda s, d: _allpairs_xxhash(s, d),
     }
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()

@@ -548,3 +548,37 @@ def test_write_sqlite_roundtrip_and_guard(spark, tmp_path):
     assert got[3] == (None, None, None)
     with pytest.raises(ValueError, match="identifier"):
         write_sqlite(df, db, 'bad"; DROP TABLE results')
+
+
+def test_write_excel_roundtrip_hostile_cells(spark, tmp_path):
+    """The stdlib OOXML writer must escape XML metacharacters,
+    preserve significant whitespace, and round-trip numbers through
+    shortest-repr; the stdlib reader is its mirror."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.ingest import (
+        read_excel,
+        write_excel,
+    )
+
+    df = spark.sql(
+        "SELECT CAST(x AS DOUBLE) AS x, s FROM VALUES "
+        "(1.0, '<angle & amp>'), "
+        "(2.0, '  leading and trailing  '), "
+        "(3.0, 'quote \" and apostrophe '''), "
+        "(4.0, CAST(NULL AS STRING)), "
+        "(0.1, 'plain') "
+        "AS t(x, s)"
+    )
+    path = str(tmp_path / "w.xlsx")
+    n = write_excel(df, path, sheet_name="data")
+    assert n == 5
+    back = read_excel(spark, path, sheet=0)
+    got = {r.x: r.s for r in back.collect()}
+    assert got == {
+        1.0: "<angle & amp>",
+        2.0: "  leading and trailing  ",
+        3.0: 'quote " and apostrophe \'',
+        4.0: None,
+        0.1: "plain",
+    }
+    with pytest.raises(ValueError, match="sheet name"):
+        write_excel(df, str(tmp_path / "b.xlsx"), sheet_name="a/b")
