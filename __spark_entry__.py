@@ -115,6 +115,8 @@ _DEMOTE = [
     "orc_roundtrip",
     "sqlite_roundtrip",
     "excel_roundtrip",
+    "ccnet_perplexity_buckets",
+    "retrieval_ndcg_at_10",
     # -- ROUND-11 TIER B: the 28 remaining r7-rowed names --
     "bigram_logprob_scores",
     "embedding_quantize_int8",

@@ -179,6 +179,8 @@ HEADLINE = [
     "orc_roundtrip",            # ORC columnar interchange roundtrip
     "sqlite_roundtrip",         # S1 sink/source via reference's store
     "excel_roundtrip",          # S3 sink/source via stdlib OOXML
+    "ccnet_perplexity_buckets", # CCNet per-source perplexity thirds
+    "retrieval_ndcg_at_10",     # BM25 ranking-quality eval (nDCG)
 ]
 
 

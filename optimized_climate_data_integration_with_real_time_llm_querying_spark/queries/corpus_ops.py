@@ -1133,9 +1133,16 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "everything codegen'd, no UDFs.",
 )
 def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    return _bigram_doc_scores(d)
+
+
+def _bigram_doc_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_neg_logp): the add-1-smoothed bigram-LM
+    scoring core shared by bigram_logprob_scores and the CCNet bucket
+    query (same plan, same 4-dp rounding)."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents", rebalance=True)
     tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
     w = W.partitionBy("doc_id").orderBy("pos")
     bg = (
@@ -1166,6 +1173,75 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(-F.avg("logp"), 4).alias("avg_neg_logp"),
+        )
+    )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE trim(text) <> '')
+    ), tk AS (
+      SELECT doc_id, i, t[i] AS token FROM toks
+    ), big AS (
+      SELECT doc_id, token AS w1,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM tk
+    ), bg AS (
+      SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bg GROUP BY w1
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vsz FROM tk
+    ), p AS (
+      SELECT c2.w1, c2.w2,
+             ln((n2 + 1.0) / (n1 + vsz)) AS logp
+      FROM c2 JOIN c1 ON c1.w1 = c2.w1, v
+    ), scores AS (
+      SELECT b.doc_id, ROUND(-AVG(p.logp), 4) AS avg_neg_logp
+      FROM bg b JOIN p ON p.w1 = b.w1 AND p.w2 = b.w2
+      GROUP BY b.doc_id
+    )
+    SELECT s.doc_id, d.source, s.avg_neg_logp,
+           CASE NTILE(3) OVER (PARTITION BY d.source
+                               ORDER BY s.avg_neg_logp, s.doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="CCNet-style perplexity partitioning (Wenzek et al. 2020): "
+    "score every document with the corpus bigram LM "
+    "(bigram_logprob_scores' exact core, shared builder), then split "
+    "EACH source into head/middle/tail perplexity thirds — the "
+    "partition CCNet uses to keep only the fluent head/middle of "
+    "each Common Crawl language shard. Per-source NTILE(3) over the "
+    "4-dp-rounded score with doc_id tie-break is deterministic in "
+    "both engines; at 100 TB the bucket assignment is one ranking "
+    "window per source over doc-level scores (the LM itself shuffles "
+    "token pairs once, two-phase aggregated).",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    scores = _bigram_doc_scores(d).select("doc_id", "avg_neg_logp")
+    w = W.partitionBy("source").orderBy("avg_neg_logp", "doc_id")
+    return (
+        scores.join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "avg_neg_logp",
+            F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+            .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
         )
     )
 
