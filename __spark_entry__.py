@@ -105,8 +105,9 @@ _PROMOTE = [
     "bpe_fertility_by_source",
 ]
 _DEMOTE = [
-    # -- ROUND-11 TIER A: round-10 additions (never-rowed; lead the
-    #    round-11 window) --
+    # -- ROUND-11 TIER A: the 10 round-10 additions (never-rowed;
+    #    lead the round-11 window; all parity-green locally at both
+    #    test SFs plus a vanilla-session drive) --
     "compaction_roundtrip",
     "jsonl_roundtrip",
     "events_ohlc_daily",

@@ -256,3 +256,48 @@ def test_weighted_jaccard_equals_set_jaccard_without_repeats(spark):
         .jaccard
     )
     assert wr < sr, (wr, sr)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=0,
+        max_size=14,
+    ),
+    threshold=st.sampled_from([0.4, 0.6, 0.8, 1.0]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_allpairs_prefix_filter_equals_bruteforce(spark, texts, threshold):
+    """Prefix-filtering theorem, property form: on ADVERSARIAL tiny-
+    vocabulary corpora (maximum shingle collision, the regime where a
+    subtle ceil/epsilon bug would first lose a pair) the filtered
+    plan equals the unfiltered quadratic join at every threshold."""
+    from pyspark.sql import functions as F
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.dedup import (
+        allpairs_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in allpairs_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.0, max_shingle_df=None)
+        .filter(
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
+            >= F.lit(float(threshold))
+        )
+        .collect()
+    }
+    assert fast == brute
