@@ -51,6 +51,12 @@ QUERIES = [
     # Round-10: the window family over the events twin.
     "events_ohlc_daily",
     "user_sessionization",
+    # Round-10 second half: the two documents-table evals. ccnet is
+    # the bigram-LM core (token-pair shuffle + one ranking window per
+    # source, expected ~linear); ndcg is one BM25 pass + two 10-row
+    # rankings (expected IO-bound, alpha ~1).
+    "ccnet_perplexity_buckets",
+    "retrieval_ndcg_at_10",
 ]
 # Non-registry knob variants (VERDICT r9 item 5): the SAME weighted-
 # SimHash candidate generator at two bits-per-band settings, returning
