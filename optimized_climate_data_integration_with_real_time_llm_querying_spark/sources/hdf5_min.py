@@ -21,10 +21,12 @@ subset netCDF-4 actually uses is small enough to decode with
   reference / vlen-of-reference), fill value, attribute (v1 and v3),
   data layout v3 (contiguous and chunked),
 - chunked data through the v1 B-tree (node type 1) AND the v4-layout
-  chunk indexes LIBVER_LATEST writes for fixed-dims datasets
-  (single-chunk, implicit, fixed-array — unpaged — with filtered
-  entries), with the deflate (id 1) and shuffle (id 2) filters
-  (pipeline message v1 and v2),
+  chunk indexes LIBVER_LATEST writes: single-chunk, implicit, and
+  fixed-array (unpaged) for fixed-dims datasets, extensible-array
+  (unpaged blocks) for ONE unlimited dimension — the appendable
+  netCDF-4 record/time axis — all with filtered entries, with the
+  deflate (id 1) and shuffle (id 2) filters (pipeline message v1 and
+  v2),
 - vlen attribute payloads through global heap collections (GCOL) —
   what netCDF-4's DIMENSION_LIST uses to attach dimensions to
   variables.
@@ -484,9 +486,10 @@ def _apply_filters(raw: bytes, filters, fmask: int, itemsize: int) -> bytes:
 
 def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndarray:
     """Version-4 data layout (LIBVER_LATEST chunked datasets): the
-    single-chunk (1), implicit (2), and fixed-array (3) chunk
-    indexes. Extensible arrays and v2 B-trees (unlimited dims) raise
-    and route to the xarray seam."""
+    single-chunk (1), implicit (2), fixed-array (3), and
+    extensible-array (4 — one unlimited dimension, the appendable
+    netCDF-4 time axis) chunk indexes. v2 B-trees (multiple unlimited
+    dims) and paged blocks raise and route to the xarray seam."""
     cls = layout[1]
     if cls == 1:  # contiguous: same fields as v3
         addr = int.from_bytes(layout[2:10], "little")
@@ -599,10 +602,140 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
                 fmask = int.from_bytes(e[8 + size_len : entry_size], "little")
                 place(i, f.raw(caddr, csize), fmask)
         return out
+    if index_type == 4:  # extensible array (ONE unlimited dimension)
+        # The layout message carries the 5 creation parameters then
+        # the EAHD address (spec IV.A.2.i "Extensible Array Index");
+        # the header repeats the parameters, which we treat as
+        # authoritative. This is the index the HDF5 library picks for
+        # a dataset with a single unlimited dimension — i.e. every
+        # netCDF-4 record variable with an appendable time axis.
+        addr = int.from_bytes(layout[p + 5 : p + 13], "little")
+        if addr == UNDEF:
+            return out
+        if f.raw(addr, 4) != b"EAHD":
+            raise ValueError("bad extensible-array header signature")
+        client = f.u(addr + 5, 1)
+        elmt_size = f.u(addr + 6, 1)
+        max_nelmts_bits = f.u(addr + 7, 1)
+        idx_blk_elmts = f.u(addr + 8, 1)
+        data_blk_min_elmts = f.u(addr + 9, 1)
+        sup_blk_min_ptrs = f.u(addr + 10, 1)
+        page_nelmts = 1 << f.u(addr + 11, 1)
+        # 6 length-sized statistics fields precede the index block addr
+        iblk_addr = f.u(addr + 12 + 6 * 8, 8)
+        if iblk_addr == UNDEF:
+            return out
+        # Super-block geometry (H5EA design, public HDF5 source):
+        # super block u holds 2^(u/2) data blocks of
+        # 2^((u+1)/2) * data_blk_min_elmts elements each; the index
+        # block directly addresses the data blocks of the first
+        # 2*log2(sup_blk_min_ptrs) super blocks — exactly
+        # 2*(sup_blk_min_ptrs - 1) of them.
+        nsblks = 1 + (max_nelmts_bits - (data_blk_min_elmts.bit_length() - 1)) // 2
+        sblk_ndblks = [1 << (u // 2) for u in range(nsblks)]
+        sblk_nelmts = [
+            (1 << ((u + 1) // 2)) * data_blk_min_elmts for u in range(nsblks)
+        ]
+        sblk_start_idx, sblk_start_dblk = [], []
+        si = sd = 0
+        for u in range(nsblks):
+            sblk_start_idx.append(si)
+            sblk_start_dblk.append(sd)
+            si += sblk_ndblks[u] * sblk_nelmts[u]
+            sd += sblk_ndblks[u]
+        iblk_nsblks = 2 * (sup_blk_min_ptrs.bit_length() - 1)
+        ndblk_addrs = 2 * (sup_blk_min_ptrs - 1)
+        arr_off_size = (max_nelmts_bits + 7) // 8
+        if f.raw(iblk_addr, 4) != b"EAIB":
+            raise ValueError("bad extensible-array index block signature")
+        q = iblk_addr + 14  # sig(4) version(1) client(1) header addr(8)
+        iblk_elems = [
+            f.raw(q + i * elmt_size, elmt_size) for i in range(idx_blk_elmts)
+        ]
+        q += idx_blk_elmts * elmt_size
+        dblk_addrs = [f.u(q + i * 8, 8) for i in range(ndblk_addrs)]
+        q += ndblk_addrs * 8
+        sblk_addrs = [f.u(q + i * 8, 8) for i in range(nsblks - iblk_nsblks)]
+        nbytes = dtype.itemsize
+        for cd in chunk_dims:
+            nbytes *= cd
+
+        def read_elem(e: bytes):
+            caddr = int.from_bytes(e[0:8], "little")
+            if caddr == UNDEF:
+                return None
+            if client == 0:  # non-filtered: element = address only
+                return caddr, nbytes, 0
+            size_len = elmt_size - 12  # address(8) + size + mask(4)
+            csize = int.from_bytes(e[8 : 8 + size_len], "little")
+            fmask = int.from_bytes(e[8 + size_len : elmt_size], "little")
+            return caddr, csize, fmask
+
+        dblk_base: dict[int, int] = {}
+
+        def dblock_elem(daddr: int, dblk_nelmts: int, j: int) -> bytes:
+            base = dblk_base.get(daddr)
+            if base is None:
+                if f.raw(daddr, 4) != b"EADB":
+                    raise ValueError(
+                        "bad extensible-array data block signature"
+                    )
+                if dblk_nelmts > page_nelmts:
+                    raise NotImplementedError(
+                        "paged extensible-array data block (chunk counts "
+                        "past the page threshold route to the xarray seam)"
+                    )
+                base = daddr + 14 + arr_off_size
+                dblk_base[daddr] = base
+            return f.raw(base + j * elmt_size, elmt_size)
+
+        sblk_dblks: dict[int, list[int]] = {}
+
+        def sblock_dblk_addr(u: int, k: int) -> int:
+            saddr = sblk_addrs[u - iblk_nsblks]
+            if saddr == UNDEF:
+                return UNDEF
+            lst = sblk_dblks.get(saddr)
+            if lst is None:
+                if f.raw(saddr, 4) != b"EASB":
+                    raise ValueError(
+                        "bad extensible-array super block signature"
+                    )
+                if sblk_nelmts[u] > page_nelmts:
+                    raise NotImplementedError(
+                        "paged extensible-array data blocks (super block "
+                        "carries a page bitmap; routes to the xarray seam)"
+                    )
+                base = saddr + 14 + arr_off_size
+                lst = [f.u(base + i * 8, 8) for i in range(sblk_ndblks[u])]
+                sblk_dblks[saddr] = lst
+            return lst[k]
+
+        for i in range(n_chunks):
+            if i < idx_blk_elmts:
+                e = iblk_elems[i]
+            else:
+                idx = i - idx_blk_elmts
+                # sblk index = floor(log2(idx/min_elmts + 1))
+                u = ((idx // data_blk_min_elmts) + 1).bit_length() - 1
+                k, j = divmod(idx - sblk_start_idx[u], sblk_nelmts[u])
+                if u < iblk_nsblks:
+                    daddr = dblk_addrs[sblk_start_dblk[u] + k]
+                else:
+                    daddr = sblock_dblk_addr(u, k)
+                if daddr == UNDEF:
+                    continue
+                e = dblock_elem(daddr, sblk_nelmts[u], j)
+            r = read_elem(e)
+            if r is None:
+                continue
+            caddr, csize, fmask = r
+            place(i, f.raw(caddr, csize), fmask)
+        return out
     raise NotImplementedError(
         f"HDF5 v4 chunk index type {index_type}: single-chunk, implicit, "
-        "and fixed-array are supported; extensible arrays / v2 B-trees "
-        "(unlimited dimensions) route to the xarray seam"
+        "fixed-array, and extensible-array are supported; v2 B-trees "
+        "(multiple unlimited dimensions) route to the xarray seam"
     )
 
 

@@ -367,6 +367,93 @@ def build_nc4(
                         bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6),
                     )
                 )
+        elif layout4 in ("earray", "earray_filtered", "earray_paged"):
+            # Extensible-array chunk index (ONE unlimited dim — the
+            # appendable time axis). Creation parameters chosen small
+            # so a 16-step fixture exercises every tier of the
+            # addressing scheme: idx_blk_elmts=2, data_blk_min=2,
+            # sup_blk_min_ptrs=2, max_nelmts_bits=32 (arr_off_size 4).
+            # Geometry: chunks 0-1 inline in the index block; the
+            # index block directly addresses super blocks 0-1's data
+            # blocks (1x2 then 1x4 elements = chunks 2-7); super
+            # block 2 (2 data blocks x 4) covers chunks 8-15.
+            filtered = layout4 == "earray_filtered"
+            client = 1 if filtered else 0
+            esize = 8 + 8 + 4 if filtered else 8
+            UNSET = struct.pack("<Q", UNDEF) + b"\0" * (esize - 8)
+            if n_time > 16:
+                raise ValueError("earray fixture covers <= 16 time chunks")
+
+            def elem(ti: int) -> bytes:
+                raw = t2m[ti : ti + 1].tobytes()
+                if filtered:
+                    comp = zlib.compress(raw, 6)
+                    return struct.pack("<QQI", b.put(comp), len(comp), 0)
+                return struct.pack("<Q", b.put(raw))
+
+            rest = [elem(ti) for ti in range(2, n_time)]
+            patchme = []  # blocks whose header-address field waits for EAHD
+
+            def take(n: int) -> list[bytes]:
+                return [rest.pop(0) if rest else UNSET for _ in range(n)]
+
+            def dblock(nelmts: int, off: int) -> int:
+                if not rest:
+                    return UNDEF
+                d = bytearray(b"EADB" + bytes([0, client]))
+                d += struct.pack("<QI", 0, off)  # header addr + block offset
+                for e in take(nelmts):
+                    d += e
+                d += b"\0\0\0\0"  # checksum (not verified)
+                a = b.put(bytes(d))
+                patchme.append(a)
+                return a
+
+            dblk0 = dblock(2, 2)
+            dblk1 = dblock(4, 4)
+            sb2 = UNDEF
+            if rest:
+                d20, d21 = dblock(4, 8), dblock(4, 12)
+                s = bytearray(b"EASB" + bytes([0, client]))
+                s += struct.pack("<QIQQ", 0, 8, d20, d21) + b"\0\0\0\0"
+                sb2 = b.put(bytes(s))
+                patchme.append(sb2)
+            ib = bytearray(b"EAIB" + bytes([0, client]))
+            ib += struct.pack("<Q", 0)
+            inline = [elem(ti) for ti in range(min(2, n_time))]
+            for e in (inline + [UNSET, UNSET])[:2]:
+                ib += e
+            ib += struct.pack("<QQ", dblk0, dblk1)  # 2*(min_ptrs-1) direct dblks
+            # nsblks = 1 + (32-1)//2 = 16; 2 held via the direct
+            # addrs above -> 14 super-block address slots
+            ib += struct.pack("<Q", sb2) + struct.pack("<Q", UNDEF) * 13
+            ib += b"\0\0\0\0"
+            eaib = b.put(bytes(ib))
+            patchme.append(eaib)
+            page_bits = 1 if layout4 == "earray_paged" else 10
+            eahd = b.put(
+                b"EAHD"
+                + bytes([0, client, esize, 32, 2, 2, 2, page_bits])
+                + struct.pack("<QQQQQQ", 1, 0, 4, 0, n_time, n_time)
+                + struct.pack("<Q", eaib)
+                + b"\0\0\0\0"
+            )
+            for a in patchme:
+                b.buf[a + 6 : a + 14] = struct.pack("<Q", eahd)
+            body = (
+                bytes([4, 2, 0, 4, 4])
+                + cdims
+                + bytes([4])  # extensible-array index
+                + bytes([32, 2, 2, 2, page_bits])  # creation params
+                + struct.pack("<Q", eahd)
+            )
+            if filtered:
+                msgs4.append(
+                    M(
+                        0x000B,
+                        bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6),
+                    )
+                )
         else:
             raise ValueError(layout4)
         msgs4.append(M(0x0008, body))
@@ -676,11 +763,17 @@ def test_hdf5_roundtrip_property():
         )
         scale = data.draw(st.sampled_from([1.0, 0.01, 0.5]))
         offset = data.draw(st.sampled_from([0.0, 270.0]))
-        chunked = data.draw(st.booleans())
-        shuf = chunked and data.draw(st.booleans())
+        variant = data.draw(
+            st.sampled_from(
+                ["contig", "chunk", "chunk_shuffle", "fixed", "earray", "earray_filtered"]
+            )
+        )
+        v4 = variant in ("fixed", "earray", "earray_filtered")
         buf = build_nc4(
-            chunked_t2m=chunked,
-            shuffle=shuf,
+            chunked_t2m=variant in ("chunk", "chunk_shuffle"),
+            shuffle=variant == "chunk_shuffle",
+            modern=v4,
+            layout4=variant if v4 else None,
             lat_vals=lat_vals,
             lon_vals=lon_vals,
             t2m=t2m,
@@ -762,18 +855,57 @@ def test_modern_read_netcdf_via_spark(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "index", ["single", "implicit", "fixed", "fixed_filtered"]
+    "index",
+    ["single", "implicit", "fixed", "fixed_filtered", "earray", "earray_filtered"],
 )
 def test_layout_v4_chunk_indexes(index):
-    """Version-4 data layouts: the single-chunk, implicit, and
-    fixed-array (unfiltered + deflate) chunk indexes all decode to
-    the same frame as the old-style encodings."""
+    """Version-4 data layouts: the single-chunk, implicit,
+    fixed-array, and extensible-array (unfiltered + deflate) chunk
+    indexes all decode to the same frame as the old-style encodings."""
     pdf = decode_netcdf4_bytes(build_nc4(modern=True, layout4=index))
     ref = decode_netcdf4_bytes(build_nc4())
     a = pdf.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
     r = ref.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
     for c in r.columns:
         np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
+
+
+def _earray_16step(layout4: str):
+    """16 appendable time steps: chunks 0-1 inline in the index
+    block, 2-3 / 4-7 in the two directly-addressed data blocks, 8-15
+    through super block 2 — every tier of the addressing scheme."""
+    rng = np.random.RandomState(7)
+    t2m = rng.randint(-2000, 2000, size=(16, 2, 3)).astype("<i2")
+    return (
+        build_nc4(modern=True, layout4=layout4, t2m=t2m),
+        build_nc4(t2m=t2m),
+    )
+
+
+@pytest.mark.parametrize("index", ["earray", "earray_filtered"])
+def test_layout_v4_earray_all_tiers(index):
+    got, want = _earray_16step(index)
+    a = (
+        decode_netcdf4_bytes(got)
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    r = (
+        decode_netcdf4_bytes(want)
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == 16 * 2 * 3
+    for c in r.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
+
+
+def test_layout_v4_earray_paged_is_loud():
+    # page_bits=1 makes the 4-element data blocks paged; the decoder
+    # must refuse rather than misread them
+    got, _ = _earray_16step("earray_paged")
+    with pytest.raises(NotImplementedError, match="paged extensible-array"):
+        decode_netcdf4_bytes(got)
 
 
 def test_layout_v4_single_chunk_whole_array():
