@@ -20,13 +20,14 @@ subset netCDF-4 actually uses is small enough to decode with
 - dataspace (v1), datatype (fixed-point / IEEE-float / fixed string /
   reference / vlen-of-reference), fill value, attribute (v1 and v3),
   data layout v3 (contiguous and chunked),
-- chunked data through the v1 B-tree (node type 1) AND the v4-layout
-  chunk indexes LIBVER_LATEST writes: single-chunk, implicit, and
-  fixed-array (unpaged) for fixed-dims datasets, extensible-array
-  (unpaged blocks) for ONE unlimited dimension — the appendable
-  netCDF-4 record/time axis — all with filtered entries, with the
-  deflate (id 1) and shuffle (id 2) filters (pipeline message v1 and
-  v2),
+- chunked data through the v1 B-tree (node type 1) AND all five
+  v4-layout chunk indexes LIBVER_LATEST writes: single-chunk,
+  implicit, and fixed-array (unpaged) for fixed-dims datasets,
+  extensible-array (unpaged blocks) for ONE unlimited dimension —
+  the appendable netCDF-4 record/time axis — and root-leaf v2
+  B-trees for 2+ unlimited dimensions, all with filtered entries,
+  with the deflate (id 1) and shuffle (id 2) filters (pipeline
+  message v1 and v2),
 - vlen attribute payloads through global heap collections (GCOL) —
   what netCDF-4's DIMENSION_LIST uses to attach dimensions to
   variables.
@@ -485,11 +486,12 @@ def _apply_filters(raw: bytes, filters, fmask: int, itemsize: int) -> bytes:
 
 
 def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndarray:
-    """Version-4 data layout (LIBVER_LATEST chunked datasets): the
-    single-chunk (1), implicit (2), fixed-array (3), and
-    extensible-array (4 — one unlimited dimension, the appendable
-    netCDF-4 time axis) chunk indexes. v2 B-trees (multiple unlimited
-    dims) and paged blocks raise and route to the xarray seam."""
+    """Version-4 data layout (LIBVER_LATEST chunked datasets): all
+    five chunk indexes — single-chunk (1), implicit (2), fixed-array
+    (3), extensible-array (4 — one unlimited dimension, the
+    appendable netCDF-4 time axis), and root-leaf v2 B-tree (5 —
+    multiple unlimited dims). Paged blocks and multi-level B-trees
+    raise and route to the xarray seam."""
     cls = layout[1]
     if cls == 1:  # contiguous: same fields as v3
         addr = int.from_bytes(layout[2:10], "little")
@@ -732,10 +734,70 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
             caddr, csize, fmask = r
             place(i, f.raw(caddr, csize), fmask)
         return out
+    if index_type == 5:  # version-2 B-tree (2+ unlimited dimensions)
+        # Layout carries node size(4) + split%(1) + merge%(1) then the
+        # BTHD address. Record types: 10 = non-filtered chunks
+        # (address + scaled offsets), 11 = filtered chunks (address +
+        # variable-width chunk size + 4-byte filter mask + scaled
+        # offsets); scaled offset = chunk coordinate / chunk dim, one
+        # 8-byte word per dataset rank. Root-leaf trees (every
+        # realistic small archive) decode; deeper trees raise and
+        # route to the xarray seam rather than guessing the
+        # internal-node pointer widths.
+        addr = int.from_bytes(layout[p + 6 : p + 14], "little")
+        if addr == UNDEF:
+            return out
+        if f.raw(addr, 4) != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        rec_type = f.u(addr + 5, 1)
+        if rec_type not in (10, 11):
+            raise ValueError(f"v2 B-tree record type {rec_type} is not a chunk index")
+        record_size = f.u(addr + 10, 2)
+        depth = f.u(addr + 12, 2)
+        root_addr = f.u(addr + 16, 8)
+        root_nrec = f.u(addr + 24, 2)
+        if root_addr == UNDEF or root_nrec == 0:
+            return out
+        if depth != 0:
+            raise NotImplementedError(
+                "multi-level v2 B-tree chunk index (more chunks than one "
+                "leaf node holds) routes to the xarray seam"
+            )
+        if f.raw(root_addr, 4) != b"BTLF":
+            raise ValueError("bad v2 B-tree leaf signature")
+        rank = len(chunk_dims)
+        strides = [1] * rank  # row-major linear chunk index
+        for d in range(rank - 2, -1, -1):
+            strides[d] = strides[d + 1] * grid[d + 1]
+        nbytes = dtype.itemsize
+        for cd in chunk_dims:
+            nbytes *= cd
+        rp = root_addr + 6  # sig(4) version(1) type(1)
+        for _ in range(root_nrec):
+            rec = f.raw(rp, record_size)
+            rp += record_size
+            caddr = int.from_bytes(rec[0:8], "little")
+            if rec_type == 10:
+                csize, fmask, off = nbytes, 0, 8
+            else:
+                size_len = record_size - 8 - 4 - rank * 8
+                csize = int.from_bytes(rec[8 : 8 + size_len], "little")
+                fmask = int.from_bytes(rec[8 + size_len : 12 + size_len], "little")
+                off = 12 + size_len
+            coords = [
+                int.from_bytes(rec[off + 8 * d : off + 8 * (d + 1)], "little")
+                for d in range(rank)
+            ]
+            if caddr == UNDEF:
+                continue
+            idx = sum(c * s for c, s in zip(coords, strides))
+            place(idx, f.raw(caddr, csize), fmask)
+        return out
     raise NotImplementedError(
-        f"HDF5 v4 chunk index type {index_type}: single-chunk, implicit, "
-        "fixed-array, and extensible-array are supported; v2 B-trees "
-        "(multiple unlimited dimensions) route to the xarray seam"
+        f"HDF5 v4 chunk index type {index_type}: all five chunk index "
+        "types decode (single-chunk, implicit, fixed-array, "
+        "extensible-array, root-leaf v2 B-tree); unknown/newer index "
+        f"type {index_type} routes to the xarray seam"
     )
 
 

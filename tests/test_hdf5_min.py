@@ -454,6 +454,54 @@ def build_nc4(
                         bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6),
                     )
                 )
+        elif layout4 in ("btree2", "btree2_filtered"):
+            # Version-2 B-tree chunk index (2+ unlimited dims): a
+            # root-leaf tree — BTHD header (depth 0) pointing at one
+            # BTLF leaf holding a chunk record per time step. Record
+            # types 10/11; scaled offsets are rank-many 8-byte words
+            # (chunk coord / chunk dim).
+            filtered = layout4 == "btree2_filtered"
+            rtype = 11 if filtered else 10
+            recs = []
+            for ti in range(n_time):
+                raw = t2m[ti : ti + 1].tobytes()
+                if filtered:
+                    comp = zlib.compress(raw, 6)
+                    recs.append(
+                        struct.pack("<QQI", b.put(comp), len(comp), 0)
+                        + struct.pack("<QQQ", ti, 0, 0)
+                    )
+                else:
+                    recs.append(
+                        struct.pack("<Q", b.put(raw)) + struct.pack("<QQQ", ti, 0, 0)
+                    )
+            rec_size = 44 if filtered else 32
+            leaf_addr = b.put(
+                b"BTLF" + bytes([0, rtype]) + b"".join(recs) + b"\0\0\0\0"
+            )
+            bt = b.put(
+                b"BTHD"
+                + bytes([0, rtype])
+                + struct.pack("<IHH", 2048, rec_size, 0)  # node/rec size, depth
+                + bytes([100, 40])  # split / merge %
+                + struct.pack("<QHQ", leaf_addr, n_time, n_time)
+                + b"\0\0\0\0"
+            )
+            body = (
+                bytes([4, 2, 0, 4, 4])
+                + cdims
+                + bytes([5])  # v2 B-tree index
+                + struct.pack("<I", 2048)
+                + bytes([100, 40])
+                + struct.pack("<Q", bt)
+            )
+            if filtered:
+                msgs4.append(
+                    M(
+                        0x000B,
+                        bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6),
+                    )
+                )
         else:
             raise ValueError(layout4)
         msgs4.append(M(0x0008, body))
@@ -765,7 +813,16 @@ def test_hdf5_roundtrip_property():
         offset = data.draw(st.sampled_from([0.0, 270.0]))
         variant = data.draw(
             st.sampled_from(
-                ["contig", "chunk", "chunk_shuffle", "fixed", "earray", "earray_filtered"]
+                [
+                    "contig",
+                    "chunk",
+                    "chunk_shuffle",
+                    "fixed",
+                    "earray",
+                    "earray_filtered",
+                    "btree2",
+                    "btree2_filtered",
+                ]
             )
         )
         v4 = variant in ("fixed", "earray", "earray_filtered")
@@ -856,7 +913,16 @@ def test_modern_read_netcdf_via_spark(spark, tmp_path):
 
 @pytest.mark.parametrize(
     "index",
-    ["single", "implicit", "fixed", "fixed_filtered", "earray", "earray_filtered"],
+    [
+        "single",
+        "implicit",
+        "fixed",
+        "fixed_filtered",
+        "earray",
+        "earray_filtered",
+        "btree2",
+        "btree2_filtered",
+    ],
 )
 def test_layout_v4_chunk_indexes(index):
     """Version-4 data layouts: the single-chunk, implicit,
