@@ -181,6 +181,7 @@ HEADLINE = [
     "excel_roundtrip",          # S3 sink/source via stdlib OOXML
     "ccnet_perplexity_buckets", # CCNet per-source perplexity thirds
     "retrieval_ndcg_at_10",     # BM25 ranking-quality eval (nDCG)
+    "netcdf_roundtrip",         # S4 sink/source grid roundtrip (CDF-1)
 ]
 
 

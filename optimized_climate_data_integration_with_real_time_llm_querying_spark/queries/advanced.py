@@ -787,3 +787,100 @@ def excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_excel(spark, path, sheet=0).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+@register(
+    "netcdf_roundtrip",
+    """
+    WITH c AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), d AS (SELECT DISTINCT day FROM c), t AS (SELECT DISTINCT event_type FROM c)
+    SELECT d.day AS event_day, t.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM d CROSS JOIN t
+    LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+    """,
+    doc="Registry gate for the netCDF source/sink pair (S4 — the "
+    "reference's ERA5 format, ERA5_preprocessing.ipynb cell2-4): the "
+    "LAST source family to move from pytest-only onto the driver's "
+    "content oracle. Aggregates events into a DENSE (day x type) "
+    "count grid, writes it as a classic CDF-1 file through the "
+    "pure-stdlib writer — day as the RECORD (unlimited) dimension, "
+    "type names as an NC_CHAR variable — reads it back through the "
+    "S4 reader, and the oracle recomputes the same zero-filled grid "
+    "with a cross join, so header layout, record interleave, char "
+    "decode, and value byte order must all survive byte-for-byte. "
+    "Days are epoch-microsecond integer days (the events_ohlc_daily "
+    "convention — timezone-proof on both engines). Like SQLite and "
+    "Excel this is the dim-sized hand-back path: a dense coordinate "
+    "grid is small by construction (the collect is |days| x |types| "
+    "cells), while fact-sized data stays columnar.",
+)
+def netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import numpy as np
+
+    from ..sources.ingest import read_netcdf
+    from ..sources.netcdf_writer import write_netcdf_classic
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    cells = ev.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    obs = cells.collect()  # dim-sized: at most |days| x |types| rows
+    if not obs:
+        raise ValueError("netcdf_roundtrip: events table is empty")
+    days = sorted({r["day"] for r in obs})
+    types = sorted({r["event_type"] for r in obs})
+    grid = np.zeros((len(days), len(types)), dtype=np.int32)
+    di = {d: i for i, d in enumerate(days)}
+    ti = {t: j for j, t in enumerate(types)}
+    for r in obs:
+        grid[di[r["day"]], ti[r["event_type"]]] = r["n"]
+    strlen = max(len(t.encode("utf-8")) for t in types)
+    names = np.array([t.encode("utf-8") for t in types], dtype=f"S{strlen}")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        os.getcwd(), "spark-warehouse", f"_netcdf_roundtrip_{tag}.nc"
+    )
+    write_netcdf_classic(
+        path,
+        dims=[("day", None), ("type", len(types)), ("strlen", strlen)],
+        variables=[
+            {
+                "name": "day",
+                "nc_type": 4,
+                "dims": ["day"],
+                "values": np.asarray(days, dtype=np.int32),
+                "attrs": {"units": "days since 1970-01-01"},
+            },
+            {
+                "name": "type",
+                "nc_type": 4,
+                "dims": ["type"],
+                "values": np.arange(len(types), dtype=np.int32),
+            },
+            {
+                "name": "type_name",
+                "nc_type": 2,
+                "dims": ["type", "strlen"],
+                "values": names,
+            },
+            {
+                "name": "n_events",
+                "nc_type": 4,
+                "dims": ["day", "type"],
+                "values": grid,
+            },
+        ],
+        gattrs={"title": "daily event counts by type"},
+    )
+    return read_netcdf(spark, path).select(
+        F.col("day").cast("bigint").alias("event_day"),
+        F.col("type_name").alias("event_type"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
