@@ -57,6 +57,10 @@ QUERIES = [
     # rankings (expected IO-bound, alpha ~1).
     "ccnet_perplexity_buckets",
     "retrieval_ndcg_at_10",
+    # Round-10 late: the S4 grid roundtrip. The grid is bounded by
+    # |days| x |types| (constant over the events twin's fixed 30-day
+    # span), so cost = the groupBy scan; expected ~linear-at-worst.
+    "netcdf_roundtrip",
 ]
 # Non-registry knob variants (VERDICT r9 item 5): the SAME weighted-
 # SimHash candidate generator at two bits-per-band settings, returning
