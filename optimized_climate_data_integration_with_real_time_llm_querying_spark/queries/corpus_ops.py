@@ -1687,13 +1687,18 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "costs sum(df^2), so a relative cap only bounds work while the "
     "vocabulary keeps producing rare terms — above vocabulary "
     "saturation (the synthetic corpus at ~500k docs) candidate "
-    "volume trends to n^2/|vocab| and the right tool is the "
-    "MinHash/LSH family, whose banding does not depend on content "
-    "rarity. On Zipfian real corpora the cap works as intended. "
-    "ABOVE VOCABULARY SATURATION USE tfidf_simhash_topk — the "
-    "registry's weighted-SimHash twin with the SAME output contract "
-    "(its 100x point completes where this join was killed; see "
-    "BASELINE.md's regime table and bits-per-band knob table).",
+    "volume trends to n^2/|vocab|. The round-10 content-rarity "
+    "control (BASELINE.md, gen_scale_data --zipf) REFUTED the hope "
+    "that Zipfian rarity fixes this: cap-boundary terms have df "
+    "proportional to N on ANY corpus, so the join grew ~x16/decade "
+    "on the Heaps+Zipf twin too — rarity shrinks the constant, not "
+    "the asymptotics. This query is the oracle-scale audit/ground-"
+    "truth tool in EVERY regime. AT SCALE USE tfidf_simhash_topk "
+    "(rarity-independent banding, same output contract; its 100x "
+    "point completes where this join was killed) or "
+    "allpairs_jaccard_exact when exactness at a Jaccard threshold "
+    "is required (alpha 0.51 on the rarity-realistic twin); see "
+    "BASELINE.md's regime and knob tables.",
 )
 def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True)

@@ -89,6 +89,44 @@ def gen_documents(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def gen_documents_zipf(n: int, seed: int = 47) -> pa.Table:
+    """Content-RARITY twin: Heaps-law vocabulary (V = 50*sqrt(n) ->
+    3.5k/11k/35k types at 1x/10x/100x) with Zipf(s=1.1) token
+    frequencies — the statistics real corpora have, unlike the
+    31-token uniform twin whose saturation drives the tfidf/winnow/
+    allpairs regime boundaries in BASELINE.md. Same doc lengths, lang
+    mix, sources, and 5% near-copy injection as gen_documents, so the
+    ONLY variable between the two twins is content rarity."""
+    rng = np.random.default_rng(seed)
+    v = int(np.ceil(50.0 * np.sqrt(n)))
+    p = 1.0 / np.power(np.arange(1, v + 1), 1.1)
+    cum = np.cumsum(p / p.sum())
+    texts: list[str] = []
+    langs: list[str] = []
+    lang_idx = rng.choice(len(LANGS), size=n, p=LANG_W)
+    for i in range(n):
+        if i > 0 and rng.random() < DUP_P:
+            src = texts[int(rng.integers(0, i))].split(" ")
+            for _ in range(int(rng.integers(0, 3))):
+                t = int(np.searchsorted(cum, rng.random()))
+                src[int(rng.integers(0, len(src)))] = f"w{t}"
+            texts.append(" ".join(src))
+        else:
+            length = int(rng.integers(10, 101))
+            toks = np.searchsorted(cum, rng.random(length))
+            texts.append(" ".join(f"w{t}" for t in toks))
+        langs.append(LANGS[lang_idx[i]])
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
 def gen_embeddings(n: int, seed: int = 43) -> pa.Table:
     rng = np.random.default_rng(seed)
     m = rng.standard_normal((n, DIM))
@@ -238,13 +276,20 @@ def main() -> None:
         default=["documents", "embeddings", "part", "orders", "events"],
         help="subset of tables to (re)write into --out",
     )
+    ap.add_argument(
+        "--zipf",
+        action="store_true",
+        help="documents get the Heaps+Zipf content-rarity twin instead "
+        "of the 31-token distribution-matched one",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     wrote = []
     if "documents" in args.tables:
         n = int(BASE_DOCS * args.mult)
-        pq.write_table(gen_documents(n), os.path.join(args.out, "documents.parquet"))
-        wrote.append(f"{n} docs")
+        gen = gen_documents_zipf if args.zipf else gen_documents
+        pq.write_table(gen(n), os.path.join(args.out, "documents.parquet"))
+        wrote.append(f"{n} docs" + (" (zipf)" if args.zipf else ""))
     if "embeddings" in args.tables:
         n = int(BASE_VECS * args.mult)
         pq.write_table(gen_embeddings(n), os.path.join(args.out, "embeddings.parquet"))

@@ -91,6 +91,12 @@ def main() -> None:
         default=None,
         help="subset of QUERIES to run (default: all)",
     )
+    ap.add_argument(
+        "--scale-prefix",
+        default=None,
+        help="alternate scale-dir prefix (dir = prefix + point label), "
+        "e.g. .scale/zipf-sf for the content-rarity twins",
+    )
     args = ap.parse_args()
     queries = args.queries or QUERIES
     unknown = [q for q in queries if q not in QUERIES + KNOB_QUERIES]
@@ -138,6 +144,11 @@ def main() -> None:
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()
     scales = SCALES + ([SCALE_10] if args.three else [])
+    if args.scale_prefix:
+        # e.g. --scale-prefix .scale/zipf-sf points the same harness
+        # at the content-rarity twins from gen_scale_data --zipf
+        # (dir per point = prefix + label: zipf-sf0.1x, zipf-sf1, ...)
+        scales = [(lbl, args.scale_prefix + lbl, m) for lbl, _, m in scales]
     results: dict[str, dict[str, float]] = {}
     rows_out: dict[str, dict[str, int]] = {}
     for label, sf_dir, _mult in scales:
