@@ -1,4 +1,5 @@
-"""Pure-stdlib WRITER for the NetCDF classic binary format (CDF-1).
+"""Pure-stdlib WRITER for the NetCDF classic binary format
+(CDF-1, and CDF-2 for files past 2 GiB).
 
 The reader half of S4 (:mod:`.netcdf_classic`) decodes the format the
 reference's ERA5 module consumes (ERA5_preprocessing.ipynb cell2-4);
@@ -114,17 +115,23 @@ def write_netcdf_classic(
     dims: list[tuple[str, int | None]],
     variables: list[dict],
     gattrs: dict | None = None,
+    version: int = 1,
 ) -> bytes:
-    """Encode a CDF-1 classic NetCDF file and (optionally) write it.
+    """Encode a CDF-1/CDF-2 classic NetCDF file and (optionally)
+    write it.
 
     ``dims``: (name, length) in file order; length ``None`` marks THE
     record dimension (at most one, classic rule). ``variables``: dicts
     with keys ``name``, ``nc_type`` (1-6), ``dims`` (dim-name list;
     a record variable must put the record dim FIRST), ``values``
     (array matching the dim shape; the record dim's length is taken
-    from the data), optional ``attrs``. Returns the encoded bytes;
-    writes them to ``path`` when given.
+    from the data), optional ``attrs``. ``version=2`` writes CDF-2
+    (64-bit variable offsets — files past 2 GiB; everything else is
+    byte-identical). Returns the encoded bytes; writes them to
+    ``path`` when given.
     """
+    if version not in (1, 2):
+        raise ValueError(f"classic NetCDF version must be 1 or 2, got {version}")
     dim_index = {n: i for i, (n, _) in enumerate(dims)}
     rec_ids = [i for i, (_, ln) in enumerate(dims) if ln is None]
     if len(rec_ids) > 1:
@@ -181,8 +188,12 @@ def write_netcdf_classic(
             return n  # single-record-var special case: unpadded
         return n + ((4 - n % 4) % 4)
 
+    begin_fmt = ">q" if version == 2 else ">i"
+
     def header(begins: list[int]) -> bytes:
-        h = b"CDF\x01" + struct.pack(">I", numrecs)
+        h = (b"CDF\x02" if version == 2 else b"CDF\x01") + struct.pack(
+            ">I", numrecs
+        )
         if dims:
             h += struct.pack(">II", _NC_DIMENSION, len(dims))
             for n, ln in dims:
@@ -196,9 +207,8 @@ def write_netcdf_classic(
                 h += _name(v["name"]) + struct.pack(">I", len(dimids))
                 h += b"".join(struct.pack(">I", d) for d in dimids)
                 h += _attr_list(v.get("attrs"))
-                h += struct.pack(
-                    ">III", v["nc_type"], vsize(data, is_record), begin
-                )
+                h += struct.pack(">II", v["nc_type"], vsize(data, is_record))
+                h += struct.pack(begin_fmt, begin)
         else:
             h += struct.pack(">II", 0, 0)
         return h

@@ -123,6 +123,36 @@ def test_cf_attrs_roundtrip_through_reader_unpack():
     assert got[2] == pytest.approx(273.0)
 
 
+def test_cdf2_roundtrips_identically():
+    # CDF-2 differs only in magic + 64-bit begin offsets; the reader
+    # dispatches on the magic and must see the same frame
+    kw = dict(
+        dims=[("t", None), ("x", 2)],
+        variables=[
+            {
+                "name": "v",
+                "nc_type": 4,
+                "dims": ["t", "x"],
+                "values": np.array([[1, 2], [3, 4], [5, 6]], "i4"),
+            },
+            {
+                "name": "w",
+                "nc_type": 6,
+                "dims": ["x"],
+                "values": np.array([0.5, -1.5]),
+            },
+        ],
+    )
+    b1 = write_netcdf_classic(None, **kw)
+    b2 = write_netcdf_classic(None, version=2, **kw)
+    assert b1[:4] == b"CDF\x01" and b2[:4] == b"CDF\x02"
+    p1, p2 = decode_netcdf_bytes(b1), decode_netcdf_bytes(b2)
+    for c in p1.columns:
+        np.testing.assert_array_equal(p1[c].to_numpy(), p2[c].to_numpy())
+    with pytest.raises(ValueError, match="version must be 1 or 2"):
+        write_netcdf_classic(None, version=5, **kw)
+
+
 def test_all_numeric_types_roundtrip():
     vals = {
         1: np.array([-1, 2], "i1"),
