@@ -97,6 +97,71 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(op, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META),
+    ]
+)
+
+
+def fit_within(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving thumbnail dimensions (never upscales) — the
+    REAL half of resize, independent of any codec: scale by
+    min(max_w/w, max_h/h, 1), round, floor at 1px."""
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid source dimensions {w}x{h}")
+    scale = min(max_w / w, max_h / h, 1.0)
+    return max(1, round(w * scale)), max(1, round(h * scale))
+
+
+def resize_media(
+    df: DataFrame, max_w: int = 32, max_h: int = 32, decoder: str = "fake"
+) -> DataFrame:
+    """Resize each image payload to fit within (max_w, max_h),
+    aspect-preserving, never upscaling (Arrow-batched 1:1
+    mapInPandas). The dimension math and the metadata update are
+    real; only the pixel resample is behind the decoder seam —
+    ``decoder="fake"`` emits a deterministic payload derived from the
+    source bytes + target dims, ``decoder="real"`` raises where
+    Pillow's ``Image.thumbnail`` would plug in."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resample needs Pillow, not present in "
+                    "this environment; use decoder='fake'"
+                )
+            out_media, out_meta = [], []
+            for media, meta in zip(pdf["media"], pdf["media_meta"]):
+                nw, nh = fit_within(int(meta["width"]), int(meta["height"]), max_w, max_h)
+                out_media.append(
+                    hashlib.sha256(
+                        bytes(media) + nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
+                    ).digest()
+                )
+                out_meta.append(
+                    {
+                        "mime": meta["mime"],
+                        "width": nw,
+                        "height": nh,
+                        "n_frames": meta["n_frames"],
+                        "sample_rate": meta["sample_rate"],
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out_media,
+                    "media_meta": out_meta,
+                }
+            )
+
+    return df.select("doc_id", "media", "media_meta").mapInPandas(op, RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

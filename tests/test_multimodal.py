@@ -64,6 +64,36 @@ def test_frame_sampling_multiplicity(media):
     assert len({bytes(r["frame"]) for r in sample}) == len(sample)
 
 
+def test_fit_within_dimension_math():
+    # aspect preserved, never upscaled, floored at 1px
+    assert mm.fit_within(64, 32, 32, 32) == (32, 16)
+    assert mm.fit_within(32, 64, 32, 32) == (16, 32)
+    assert mm.fit_within(10, 10, 32, 32) == (10, 10)  # no upscale
+    assert mm.fit_within(1000, 1, 32, 32) == (32, 1)
+    with pytest.raises(ValueError, match="invalid source"):
+        mm.fit_within(0, 5, 32, 32)
+
+
+def test_resize_media_updates_meta_and_is_deterministic(media):
+    r1 = {r["doc_id"]: r for r in mm.resize_media(media, 24, 24).collect()}
+    r2 = {r["doc_id"]: r for r in mm.resize_media(media, 24, 24).collect()}
+    src = {r["doc_id"]: r["media_meta"] for r in media.collect()}
+    assert r1.keys() == src.keys()
+    for doc_id, row in r1.items():
+        meta = row["media_meta"]
+        w, h = meta["width"], meta["height"]
+        assert w <= 24 and h <= 24
+        assert (w, h) == mm.fit_within(src[doc_id]["width"], src[doc_id]["height"], 24, 24)
+        # passthrough fields survive the rewrite
+        assert meta["mime"] == src[doc_id]["mime"]
+        assert meta["n_frames"] == src[doc_id]["n_frames"]
+        assert bytes(row["media"]) == bytes(r2[doc_id]["media"])
+    # resized payloads are payload+dims dependent -> distinct
+    assert len({bytes(r["media"]) for r in r1.values()}) > 1
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        mm.resize_media(media, decoder="real").collect()
+
+
 def test_media_dedup_report_collapses_injected_copies(spark, tmp_path):
     """The registered media_dedup_report runs on testdata with no
     exact duplicates (all groups are singletons, like
