@@ -105,7 +105,7 @@ _PROMOTE = [
     "bpe_fertility_by_source",
 ]
 _DEMOTE = [
-    # -- ROUND-11 TIER A: the 11 round-10 additions (never-rowed;
+    # -- ROUND-11 TIER A: the 12 round-10 additions (never-rowed;
     #    lead the round-11 window; all parity-green locally at both
     #    test SFs plus a vanilla-session drive) --
     "compaction_roundtrip",
@@ -119,6 +119,7 @@ _DEMOTE = [
     "ccnet_perplexity_buckets",
     "retrieval_ndcg_at_10",
     "netcdf_roundtrip",
+    "media_resize_report",
     # -- ROUND-11 TIER B: the 28 remaining r7-rowed names --
     "bigram_logprob_scores",
     "embedding_quantize_int8",

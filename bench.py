@@ -182,6 +182,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets", # CCNet per-source perplexity thirds
     "retrieval_ndcg_at_10",     # BM25 ranking-quality eval (nDCG)
     "netcdf_roundtrip",         # S4 sink/source grid roundtrip (CDF-1)
+    "media_resize_report",      # multimodal resize metadata+payload gate
 ]
 
 

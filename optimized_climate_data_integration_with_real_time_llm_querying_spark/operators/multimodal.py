@@ -109,11 +109,14 @@ RESIZED_SCHEMA = T.StructType(
 def fit_within(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
     """Aspect-preserving thumbnail dimensions (never upscales) — the
     REAL half of resize, independent of any codec: scale by
-    min(max_w/w, max_h/h, 1), round, floor at 1px."""
+    min(max_w/w, max_h/h, 1), round HALF-UP (floor(x+0.5), not
+    Python's banker's round — SQL engines round ties away from zero,
+    and the cross-engine oracle needs both sides to agree at .5),
+    floor at 1px."""
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid source dimensions {w}x{h}")
     scale = min(max_w / w, max_h / h, 1.0)
-    return max(1, round(w * scale)), max(1, round(h * scale))
+    return max(1, int(w * scale + 0.5)), max(1, int(h * scale + 0.5))
 
 
 def resize_media(
@@ -137,10 +140,11 @@ def resize_media(
             out_media, out_meta = [], []
             for media, meta in zip(pdf["media"], pdf["media_meta"]):
                 nw, nh = fit_within(int(meta["width"]), int(meta["height"]), max_w, max_h)
+                # dims ride in an ASCII suffix (not raw bytes) so the
+                # derivation is replayable by VARCHAR-only SQL hash
+                # functions — the media_resize_report oracle
                 out_media.append(
-                    hashlib.sha256(
-                        bytes(media) + nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
-                    ).digest()
+                    hashlib.sha256(bytes(media) + f"|{nw}x{nh}".encode()).digest()
                 )
                 out_meta.append(
                     {

@@ -260,6 +260,57 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_resize_report",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(doc_id % 64 + 16 AS INTEGER) AS w,
+             CAST(doc_id % 48 + 16 AS INTEGER) AS h,
+             sha256(text) AS fh
+      FROM documents
+    ), s AS (
+      SELECT doc_id, fh, w, h,
+             LEAST(24.0 / w, 24.0 / h, 1.0) AS sc
+      FROM m
+    ), d AS (
+      SELECT doc_id, fh,
+             CAST(GREATEST(1, FLOOR(w * sc + 0.5)) AS INTEGER) AS new_w,
+             CAST(GREATEST(1, FLOOR(h * sc + 0.5)) AS INTEGER) AS new_h
+      FROM s
+    )
+    SELECT doc_id, new_w, new_h,
+           sha256(fh || '|' || CAST(new_w AS VARCHAR) || 'x'
+                     || CAST(new_h AS VARCHAR)) AS resized_fp
+    FROM d
+    """,
+    doc="The resize quarter of the multimodal plumbing under the "
+    "correctness gate (completing the decode/featurize/resize/"
+    "frame-sample family — featurize and exact-dedup-through-the-"
+    "featurizer are already gated). Synthesizes media, runs the "
+    "Arrow-batched resize_media operator (aspect-preserving "
+    "fit-within, never upscaling, HALF-UP rounding — floor(x+0.5) "
+    "on both engines because Python's round() is banker's and "
+    "SQL's is not), and the oracle replays BOTH halves: the "
+    "dimension math in SQL doubles and the fake resample's "
+    "sha256(payload || '|WxH') derivation, so the mapInPandas "
+    "metadata rewrite and payload derivation are hash-checked "
+    "end-to-end. Map-only (no shuffle), linear in documents.",
+)
+def media_resize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    media = multimodal.synthesize_media(d)
+    resized = multimodal.resize_media(media, max_w=24, max_h=24)
+    return resized.select(
+        "doc_id",
+        F.col("media_meta.width").alias("new_w"),
+        F.col("media_meta.height").alias("new_h"),
+        F.lower(F.hex("media")).alias("resized_fp"),
+    )
+
+
+@register(
     "doc_length_buckets",
     """
     SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
