@@ -720,6 +720,12 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
                 idx = i - idx_blk_elmts
                 # sblk index = floor(log2(idx/min_elmts + 1))
                 u = ((idx // data_blk_min_elmts) + 1).bit_length() - 1
+                if u >= nsblks:
+                    raise ValueError(
+                        f"chunk {i} addresses super block {u} beyond the "
+                        f"extensible array's declared capacity ({nsblks} "
+                        "super blocks) — malformed header"
+                    )
                 k, j = divmod(idx - sblk_start_idx[u], sblk_nelmts[u])
                 if u < iblk_nsblks:
                     daddr = dblk_addrs[sblk_start_dblk[u] + k]
@@ -766,6 +772,12 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
         if f.raw(root_addr, 4) != b"BTLF":
             raise ValueError("bad v2 B-tree leaf signature")
         rank = len(chunk_dims)
+        min_rec = (8 + rank * 8) if rec_type == 10 else (13 + rank * 8)
+        if record_size < min_rec:
+            raise ValueError(
+                f"v2 B-tree chunk record size {record_size} is smaller than "
+                f"the type-{rec_type} minimum {min_rec} for rank {rank}"
+            )
         strides = [1] * rank  # row-major linear chunk index
         for d in range(rank - 2, -1, -1):
             strides[d] = strides[d + 1] * grid[d + 1]

@@ -966,6 +966,33 @@ def test_layout_v4_earray_all_tiers(index):
         np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
 
 
+def test_malformed_v4_indexes_are_loud():
+    import re
+
+    # earray whose header declares too little capacity for its chunks:
+    # shrinking max_nelmts_bits also shrinks arr_off_size, so
+    # whichever inconsistency hits first must be a loud ValueError
+    # (capacity guard or truncated read), never a silent misread
+    got, _ = _earray_16step("earray")
+    i = got.find(b"EAHD")
+    assert i > 0
+    buf = bytearray(got)
+    buf[i + 7] = 3  # max_nelmts_bits
+    with pytest.raises(
+        ValueError, match="beyond the extensible array|truncated HDF5"
+    ):
+        decode_netcdf4_bytes(bytes(buf))
+
+    # btree2 whose header declares an impossible record size
+    bt = build_nc4(modern=True, layout4="btree2")
+    j = bt.find(b"BTHD")
+    assert j > 0
+    buf2 = bytearray(bt)
+    buf2[j + 10 : j + 12] = struct.pack("<H", 16)  # record size < 8+3*8
+    with pytest.raises(ValueError, match=re.escape("smaller than the type-10")):
+        decode_netcdf4_bytes(bytes(buf2))
+
+
 def test_layout_v4_earray_paged_is_loud():
     # page_bits=1 makes the 4-element data blocks paged; the decoder
     # must refuse rather than misread them
