@@ -150,6 +150,83 @@ def test_nc_to_nl_answer(spark, tmp_path):
     assert located.count() == N_MONTHS * 4
 
 
+def test_grid_export_roundtrip(spark, tmp_path):
+    """The reverse half of the lifecycle: the engine hands a grid
+    BACK to netCDF-consuming tooling. Ingest the classic file, repack
+    the unpacked doubles to CF int16 with the same scale/offset,
+    export through the pure-stdlib writer (valid_time as the record
+    dimension, like the source), re-ingest, and demand cell-for-cell
+    equality with the original frame — the writer/reader pair must
+    preserve the reference's packed-ERA5 representation exactly."""
+    import numpy as np
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.netcdf_writer import (
+        write_netcdf_classic,
+    )
+
+    p = tmp_path / "skt_src.nc"
+    p.write_bytes(_era5_nc_bytes())
+    grid = ingest.read_netcdf(spark, str(p))
+    pdf = (
+        grid.toPandas()
+        .sort_values(["valid_time", "latitude", "longitude"])
+        .reset_index(drop=True)
+    )
+    times = sorted(pdf["valid_time"].unique())
+    lats = sorted(pdf["latitude"].unique())
+    lons = sorted(pdf["longitude"].unique())
+    skt = pdf["skt"].to_numpy().reshape(len(times), len(lats), len(lons))
+    raw = np.round((skt - OFFSET) / SCALE).astype("<i2")
+    p2 = tmp_path / "skt_export.nc"
+    write_netcdf_classic(
+        str(p2),
+        dims=[
+            ("valid_time", None),
+            ("latitude", len(lats)),
+            ("longitude", len(lons)),
+        ],
+        variables=[
+            {
+                "name": "valid_time",
+                "nc_type": 4,
+                "dims": ["valid_time"],
+                "values": np.asarray(times, "i4"),
+            },
+            {
+                "name": "latitude",
+                "nc_type": 6,
+                "dims": ["latitude"],
+                "values": np.asarray(lats),
+            },
+            {
+                "name": "longitude",
+                "nc_type": 6,
+                "dims": ["longitude"],
+                "values": np.asarray(lons),
+            },
+            {
+                "name": "skt",
+                "nc_type": 3,
+                "dims": ["valid_time", "latitude", "longitude"],
+                "values": raw,
+                "attrs": {"scale_factor": SCALE, "add_offset": OFFSET},
+            },
+        ],
+        gattrs={"title": "engine export"},
+    )
+    back = (
+        ingest.read_netcdf(spark, str(p2))
+        .toPandas()
+        .sort_values(["valid_time", "latitude", "longitude"])
+        .reset_index(drop=True)
+    )
+    assert list(back.columns) == list(pdf.columns)
+    for c in pdf.columns:
+        np.testing.assert_array_equal(
+            back[c].to_numpy(), pdf[c].to_numpy(), err_msg=c
+        )
+
+
 def test_nc_to_nl_trend_answer(spark, tmp_path):
     """Round-10 lifecycle extension: the SAME .nc ingest path now
     feeds the NL trend intent — a 3-year classic file rolls up to
