@@ -75,7 +75,10 @@ class _F:
         self.buf = buf
 
     def u(self, off: int, n: int) -> int:
-        return int.from_bytes(self.buf[off : off + n], "little")
+        # Route through raw() so a truncated file fails loudly at the
+        # point of truncation instead of yielding a silently-shortened
+        # integer (bogus address/count) that wanders before failing.
+        return int.from_bytes(self.raw(off, n), "little")
 
     def raw(self, off: int, n: int) -> bytes:
         b = self.buf[off : off + n]

@@ -64,7 +64,10 @@ def _attr_bytes(name: str, value) -> bytes:
     if arr.dtype.kind == "i" and arr.dtype.itemsize <= 4:
         t = {1: 1, 2: 3, 4: 4}[arr.dtype.itemsize]
     elif arr.dtype.kind == "i":
-        if (np.abs(arr) > 2**31 - 1).any():
+        # Compare against the int32 bounds directly: np.abs(int64 min)
+        # overflows back negative (would bypass the guard), and
+        # -2**31 itself IS representable by NC_INT.
+        if ((arr < -(2**31)) | (arr > 2**31 - 1)).any():
             raise ValueError(f"attribute {name!r}: int64 exceeds NC_INT range")
         t, arr = 4, arr.astype(np.int32)
     elif arr.dtype.kind == "f":

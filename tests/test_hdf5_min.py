@@ -677,6 +677,20 @@ def test_unsupported_superblock_is_loud():
         parse_netcdf4(bytes(buf))
 
 
+def test_truncated_file_is_loud_at_point_of_truncation():
+    """Every fixed-width integer read routes through raw(), so a file
+    cut at ANY byte offset past the magic fails with the loud
+    'truncated HDF5 file' error (or a structural check that fires
+    first), never a silently-shortened address that wanders.
+    (ADVICE r10 item 2.)"""
+    buf = build_nc4()
+    # cut at a spread of offsets: mid-superblock, mid-object-header,
+    # mid-heap, mid-data
+    for cut in (12, 40, len(buf) // 4, len(buf) // 2, len(buf) - 7):
+        with pytest.raises(ValueError, match="truncated HDF5|not an HDF5"):
+            parse_netcdf4(buf[:cut])
+
+
 def test_plain_hdf5_without_dimension_list_is_loud():
     # strip DIMENSION_LIST by renaming it -> t2m loses its dims
     buf = build_nc4().replace(b"DIMENSION_LIST", b"DIMENSION_LOST")

@@ -216,6 +216,33 @@ def test_loud_errors():
         )
 
 
+def test_int_attr_range_guard_is_exact():
+    """NC_INT range guard compares against the int32 bounds directly.
+
+    np.abs(int64 min) overflows back negative, so an abs-based guard
+    would silently truncate -2**63; and -2**31 IS representable by
+    NC_INT so it must pass. (ADVICE r10 item 1.)
+    """
+    def write_with_attr(value):
+        return write_netcdf_classic(
+            None,
+            dims=[("x", 1)],
+            variables=[
+                {"name": "v", "nc_type": 4, "dims": ["x"], "values": np.zeros(1, "i4")}
+            ],
+            gattrs={"a": value},
+        )
+
+    with pytest.raises(ValueError, match="exceeds NC_INT range"):
+        write_with_attr(np.int64(-(2**63)))  # np.abs overflows on this
+    with pytest.raises(ValueError, match="exceeds NC_INT range"):
+        write_with_attr(np.int64(2**31))
+    # boundary values are representable and must roundtrip exactly
+    for ok in (-(2**31), 2**31 - 1):
+        _, gattrs, _ = parse_classic(write_with_attr(np.int64(ok)))
+        assert gattrs["a"] == ok
+
+
 def test_writer_roundtrip_property():
     """Random dim shapes / dtypes / record-dim choice roundtrip
     exactly through write -> parse."""
