@@ -22,12 +22,14 @@ subset netCDF-4 actually uses is small enough to decode with
   data layout v3 (contiguous and chunked),
 - chunked data through the v1 B-tree (node type 1) AND all five
   v4-layout chunk indexes LIBVER_LATEST writes: single-chunk,
-  implicit, and fixed-array (unpaged) for fixed-dims datasets,
+  implicit, and fixed-array (paged AND unpaged — million-chunk
+  archive-scale grids use the paged form) for fixed-dims datasets,
   extensible-array (unpaged blocks) for ONE unlimited dimension —
-  the appendable netCDF-4 record/time axis — and root-leaf v2
-  B-trees for 2+ unlimited dimensions, all with filtered entries,
-  with the deflate (id 1) and shuffle (id 2) filters (pipeline
-  message v1 and v2),
+  the appendable netCDF-4 record/time axis — and v2 B-trees
+  (root-leaf AND multi-level, child-pointer widths from the H5B2
+  node_info math) for 2+ unlimited dimensions, all with filtered
+  entries, with the deflate (id 1) and shuffle (id 2) filters
+  (pipeline message v1 and v2),
 - vlen attribute payloads through global heap collections (GCOL) —
   what netCDF-4's DIMENSION_LIST uses to attach dimensions to
   variables.
@@ -491,10 +493,12 @@ def _apply_filters(raw: bytes, filters, fmask: int, itemsize: int) -> bytes:
 def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndarray:
     """Version-4 data layout (LIBVER_LATEST chunked datasets): all
     five chunk indexes — single-chunk (1), implicit (2), fixed-array
-    (3), extensible-array (4 — one unlimited dimension, the
-    appendable netCDF-4 time axis), and root-leaf v2 B-tree (5 —
-    multiple unlimited dims). Paged blocks and multi-level B-trees
-    raise and route to the xarray seam."""
+    (3, paged and unpaged), extensible-array (4 — one unlimited
+    dimension, the appendable netCDF-4 time axis), and v2 B-tree
+    (5 — multiple unlimited dims; root-leaf AND multi-level, with the
+    variable child-pointer widths derived from the node size the way
+    libhdf5's H5B2 node_info math does). Paged EXTENSIBLE-array data
+    blocks still raise and route to the xarray seam."""
     cls = layout[1]
     if cls == 1:  # contiguous: same fields as v3
         addr = int.from_bytes(layout[2:10], "little")
@@ -584,18 +588,43 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
         dblock = f.u(addr + 16, 8)
         if f.raw(dblock, 4) != b"FADB":
             raise ValueError("bad fixed-array data block signature")
-        if n_entries > (1 << page_bits):
-            raise NotImplementedError(
-                "paged fixed-array chunk index (very large chunk grids)"
-            )
-        # FADB: sig(4) version(1) client(1) header address(8), then
-        # elements (unpaged when n_entries <= page size)
-        ep = dblock + 14
+        page_nelmts = 1 << page_bits
+        if n_entries > page_nelmts:
+            # Paged data block (very large chunk grids — 100-TB-scale
+            # ERA5 archives land here). FADB prefix becomes sig(4)
+            # version(1) client(1) header address(8) + page bitmap
+            # (one bit per page, LSB-first within each byte, set =
+            # initialized) + checksum(4); the element pages follow at
+            # a FIXED stride of page_nelmts*entry_size + 4 (per-page
+            # checksum), the stride libhdf5 uses for page addressing
+            # even when the last page holds fewer elements.
+            npages = (int(n_entries) + page_nelmts - 1) // page_nelmts
+            bitmap = f.raw(dblock + 14, (npages + 7) // 8)
+            page0 = dblock + 14 + len(bitmap) + 4
+            page_stride = page_nelmts * entry_size + 4
+
+            def elem_bytes(i: int) -> bytes | None:
+                pg, j = divmod(i, page_nelmts)
+                if not (bitmap[pg // 8] >> (pg % 8)) & 1:
+                    return None  # uninitialized page: chunks unwritten
+                return f.raw(page0 + pg * page_stride + j * entry_size, entry_size)
+
+        else:
+            # FADB: sig(4) version(1) client(1) header address(8),
+            # then elements inline (unpaged when all entries fit one
+            # page)
+            ep = dblock + 14
+
+            def elem_bytes(i: int) -> bytes | None:
+                return f.raw(ep + i * entry_size, entry_size)
+
         nbytes = dtype.itemsize
         for cd in chunk_dims:
             nbytes *= cd
         for i in range(int(n_entries)):
-            e = f.raw(ep + i * entry_size, entry_size)
+            e = elem_bytes(i)
+            if e is None:
+                continue
             caddr = int.from_bytes(e[0:8], "little")
             if caddr == UNDEF:
                 continue
@@ -749,10 +778,18 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
         # (address + scaled offsets), 11 = filtered chunks (address +
         # variable-width chunk size + 4-byte filter mask + scaled
         # offsets); scaled offset = chunk coordinate / chunk dim, one
-        # 8-byte word per dataset rank. Root-leaf trees (every
-        # realistic small archive) decode; deeper trees raise and
-        # route to the xarray seam rather than guessing the
-        # internal-node pointer widths.
+        # 8-byte word per dataset rank. Both root-leaf trees and
+        # multi-level trees decode; the variable child-pointer widths
+        # in internal nodes are derived from the header's node size
+        # exactly as libhdf5 derives them (H5B2hdr node_info math):
+        #   leaf_max      = (node_size - prefix 10) / record_size
+        #   max_nrec_size = bytes to encode leaf_max
+        #   ptr(d)        = addr 8 + max_nrec_size
+        #                   + (cum_nrec_size(d-1) if d > 1 else 0)
+        #   int_max(d)    = (node_size - 10 - ptr(d))
+        #                   / (record_size + ptr(d))
+        #   cum_max(d)    = (int_max(d)+1) * cum_max(d-1) + int_max(d)
+        # where prefix 10 = sig(4)+version(1)+type(1)+checksum(4).
         addr = int.from_bytes(layout[p + 6 : p + 14], "little")
         if addr == UNDEF:
             return out
@@ -761,19 +798,13 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
         rec_type = f.u(addr + 5, 1)
         if rec_type not in (10, 11):
             raise ValueError(f"v2 B-tree record type {rec_type} is not a chunk index")
+        node_size = f.u(addr + 6, 4)
         record_size = f.u(addr + 10, 2)
         depth = f.u(addr + 12, 2)
         root_addr = f.u(addr + 16, 8)
         root_nrec = f.u(addr + 24, 2)
         if root_addr == UNDEF or root_nrec == 0:
             return out
-        if depth != 0:
-            raise NotImplementedError(
-                "multi-level v2 B-tree chunk index (more chunks than one "
-                "leaf node holds) routes to the xarray seam"
-            )
-        if f.raw(root_addr, 4) != b"BTLF":
-            raise ValueError("bad v2 B-tree leaf signature")
         rank = len(chunk_dims)
         min_rec = (8 + rank * 8) if rec_type == 10 else (13 + rank * 8)
         if record_size < min_rec:
@@ -787,10 +818,8 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
         nbytes = dtype.itemsize
         for cd in chunk_dims:
             nbytes *= cd
-        rp = root_addr + 6  # sig(4) version(1) type(1)
-        for _ in range(root_nrec):
-            rec = f.raw(rp, record_size)
-            rp += record_size
+
+        def emit(rec: bytes) -> None:
             caddr = int.from_bytes(rec[0:8], "little")
             if rec_type == 10:
                 csize, fmask, off = nbytes, 0, 8
@@ -804,9 +833,57 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
                 for d in range(rank)
             ]
             if caddr == UNDEF:
-                continue
+                return
             idx = sum(c * s for c, s in zip(coords, strides))
             place(idx, f.raw(caddr, csize), fmask)
+
+        # node_info math (sizes of the per-depth child-pointer fields)
+        leaf_max = (node_size - 10) // record_size
+        if leaf_max < 1:
+            raise ValueError(
+                f"v2 B-tree node size {node_size} cannot hold one "
+                f"record of size {record_size}"
+            )
+        max_nrec_size = (leaf_max.bit_length() - 1) // 8 + 1
+        cum_max = leaf_max
+        cum_size = [0]  # cum_size[d] = bytes encoding a depth-d subtree total
+        for d in range(1, depth + 1):
+            ptr = 8 + max_nrec_size + cum_size[d - 1]
+            int_max = (node_size - 10 - ptr) // (record_size + ptr)
+            if int_max < 1:
+                raise ValueError(
+                    f"v2 B-tree node size {node_size} cannot hold an "
+                    f"internal record+pointer at depth {d}"
+                )
+            cum_max = (int_max + 1) * cum_max + int_max
+            cum_size.append((cum_max.bit_length() - 1) // 8 + 1)
+
+        def walk(naddr: int, nrec: int, d: int) -> None:
+            if d == 0:
+                if f.raw(naddr, 4) != b"BTLF":
+                    raise ValueError("bad v2 B-tree leaf signature")
+                rp = naddr + 6  # sig(4) version(1) type(1)
+                for _ in range(nrec):
+                    emit(f.raw(rp, record_size))
+                    rp += record_size
+                return
+            if f.raw(naddr, 4) != b"BTIN":
+                raise ValueError("bad v2 B-tree internal node signature")
+            rp = naddr + 6
+            for _ in range(nrec):
+                emit(f.raw(rp, record_size))
+                rp += record_size
+            # nrec+1 child pointers: address(8) + child nrec
+            # (max_nrec_size) + child-subtree total (cum_size[d-1],
+            # present only when the children are themselves internal)
+            tot_size = cum_size[d - 1] if d > 1 else 0
+            for _ in range(nrec + 1):
+                caddr = f.u(rp, 8)
+                cnrec = f.u(rp + 8, max_nrec_size)
+                rp += 8 + max_nrec_size + tot_size
+                walk(caddr, cnrec, d - 1)
+
+        walk(root_addr, root_nrec, depth)
         return out
     raise NotImplementedError(
         f"HDF5 v4 chunk index type {index_type}: all five chunk index "

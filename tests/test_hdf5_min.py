@@ -327,6 +327,130 @@ def build_nc4(
             # C-order array
             addr = b.put(t2m.tobytes())
             body = bytes([4, 2, 0, 4, 4]) + cdims + bytes([2]) + struct.pack("<Q", addr)
+        elif layout4 in ("fixed_paged", "fixed_paged_filtered"):
+            # PAGED fixed-array data block (spec III.F): FADB prefix
+            # = sig(4) version(1) client(1) header address(8) + page
+            # bitmap (1 bit/page, LSB-first, set = initialized) +
+            # checksum(4); element pages follow CONTIGUOUSLY at a
+            # fixed stride of page_nelmts*entry_size + 4 (per-page
+            # checksum); the last page is truncated to its element
+            # count. page_bits=2 -> 4 elements/page.
+            filtered = layout4 == "fixed_paged_filtered"
+            page_bits, page_nelmts = 2, 4
+            entries = []
+            for ti in range(n_time):
+                raw = t2m[ti : ti + 1].tobytes()
+                if filtered:
+                    comp = zlib.compress(raw, 6)
+                    entries.append(struct.pack("<QQI", b.put(comp), len(comp), 0))
+                else:
+                    entries.append(struct.pack("<Q", b.put(raw)))
+            entry_size = 20 if filtered else 8
+            npages = (n_time + page_nelmts - 1) // page_nelmts
+            bitmap = bytearray((npages + 7) // 8)
+            for pg in range(npages):
+                bitmap[pg // 8] |= 1 << (pg % 8)
+            fadb = bytearray(b"FADB" + bytes([0, 1 if filtered else 0]))
+            fadb += struct.pack("<Q", 0)  # header addr, patched below
+            fadb += bytes(bitmap) + b"\0\0\0\0"  # prefix checksum
+            for pg in range(npages):
+                page = entries[pg * page_nelmts : (pg + 1) * page_nelmts]
+                blob = b"".join(page) + b"\0\0\0\0"  # page checksum
+                if pg < npages - 1:  # full stride for non-final pages
+                    blob += b"\0" * (page_nelmts * entry_size + 4 - len(blob))
+                fadb += blob
+            dblock = b.put(bytes(fadb))
+            fahd = (
+                b"FAHD"
+                + bytes([0, 1 if filtered else 0, entry_size, page_bits])
+                + struct.pack("<QQ", n_time, dblock)
+                + b"\0\0\0\0"
+            )
+            fah = b.put(fahd)
+            b.buf[dblock + 6 : dblock + 14] = struct.pack("<Q", fah)
+            body = (
+                bytes([4, 2, 0, 4, 4])
+                + cdims
+                + bytes([3, page_bits])
+                + struct.pack("<Q", fah)
+            )
+            if filtered:
+                msgs4.append(
+                    M(
+                        0x000B,
+                        bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6),
+                    )
+                )
+        elif layout4 in ("btree2_deep", "btree2_deep_filtered"):
+            # MULTI-LEVEL (depth-2) v2 B-tree: BTHD -> BTIN root ->
+            # BTIN depth-1 internals -> BTLF leaves. Child-pointer
+            # widths follow the H5B2 node_info math from the header's
+            # node size — unfiltered: node 128, rec 32 -> leaf_max 3,
+            # max_nrec_size 1, cum_size(1) 1; filtered: node 192,
+            # rec 44 -> leaf_max 4, same pointer widths. 16 records
+            # in-order: [0,1] 2 [3,4] | 5 | [6,7] 8 [9,10] | 11 |
+            # [12,13] 14 [15].
+            filtered = layout4 == "btree2_deep_filtered"
+            rtype = 11 if filtered else 10
+            node_size = 192 if filtered else 128
+            rec_size = 44 if filtered else 32
+            if n_time != 16:
+                raise ValueError("btree2_deep fixture needs 16 time chunks")
+
+            def rec(ti: int) -> bytes:
+                raw = t2m[ti : ti + 1].tobytes()
+                if filtered:
+                    comp = zlib.compress(raw, 6)
+                    return struct.pack("<QQI", b.put(comp), len(comp), 0) + struct.pack(
+                        "<QQQ", ti, 0, 0
+                    )
+                return struct.pack("<Q", b.put(raw)) + struct.pack("<QQQ", ti, 0, 0)
+
+            def leaf(tis: list[int]) -> tuple[int, int, int]:
+                blob = b"BTLF" + bytes([0, rtype])
+                blob += b"".join(rec(ti) for ti in tis) + b"\0\0\0\0"
+                return b.put(blob), len(tis), len(tis)
+
+            def internal(
+                recs: list[int], children: list[tuple[int, int, int]], tot_size: int
+            ) -> tuple[int, int, int]:
+                blob = b"BTIN" + bytes([0, rtype])
+                blob += b"".join(rec(ti) for ti in recs)
+                total = len(recs)
+                for caddr, cnrec, ctotal in children:
+                    blob += struct.pack("<QB", caddr, cnrec)
+                    if tot_size:  # subtree total (present when depth > 1)
+                        blob += ctotal.to_bytes(tot_size, "little")
+                    total += ctotal
+                return b.put(blob + b"\0\0\0\0"), len(recs), total
+
+            ca = internal([2], [leaf([0, 1]), leaf([3, 4])], 0)
+            cb = internal([8], [leaf([6, 7]), leaf([9, 10])], 0)
+            cc = internal([14], [leaf([12, 13]), leaf([15])], 0)
+            root_addr, root_nrec, _ = internal([5, 11], [ca, cb, cc], 1)
+            bt = b.put(
+                b"BTHD"
+                + bytes([0, rtype])
+                + struct.pack("<IHH", node_size, rec_size, 2)  # depth 2
+                + bytes([100, 40])
+                + struct.pack("<QHQ", root_addr, root_nrec, n_time)
+                + b"\0\0\0\0"
+            )
+            body = (
+                bytes([4, 2, 0, 4, 4])
+                + cdims
+                + bytes([5])
+                + struct.pack("<I", node_size)
+                + bytes([100, 40])
+                + struct.pack("<Q", bt)
+            )
+            if filtered:
+                msgs4.append(
+                    M(
+                        0x000B,
+                        bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6),
+                    )
+                )
         elif layout4 in ("fixed", "fixed_filtered"):
             filtered = layout4 == "fixed_filtered"
             entries = []
@@ -972,6 +1096,68 @@ def test_layout_v4_earray_all_tiers(index):
     )
     r = (
         decode_netcdf4_bytes(want)
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == 16 * 2 * 3
+    for c in r.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
+
+
+@pytest.mark.parametrize("index", ["fixed_paged", "fixed_paged_filtered"])
+def test_layout_v4_fixed_array_paged(index):
+    """Paged fixed-array data block: 14 one-step time chunks over
+    4-element pages (3 full + 1 truncated final page), fixed on-disk
+    page stride, bitmap all-initialized."""
+    rng = np.random.RandomState(11)
+    t2m = rng.randint(-2000, 2000, size=(14, 2, 3)).astype("<i2")
+    a = (
+        decode_netcdf4_bytes(build_nc4(modern=True, layout4=index, t2m=t2m))
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    r = (
+        decode_netcdf4_bytes(build_nc4(t2m=t2m))
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == 14 * 2 * 3
+    for c in r.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
+
+
+def test_fixed_array_uninitialized_page_reads_as_unwritten():
+    """A cleared page-bitmap bit marks that page's chunks unwritten:
+    the reader must skip the page (fill-value zeros), not read
+    whatever bytes sit in its slot."""
+    rng = np.random.RandomState(12)
+    t2m = rng.randint(1, 2000, size=(14, 2, 3)).astype("<i2")  # no zeros
+    buf = bytearray(build_nc4(modern=True, layout4="fixed_paged", t2m=t2m))
+    i = bytes(buf).find(b"FADB")
+    assert i > 0
+    assert buf[i + 14] == 0x0F  # 4 pages, all initialized, LSB-first
+    buf[i + 14] = 0x0D  # clear page 1 (time chunks 4-7)
+    _, _, varlist = parse_netcdf4(bytes(buf))
+    data = {v.name: v for v in varlist}["t2m"].data
+    assert (data[4:8] == 0).all()  # skipped page -> unwritten
+    np.testing.assert_array_equal(data[0:4], t2m[0:4])
+    np.testing.assert_array_equal(data[8:14], t2m[8:14])
+
+
+@pytest.mark.parametrize("index", ["btree2_deep", "btree2_deep_filtered"])
+def test_layout_v4_btree2_multilevel(index):
+    """Depth-2 v2 B-tree: records live in leaves AND internal nodes;
+    the walker derives the child-pointer field widths from the node
+    size (H5B2 node_info math) rather than assuming root-leaf."""
+    rng = np.random.RandomState(13)
+    t2m = rng.randint(-2000, 2000, size=(16, 2, 3)).astype("<i2")
+    a = (
+        decode_netcdf4_bytes(build_nc4(modern=True, layout4=index, t2m=t2m))
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    r = (
+        decode_netcdf4_bytes(build_nc4(t2m=t2m))
         .sort_values(["time", "lat", "lon"])
         .reset_index(drop=True)
     )
