@@ -82,6 +82,18 @@ TREND_RE = re.compile(
     r"shrinking|on the rise)\b"
 )
 
+# Corpus-eval intent (VERDICT r10 item 6): "how good is retrieval on
+# this corpus?" routes to the engine's nDCG@10 eval
+# (queries/retrieval.retrieval_ndcg_at_10 — the same builder the
+# driver hash-checks) instead of falling off the climate router. Only
+# active when the engine was built with a corpus_dir; the climate
+# domains never match these phrases, so plain paths are untouched.
+EVAL_RE = re.compile(
+    r"\b(ndcg|retrieval (quality|eval\w*|effectiveness)|"
+    r"how good is (the )?(retrieval|search)|search quality|"
+    r"evaluate (the )?(retrieval|search|ranking))\b"
+)
+
 # P5's NL comparison phrases (Disaster dollar/client.py:47-50).
 COMPARISON_PHRASES = {
     "more than": ">",
@@ -128,13 +140,17 @@ class ClimateEngine:
         spark: SparkSession,
         transport: Transport | None = None,
         tables: dict[str, "DataFrame"] | None = None,
+        corpus_dir: str | None = None,
     ):
         """``tables`` overrides any of the domain DataFrames (e.g. the
         REAL reference databases via sources.reference_ingest); the
         resolution vocabularies then derive from the data instead of
-        the synthetic dimensions."""
+        the synthetic dimensions. ``corpus_dir`` (a testdata-shaped
+        directory with documents.parquet) arms the corpus-eval intent
+        (EVAL_RE -> retrieval_ndcg_at_10)."""
         self.spark = spark
         self.transport = transport
+        self.corpus_dir = corpus_dir
         self.tables = climate.register_climate_views(spark)
         if tables:
             self.tables.update(tables)
@@ -518,6 +534,17 @@ class ClimateEngine:
         # the same routing decision. Trend covers the three
         # time-series domains; FEMA stays on the plain path (its
         # grain is per-event assistance, not a yearly series).
+        if self.corpus_dir and EVAL_RE.search(question.lower()):
+            # Corpus-eval intent: reaches the registry's nDCG@10
+            # builder the way trend reaches Holt — checked BEFORE the
+            # climate router because these questions carry no climate
+            # cues (route() would raise).
+            from ..queries.retrieval import retrieval_ndcg_at_10
+
+            plan = retrieval_ndcg_at_10(self.spark, self.corpus_dir)
+            spec = QuerySpec(dataset="documents", metrics=list(plan.columns))
+            text = answer(question, plan, self.transport)
+            return Answer(question, "corpus", spec, plan, text, [])
         domain = self.route(question)
         if domain in ("disasters", "emissions", "era5") and TREND_RE.search(
             question.lower()

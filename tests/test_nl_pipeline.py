@@ -506,3 +506,35 @@ def test_plain_emissions_path_not_hijacked_by_trend_words(engine):
     path."""
     a = engine.ask("What were the CO2 emissions in Brazil in 2020?")
     assert "trend" not in a.result.columns
+
+
+def test_g14_eval_intent_routes_to_ndcg(spark):
+    """'How good is retrieval on this corpus?' (VERDICT r10 item 6)
+    routes to the registry's nDCG@10 builder — same frame
+    cell-for-cell as calling retrieval_ndcg_at_10 directly — instead
+    of falling off the climate router."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.retrieval import (
+        retrieval_ndcg_at_10,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    eng = ClimateEngine(spark, corpus_dir=sf)
+    a = eng.ask("How good is retrieval on this corpus?")
+    assert a.domain == "corpus"
+    assert a.result.columns == ["dcg_at_10", "idcg_at_10", "ndcg_at_10"]
+    want = retrieval_ndcg_at_10(spark, sf).collect()
+    assert a.result.collect() == want
+    # paraphrases reach the same intent
+    b = eng.ask("Evaluate the ranking quality: what is the nDCG?")
+    assert b.domain == "corpus"
+    assert b.result.collect() == want
+
+
+def test_eval_intent_needs_corpus_dir_and_spares_plain_paths(engine, spark):
+    """Without corpus_dir the eval phrasing still raises the router's
+    loud error; with corpus_dir, climate questions are untouched."""
+    with pytest.raises(ValueError, match="cannot route"):
+        engine.ask("How good is retrieval on this corpus?")
+    eng = ClimateEngine(spark, corpus_dir="/root/testdata/sf0.001")
+    a = eng.ask("What were the CO2 emissions in Brazil in 2020?")
+    assert a.domain == "emissions"
