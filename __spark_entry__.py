@@ -118,6 +118,11 @@ _PROMOTE = [
     "length_curriculum_stages",
 ]
 _DEMOTE = [
+    # -- ROUND-12 TIER A0: round-11 additions (never-rowed; lead the
+    #    round-12 window per the cadence policy; both FULL-oracled,
+    #    parity-green at sf0.01 on introduction) --
+    "retrieval_mrr_at_10",
+    "minhash_band_plan",
     # -- ROUND-12 TIER A: remaining r8-rowed names (40) --
     "quality_budget_select",
     "winsorized_source_stats",

@@ -183,6 +183,8 @@ HEADLINE = [
     "retrieval_ndcg_at_10",     # BM25 ranking-quality eval (nDCG)
     "netcdf_roundtrip",         # S4 sink/source grid roundtrip (CDF-1)
     "media_resize_report",      # multimodal resize metadata+payload gate
+    "retrieval_mrr_at_10",      # MRR/precision/recall@10 eval companions
+    "minhash_band_plan",        # LSH banding-plan table (closed-form)
 ]
 
 

@@ -399,3 +399,143 @@ def retrieval_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 4).alias("idcg_at_10"),
         F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg_at_10"),
     )
+
+
+@register(
+    "retrieval_mrr_at_10",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({_TERMS_SQL})
+      GROUP BY doc_id, token
+    ), dfq AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfc
+      FROM toks WHERE token IN ({_TERMS_SQL})
+      GROUP BY token
+    ), scored AS (
+      SELECT t.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5))
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ), 4) AS bm25
+      FROM tf t
+      JOIN dfq d ON t.token = d.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ), rel AS (
+      SELECT doc_id
+      FROM toks WHERE token IN ({_TERMS_SQL})
+      GROUP BY doc_id
+      HAVING COUNT(DISTINCT token) >= 3
+    ), ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scored QUALIFY rk <= 10
+    ), hits AS (
+      SELECT ranked.rk FROM ranked JOIN rel ON rel.doc_id = ranked.doc_id
+    ), n_rel AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel
+    )
+    SELECT ROUND(COALESCE(1.0 / MIN(hits.rk), 0.0), 4) AS mrr_at_10,
+           ROUND(CAST(COUNT(hits.rk) AS DOUBLE) / 10.0, 4) AS precision_at_10,
+           ROUND(CAST(COUNT(hits.rk) AS DOUBLE) / n_rel.n_rel, 4) AS recall_at_10
+    FROM n_rel LEFT JOIN hits ON TRUE
+    GROUP BY n_rel.n_rel
+    """,
+    doc="Binary-relevance companions to retrieval_ndcg_at_10, "
+    "completing the retrieval-eval family: MRR@10 / precision@10 / "
+    "recall@10 of the BM25 top-10 against high-grade relevance "
+    "(docs containing >= 3 of the 4 query terms). Same cost shape "
+    "as the nDCG eval — one BM25 pass plus a 10-row ranking — so at "
+    "100 TB the whole eval family is a single corpus scan; recall's "
+    "denominator is the corpus-wide relevant count (one extra "
+    "map-side-combined aggregate, no second shuffle).",
+)
+def retrieval_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    scores = bm25_scores(d, BM25_TERMS)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    rel = (
+        tok.filter(F.col("token").isin(BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("rel"))
+        .filter(F.col("rel") >= 3)
+        .select("doc_id")
+    )
+    ranked = (
+        scores.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.row_number().over(
+            W.orderBy(F.col("bm25").desc(), "doc_id")
+        ).alias("rk"))
+    )
+    hits = ranked.join(rel, "doc_id", "inner").agg(
+        F.min("rk").alias("first_rk"), F.count("rk").alias("n_hits")
+    )
+    n_rel = rel.agg(F.count("doc_id").alias("n_rel"))
+    return hits.crossJoin(n_rel).select(
+        F.round(F.coalesce(1.0 / F.col("first_rk"), F.lit(0.0)), 4).alias(
+            "mrr_at_10"
+        ),
+        F.round(F.col("n_hits") / 10.0, 4).alias("precision_at_10"),
+        F.round(F.col("n_hits") / F.col("n_rel"), 4).alias("recall_at_10"),
+    )
+
+
+_BAND_CONFIGS = [(b, 32 // b) for b in (1, 2, 4, 8, 16, 32)]
+_BAND_VALUES_SQL = ", ".join(f"({b}, {r})" for b, r in _BAND_CONFIGS)
+
+
+@register(
+    "minhash_band_plan",
+    f"""
+    WITH cfg(bands, rows_per_band) AS (VALUES {_BAND_VALUES_SQL})
+    SELECT bands, rows_per_band,
+           ROUND(POWER(1.0 / bands, 1.0 / rows_per_band), 4) AS threshold,
+           ROUND(1 - POWER(1 - POWER(0.3, rows_per_band), bands), 4) AS p_at_j30,
+           ROUND(1 - POWER(1 - POWER(0.5, rows_per_band), bands), 4) AS p_at_j50,
+           ROUND(1 - POWER(1 - POWER(0.8, rows_per_band), bands), 4) AS p_at_j80
+    FROM cfg ORDER BY bands
+    """,
+    doc="The banding-plan table behind minhash_near_duplicates' "
+    "(bands=8, rows=4) default: for every (b, r) factorization of "
+    "the 32-hash signature, the S-curve threshold (1/b)^(1/r) and "
+    "the candidate-catch probability 1-(1-J^r)^b at J = 0.3 / 0.5 / "
+    "0.8. This is the knob a 100-TB run tunes FIRST — candidate "
+    "volume scales with the J30 column (random collisions) while "
+    "recall at the dedup threshold follows J50/J80 — so the plan "
+    "belongs in the engine as a queryable table, not in a notebook. "
+    "Closed-form math over a 6-row config frame; JVM expressions "
+    "only.",
+)
+def minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = spark.createDataFrame(_BAND_CONFIGS, "bands int, rows_per_band int")
+
+    def p_at(j: float):
+        return F.round(
+            1 - F.pow(1 - F.pow(F.lit(j), F.col("rows_per_band")), F.col("bands")),
+            4,
+        )
+
+    return cfg.select(
+        "bands",
+        "rows_per_band",
+        F.round(F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 4).alias(
+            "threshold"
+        ),
+        p_at(0.3).alias("p_at_j30"),
+        p_at(0.5).alias("p_at_j50"),
+        p_at(0.8).alias("p_at_j80"),
+    ).orderBy("bands")

@@ -101,6 +101,22 @@ def gen_documents_zipf(n: int, seed: int = 47) -> pa.Table:
     v = int(np.ceil(50.0 * np.sqrt(n)))
     p = 1.0 / np.power(np.arange(1, v + 1), 1.1)
     cum = np.cumsum(p / p.sum())
+
+    def word(t: int) -> str:
+        # Base-26 LETTERS, not f"w{t}": digit-heavy tokens leak token
+        # SHAPE into the twin (alpha_ratio ~0.25 fails every
+        # quality gate, emptying the curation DAGs), which broke the
+        # only-variable-is-rarity contract. The letter encoding is a
+        # bijection on type ids, so the rarity statistics are
+        # untouched. (Found in round 11: curation_end_to_end returned
+        # 0 rows at every zipf scale.)
+        s = ""
+        t += 1
+        while t:
+            t, r = divmod(t - 1, 26)
+            s = chr(ord("a") + r) + s
+        return "w" + s
+
     texts: list[str] = []
     langs: list[str] = []
     lang_idx = rng.choice(len(LANGS), size=n, p=LANG_W)
@@ -109,12 +125,12 @@ def gen_documents_zipf(n: int, seed: int = 47) -> pa.Table:
             src = texts[int(rng.integers(0, i))].split(" ")
             for _ in range(int(rng.integers(0, 3))):
                 t = int(np.searchsorted(cum, rng.random()))
-                src[int(rng.integers(0, len(src)))] = f"w{t}"
+                src[int(rng.integers(0, len(src)))] = word(t)
             texts.append(" ".join(src))
         else:
             length = int(rng.integers(10, 101))
             toks = np.searchsorted(cum, rng.random(length))
-            texts.append(" ".join(f"w{t}" for t in toks))
+            texts.append(" ".join(word(int(t)) for t in toks))
         langs.append(LANGS[lang_idx[i]])
     return pa.table(
         {
