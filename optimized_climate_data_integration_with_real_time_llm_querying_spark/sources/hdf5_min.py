@@ -24,8 +24,11 @@ subset netCDF-4 actually uses is small enough to decode with
   v4-layout chunk indexes LIBVER_LATEST writes: single-chunk,
   implicit, and fixed-array (paged AND unpaged — million-chunk
   archive-scale grids use the paged form) for fixed-dims datasets,
-  extensible-array (unpaged blocks) for ONE unlimited dimension —
-  the appendable netCDF-4 record/time axis — and v2 B-trees
+  extensible-array (paged AND unpaged data blocks — the paged form
+  is what an archive-scale appendable time axis grows into, page-init
+  bitmap read from the owning super block) for ONE unlimited
+  dimension — the appendable netCDF-4 record/time axis — and v2
+  B-trees
   (root-leaf AND multi-level, child-pointer widths from the H5B2
   node_info math) for 2+ unlimited dimensions, all with filtered
   entries, with the deflate (id 1) and shuffle (id 2) filters
@@ -494,11 +497,11 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
     """Version-4 data layout (LIBVER_LATEST chunked datasets): all
     five chunk indexes — single-chunk (1), implicit (2), fixed-array
     (3, paged and unpaged), extensible-array (4 — one unlimited
-    dimension, the appendable netCDF-4 time axis), and v2 B-tree
-    (5 — multiple unlimited dims; root-leaf AND multi-level, with the
-    variable child-pointer widths derived from the node size the way
-    libhdf5's H5B2 node_info math does). Paged EXTENSIBLE-array data
-    blocks still raise and route to the xarray seam."""
+    dimension, the appendable netCDF-4 time axis; paged AND unpaged
+    data blocks, page-init bitmap from the owning super block), and
+    v2 B-tree (5 — multiple unlimited dims; root-leaf AND
+    multi-level, with the variable child-pointer widths derived from
+    the node size the way libhdf5's H5B2 node_info math does)."""
     cls = layout[1]
     if cls == 1:  # contiguous: same fields as v3
         addr = int.from_bytes(layout[2:10], "little")
@@ -706,22 +709,42 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
             return caddr, csize, fmask
 
         dblk_base: dict[int, int] = {}
+        # daddr -> page-init bits for PAGED data blocks (npages-bit
+        # int, LSB = page 0), sliced out of the owning super block's
+        # page bitmap when the super block is loaded below.
+        dblk_page_init: dict[int, int] = {}
+        UNSET_ELEM = b"\xff" * 8 + b"\x00" * (elmt_size - 8)
 
         def dblock_elem(daddr: int, dblk_nelmts: int, j: int) -> bytes:
+            paged = dblk_nelmts > page_nelmts
             base = dblk_base.get(daddr)
             if base is None:
                 if f.raw(daddr, 4) != b"EADB":
                     raise ValueError(
                         "bad extensible-array data block signature"
                     )
-                if dblk_nelmts > page_nelmts:
+                if paged and daddr not in dblk_page_init:
                     raise NotImplementedError(
-                        "paged extensible-array data block (chunk counts "
-                        "past the page threshold route to the xarray seam)"
+                        "paged extensible-array data block addressed "
+                        "directly from the index block: only super "
+                        "blocks carry a page-init bitmap, and libhdf5's "
+                        "creation parameters keep index-block rows far "
+                        "below the page threshold"
                     )
-                base = daddr + 14 + arr_off_size
+                # prefix = sig(4) version(1) client(1) header addr(8)
+                # + block offset; a PAGED block stores no elements
+                # inline — its 4-byte prefix checksum follows, then
+                # the data block pages (spec III.E), each page =
+                # page_nelmts * elmt_size + 4-byte page checksum.
+                base = daddr + 14 + arr_off_size + (4 if paged else 0)
                 dblk_base[daddr] = base
-            return f.raw(base + j * elmt_size, elmt_size)
+            if not paged:
+                return f.raw(base + j * elmt_size, elmt_size)
+            pg, j2 = divmod(j, page_nelmts)
+            if not (dblk_page_init[daddr] >> pg) & 1:
+                return UNSET_ELEM  # uninitialized page: chunks unwritten
+            page_stride = page_nelmts * elmt_size + 4
+            return f.raw(base + pg * page_stride + j2 * elmt_size, elmt_size)
 
         sblk_dblks: dict[int, list[int]] = {}
 
@@ -735,14 +758,30 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
                     raise ValueError(
                         "bad extensible-array super block signature"
                     )
-                if sblk_nelmts[u] > page_nelmts:
-                    raise NotImplementedError(
-                        "paged extensible-array data blocks (super block "
-                        "carries a page bitmap; routes to the xarray seam)"
-                    )
                 base = saddr + 14 + arr_off_size
+                npages = 0
+                if sblk_nelmts[u] > page_nelmts:
+                    # PAGED data blocks: the super block carries the
+                    # page-init bitmap (1 bit per page per data
+                    # block, dblk-major, LSB-first) between its block
+                    # offset and the data block addresses. sblk
+                    # element counts are power-of-two multiples of
+                    # page_nelmts, so pages divide evenly.
+                    npages = sblk_nelmts[u] // page_nelmts
+                    nbits = sblk_ndblks[u] * npages
+                    bm = f.raw(base, (nbits + 7) // 8)
+                    base += len(bm)
                 lst = [f.u(base + i * 8, 8) for i in range(sblk_ndblks[u])]
                 sblk_dblks[saddr] = lst
+                if npages:
+                    for i, a in enumerate(lst):
+                        if a == UNDEF:
+                            continue
+                        bits = 0
+                        for pg in range(npages):
+                            bit = i * npages + pg
+                            bits |= ((bm[bit // 8] >> (bit % 8)) & 1) << pg
+                        dblk_page_init[a] = bits
             return lst[k]
 
         for i in range(n_chunks):

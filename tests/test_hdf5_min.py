@@ -578,6 +578,125 @@ def build_nc4(
                         bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6),
                     )
                 )
+        elif layout4 in ("earray_paged_sblock", "earray_paged_sblock_filtered"):
+            # PAGED extensible-array data blocks (spec III.E): when a
+            # super block's data blocks hold more elements than one
+            # page (2^max_dblk_page_nelmts_bits), each data block
+            # stores only its prefix — sig(4) version(1) client(1)
+            # header addr(8) block offset(arr_off_size) checksum(4) —
+            # and the elements move into fixed-stride DATA BLOCK
+            # PAGES that follow it contiguously (page =
+            # page_nelmts*esize + 4-byte checksum). The page-init
+            # bitmap lives in the SUPER BLOCK between its block
+            # offset and its data block addresses: 1 bit per page
+            # per data block, dblk-major, LSB-first.
+            # Params: idx_blk_elmts=2, data_blk_min=2, sup_blk_min
+            # _ptrs=2, max_nelmts_bits=32 (arr_off_size 4),
+            # page_bits=2 (4 elements/page). Tiers: chunks 0-1
+            # inline; dblk0 2-3 (unpaged); dblk1 4-7 (unpaged, == one
+            # page); super block u=2 (2x4, unpaged) 8-15; super
+            # block u=3 (2x8, PAGED: 2 pages each) 16-31.
+            filtered = layout4.endswith("_filtered")
+            client = 1 if filtered else 0
+            esize = 8 + 8 + 4 if filtered else 8
+            UNSET = struct.pack("<Q", UNDEF) + b"\0" * (esize - 8)
+            if n_time > 32:
+                raise ValueError("paged earray fixture covers <= 32 time chunks")
+
+            def elem(ti: int) -> bytes:
+                if ti >= n_time:
+                    return UNSET
+                raw = t2m[ti : ti + 1].tobytes()
+                if filtered:
+                    comp = zlib.compress(raw, 6)
+                    return struct.pack("<QQI", b.put(comp), len(comp), 0)
+                return struct.pack("<Q", b.put(raw))
+
+            patchme = []  # blocks whose header-address field waits for EAHD
+
+            def dblock_unpaged(tis: list[int], off: int) -> int:
+                if tis[0] >= n_time:
+                    return UNDEF
+                d = bytearray(b"EADB" + bytes([0, client]))
+                d += struct.pack("<QI", 0, off)  # header addr + block offset
+                for ti in tis:
+                    d += elem(ti)
+                d += b"\0\0\0\0"  # checksum (not verified)
+                a = b.put(bytes(d))
+                patchme.append(a)
+                return a
+
+            def dblock_paged(tis: list[int], off: int) -> int:
+                if tis[0] >= n_time:
+                    return UNDEF
+                d = bytearray(b"EADB" + bytes([0, client]))
+                d += struct.pack("<QI", 0, off)
+                d += b"\0\0\0\0"  # PREFIX checksum; elements NOT inline
+                for pg in range(2):  # 8 elements = 2 pages of 4
+                    for ti in tis[pg * 4 : (pg + 1) * 4]:
+                        d += elem(ti)
+                    d += b"\0\0\0\0"  # per-page checksum
+                a = b.put(bytes(d))
+                patchme.append(a)
+                return a
+
+            dblk0 = dblock_unpaged([2, 3], 2)
+            dblk1 = dblock_unpaged([4, 5, 6, 7], 4)
+            # super block u=2: two unpaged 4-element data blocks
+            s2d = (
+                dblock_unpaged([8, 9, 10, 11], 8),
+                dblock_unpaged([12, 13, 14, 15], 12),
+            )
+            s2 = bytearray(b"EASB" + bytes([0, client]))
+            s2 += struct.pack("<QI", 0, 8)
+            s2 += struct.pack("<QQ", *s2d) + b"\0\0\0\0"
+            sb2 = b.put(bytes(s2))
+            patchme.append(sb2)
+            # super block u=3: two PAGED 8-element data blocks; page
+            # bitmap = 2 dblks x 2 pages = 4 bits, all initialized
+            s3d = (
+                dblock_paged(list(range(16, 24)), 16),
+                dblock_paged(list(range(24, 32)), 24),
+            )
+            s3 = bytearray(b"EASB" + bytes([0, client]))
+            s3 += struct.pack("<QI", 0, 16)
+            s3 += bytes([0x0F])  # page-init bitmap, LSB-first
+            s3 += struct.pack("<QQ", *s3d) + b"\0\0\0\0"
+            sb3 = b.put(bytes(s3))
+            patchme.append(sb3)
+            ib = bytearray(b"EAIB" + bytes([0, client]))
+            ib += struct.pack("<Q", 0)
+            for ti in (0, 1):
+                ib += elem(ti)
+            ib += struct.pack("<QQ", dblk0, dblk1)  # 2*(min_ptrs-1) direct
+            # nsblks = 1 + (32-1)//2 = 16; 2 direct -> 14 sblock slots
+            ib += struct.pack("<QQ", sb2, sb3) + struct.pack("<Q", UNDEF) * 12
+            ib += b"\0\0\0\0"
+            eaib = b.put(bytes(ib))
+            patchme.append(eaib)
+            eahd = b.put(
+                b"EAHD"
+                + bytes([0, client, esize, 32, 2, 2, 2, 2])
+                + struct.pack("<QQQQQQ", 1, 0, 4, 0, n_time, n_time)
+                + struct.pack("<Q", eaib)
+                + b"\0\0\0\0"
+            )
+            for a in patchme:
+                b.buf[a + 6 : a + 14] = struct.pack("<Q", eahd)
+            body = (
+                bytes([4, 2, 0, 4, 4])
+                + cdims
+                + bytes([4])  # extensible-array index
+                + bytes([32, 2, 2, 2, 2])  # creation params, page_bits=2
+                + struct.pack("<Q", eahd)
+            )
+            if filtered:
+                msgs4.append(
+                    M(
+                        0x000B,
+                        bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6),
+                    )
+                )
         elif layout4 in ("btree2", "btree2_filtered"):
             # Version-2 B-tree chunk index (2+ unlimited dims): a
             # root-leaf tree — BTHD header (depth 0) pointing at one
@@ -1193,12 +1312,62 @@ def test_malformed_v4_indexes_are_loud():
         decode_netcdf4_bytes(bytes(buf2))
 
 
-def test_layout_v4_earray_paged_is_loud():
-    # page_bits=1 makes the 4-element data blocks paged; the decoder
-    # must refuse rather than misread them
+def test_layout_v4_earray_paged_directly_addressed_is_loud():
+    # page_bits=1 makes the 4-element data block that the INDEX BLOCK
+    # addresses directly paged — a shape whose page-init bitmap has
+    # no on-disk home (only super blocks carry one) and that
+    # libhdf5's creation parameters never produce (index-block rows
+    # hold at most 2x data_blk_min_elmts elements vs the 1024-element
+    # default page). The decoder must refuse rather than misread.
     got, _ = _earray_16step("earray_paged")
     with pytest.raises(NotImplementedError, match="paged extensible-array"):
         decode_netcdf4_bytes(got)
+
+
+@pytest.mark.parametrize(
+    "index", ["earray_paged_sblock", "earray_paged_sblock_filtered"]
+)
+def test_layout_v4_earray_paged_sblock(index):
+    """PAGED extensible-array data blocks: 30 one-step time chunks
+    reach super block u=3, whose two 8-element data blocks page their
+    elements (2 pages of 4 each, per-page checksums, page-init bitmap
+    in the super block); the last two element slots are unwritten."""
+    rng = np.random.RandomState(17)
+    t2m = rng.randint(-2000, 2000, size=(30, 2, 3)).astype("<i2")
+    a = (
+        decode_netcdf4_bytes(build_nc4(modern=True, layout4=index, t2m=t2m))
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    r = (
+        decode_netcdf4_bytes(build_nc4(t2m=t2m))
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == 30 * 2 * 3
+    for c in r.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
+
+
+def test_earray_uninitialized_page_reads_as_unwritten():
+    """A cleared bit in the SUPER BLOCK's page bitmap marks that
+    page's chunks unwritten: the reader must skip the page (fill
+    zeros), not read the bytes sitting in its on-disk slot."""
+    rng = np.random.RandomState(18)
+    t2m = rng.randint(1, 2000, size=(30, 2, 3)).astype("<i2")  # no zeros
+    buf = bytearray(build_nc4(modern=True, layout4="earray_paged_sblock", t2m=t2m))
+    # the u=3 super block is the SECOND EASB in file order
+    i = bytes(buf).find(b"EASB")
+    i = bytes(buf).find(b"EASB", i + 4)
+    assert i > 0
+    bm = i + 4 + 1 + 1 + 8 + 4  # sig + version + client + hdr addr + blk off
+    assert buf[bm] == 0x0F  # 2 dblks x 2 pages, all initialized
+    buf[bm] = 0x0D  # clear dblk0's page 1 (time chunks 20-23)
+    _, _, varlist = parse_netcdf4(bytes(buf))
+    data = {v.name: v for v in varlist}["t2m"].data
+    assert (data[20:24] == 0).all()  # skipped page -> unwritten
+    np.testing.assert_array_equal(data[16:20], t2m[16:20])
+    np.testing.assert_array_equal(data[24:30], t2m[24:30])
 
 
 def test_layout_v4_single_chunk_whole_array():
