@@ -47,12 +47,18 @@ _FillValue) and the grid assembly are shared with the classic reader
 (netcdf_classic.assemble_dataframe), so both halves of S4 produce
 the same xarray-shaped frame.
 
+Groups decode from all three storages: old-style symbol tables,
+compact link messages, and DENSE (fractal-heap) storage — the
+link-name v2 B-tree's records resolve through the heap's doubling
+table (root direct block or a root indirect block of direct blocks),
+which is what libhdf5 switches to past the 8-link compact threshold.
+
 Anything outside the subset — later superblocks, v2 object headers,
-fractal-heap ("new style") groups, compact/v1/v2 layouts, filters
-beyond deflate+shuffle, compound datatypes — raises a loud
-``NotImplementedError`` naming the feature; ``ingest.read_netcdf``
-then falls back to the xarray seam, which stays the documented
-escape hatch for exotic files.
+compact/v1/v2 layouts, filters beyond deflate+shuffle, compound
+datatypes, filtered fractal heaps, nested heap indirect blocks —
+raises a loud ``NotImplementedError`` naming the feature;
+``ingest.read_netcdf`` then falls back to the xarray seam, which
+stays the documented escape hatch for exotic files.
 
 Tests assemble HDF5 bytes FROM THE SPEC (tests/test_hdf5_min.py), the
 same discipline that pinned the classic parser against the format
@@ -246,6 +252,212 @@ def _link_message(body: bytes) -> tuple[str, int]:
             f"link type {ltype} ({name!r}): only hard links are in the subset"
         )
     return name, int.from_bytes(body[p : p + 8], "little")
+
+
+def _btree2_records(f: "_F", addr: int, want_type: int) -> list[bytes]:
+    """All records of a version-2 B-tree (BTHD -> BTIN -> BTLF), in
+    tree order. Same H5B2 node_info child-pointer math as the chunk
+    walker in _read_data_v4; factored separately because this caller
+    (the dense-group link-name index, record type 5) wants the raw
+    record bytes rather than chunk placement."""
+    if f.raw(addr, 4) != b"BTHD":
+        raise ValueError("bad v2 B-tree header signature")
+    rec_type = f.u(addr + 5, 1)
+    if rec_type != want_type:
+        raise ValueError(
+            f"v2 B-tree record type {rec_type}: expected type {want_type}"
+        )
+    node_size = f.u(addr + 6, 4)
+    record_size = f.u(addr + 10, 2)
+    depth = f.u(addr + 12, 2)
+    root_addr = f.u(addr + 16, 8)
+    root_nrec = f.u(addr + 24, 2)
+    out: list[bytes] = []
+    if root_addr == UNDEF or root_nrec == 0:
+        return out
+    leaf_max = (node_size - 10) // record_size
+    if leaf_max < 1:
+        raise ValueError(
+            f"v2 B-tree node size {node_size} cannot hold one record "
+            f"of size {record_size}"
+        )
+    max_nrec_size = (leaf_max.bit_length() - 1) // 8 + 1
+    cum_max = leaf_max
+    cum_size = [0]  # cum_size[d] = bytes encoding a depth-d subtree total
+    for d in range(1, depth + 1):
+        ptr = 8 + max_nrec_size + cum_size[d - 1]
+        int_max = (node_size - 10 - ptr) // (record_size + ptr)
+        if int_max < 1:
+            raise ValueError(
+                f"v2 B-tree node size {node_size} cannot hold an "
+                f"internal record+pointer at depth {d}"
+            )
+        cum_max = (int_max + 1) * cum_max + int_max
+        cum_size.append((cum_max.bit_length() - 1) // 8 + 1)
+
+    def walk(naddr: int, nrec: int, d: int) -> None:
+        if d == 0:
+            if f.raw(naddr, 4) != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf signature")
+            rp = naddr + 6  # sig(4) version(1) type(1)
+            for _ in range(nrec):
+                out.append(f.raw(rp, record_size))
+                rp += record_size
+            return
+        if f.raw(naddr, 4) != b"BTIN":
+            raise ValueError("bad v2 B-tree internal node signature")
+        rp = naddr + 6
+        for _ in range(nrec):
+            out.append(f.raw(rp, record_size))
+            rp += record_size
+        tot_size = cum_size[d - 1] if d > 1 else 0
+        for _ in range(nrec + 1):
+            caddr = f.u(rp, 8)
+            cnrec = f.u(rp + 8, max_nrec_size)
+            rp += 8 + max_nrec_size + tot_size
+            walk(caddr, cnrec, d - 1)
+
+    walk(root_addr, root_nrec, depth)
+    return out
+
+
+class _FractalHeap:
+    """Managed-object reader for one fractal heap (spec III.D): the
+    header's doubling table maps a heap ID's linear offset to a
+    direct block, whose bytes map 1:1 onto its slice of the heap's
+    linear address space (header included — the allocator reserves
+    the prefix). Dense group storage keeps one serialized Link
+    message per managed object. Unfiltered heaps only (group link
+    storage never filters); huge/tiny heap IDs are outside the
+    subset (a link message cannot fit a tiny ID at the group heap's
+    7-byte ID length, and huge objects would need the filtered-object
+    path)."""
+
+    def __init__(self, f: "_F", addr: int):
+        if f.raw(addr, 4) != b"FRHP":
+            raise ValueError("bad fractal heap header signature")
+        self.f = f
+        self.id_len = f.u(addr + 5, 2)
+        io_filter_len = f.u(addr + 7, 2)
+        if io_filter_len:
+            raise NotImplementedError(
+                "I/O-filtered fractal heap: dense group link storage "
+                "is never filtered in the netCDF-4 subset"
+            )
+        # after flags(1): max managed size(4), then twelve 8-byte
+        # statistics/bookkeeping fields (next huge ID, huge B-tree,
+        # free space, free-space manager, managed space, allocated
+        # managed, iterator offset, #managed, huge size, #huge,
+        # tiny size, #tiny), then the doubling table.
+        p = addr + 10 + 4 + 8 * 12
+        self.width = f.u(p, 2)
+        self.start_size = f.u(p + 2, 8)
+        self.max_direct = f.u(p + 10, 8)
+        max_heap_bits = f.u(p + 18, 2)
+        self.off_size = (max_heap_bits + 7) // 8
+        self.len_size = self.id_len - 1 - self.off_size
+        if self.len_size < 1:
+            raise ValueError("fractal heap ID shorter than its offset field")
+        # starting rows(2) at p+20 (unused: current rows governs)
+        self.root_addr = f.u(p + 22, 8)
+        self.root_rows = f.u(p + 30, 2)
+
+    def _row_size(self, r: int) -> int:
+        # doubling table: rows 0 and 1 use the starting size, every
+        # later row doubles
+        return self.start_size if r < 2 else self.start_size << (r - 1)
+
+    def _row_off(self, r: int) -> int:
+        return 0 if r == 0 else (self.width * self.start_size) << (r - 1)
+
+    def _locate(self, off: int) -> tuple[int, int, int]:
+        """linear offset -> (direct block file addr, block linear
+        offset, block size)."""
+        f = self.f
+        if self.root_rows == 0:  # root IS a direct block
+            return self.root_addr, 0, self.start_size
+        if f.raw(self.root_addr, 4) != b"FHIB":
+            raise ValueError("bad fractal heap indirect block signature")
+        if off < self.width * self.start_size:
+            r = 0
+        else:
+            r = 1
+            while self._row_off(r + 1) <= off:
+                r += 1
+        if r >= self.root_rows:
+            raise ValueError(
+                f"fractal heap offset {off} beyond the root indirect "
+                f"block's {self.root_rows} rows"
+            )
+        size_r = self._row_size(r)
+        if size_r > self.max_direct:
+            raise NotImplementedError(
+                "nested fractal heap indirect block: group link "
+                "storage at this size is outside the subset"
+            )
+        col = (off - self._row_off(r)) // size_r
+        # entries are row-major, width per row; unfiltered heap ->
+        # 8-byte child addresses after sig(4) version(1) heap
+        # header(8) block offset(off_size)
+        entry = self.root_addr + 13 + self.off_size + (r * self.width + col) * 8
+        daddr = f.u(entry, 8)
+        if daddr == UNDEF:
+            raise ValueError("fractal heap object in an unallocated block")
+        return daddr, self._row_off(r) + col * size_r, size_r
+
+    def read_object(self, heap_id: bytes) -> bytes:
+        vt = heap_id[0]
+        if vt & 0xC0:
+            raise NotImplementedError(f"fractal heap ID version {vt >> 6}")
+        if vt & 0x30:
+            raise NotImplementedError(
+                "huge/tiny fractal heap object: dense group links are "
+                "managed objects"
+            )
+        off = int.from_bytes(heap_id[1 : 1 + self.off_size], "little")
+        ln = int.from_bytes(
+            heap_id[1 + self.off_size : 1 + self.off_size + self.len_size],
+            "little",
+        )
+        daddr, doff, dsize = self._locate(off)
+        f = self.f
+        if f.raw(daddr, 4) != b"FHDB":
+            raise ValueError("bad fractal heap direct block signature")
+        if not (doff <= off and off + ln <= doff + dsize):
+            raise ValueError("fractal heap object crosses a block boundary")
+        return f.raw(daddr + (off - doff), ln)
+
+
+def _dense_group_children(f: "_F", li: bytes) -> list[tuple[str, int]]:
+    """Children of a DENSE-storage group (Link Info message 0x0002
+    with a defined fractal heap address — what libhdf5 switches to
+    past the compact-storage threshold of 8 links, e.g. a netCDF-4
+    file with many variables under LIBVER_LATEST): enumerate the
+    link-name v2 B-tree's type-5 records (name hash(4) + heap ID)
+    and resolve each heap ID through the fractal heap to a
+    serialized Link message. The name index iterates in hash order,
+    so creation order is restored from the link messages themselves
+    when tracked (netCDF-4 groups track it) and by name otherwise."""
+    flags = li[1]
+    p = 2 + (8 if flags & 0x01 else 0)
+    fheap_addr = int.from_bytes(li[p : p + 8], "little")
+    name_bt = int.from_bytes(li[p + 8 : p + 16], "little")
+    if name_bt == UNDEF:
+        raise ValueError("dense group without a link-name index B-tree")
+    heap = _FractalHeap(f, fheap_addr)
+    children: list[tuple[int | None, tuple[str, int]]] = []
+    for rec in _btree2_records(f, name_bt, 5):
+        raw = heap.read_object(rec[4 : 4 + heap.id_len])
+        corder = None
+        if raw[1] & 0x04:  # creation-order field present
+            q = 2 + (1 if raw[1] & 0x08 else 0)
+            corder = int.from_bytes(raw[q : q + 8], "little")
+        children.append((corder, _link_message(raw)))
+    if children and all(c is not None for c, _ in children):
+        children.sort(key=lambda t: t[0])
+    else:
+        children.sort(key=lambda t: t[1][0])
+    return [lm for _, lm in children]
 
 
 # ------------------------------------------------------------------- groups
@@ -1008,21 +1220,22 @@ def parse_netcdf4(buf: bytes):
         children = _group_children(f, btree, heap)
     else:
         # new-style group (LIBVER_LATEST): COMPACT storage keeps one
-        # Link message per member inline; DENSE storage (fractal
-        # heap, signalled by a defined heap address in Link Info) is
-        # outside the subset.
+        # Link message per member inline; DENSE storage (signalled
+        # by a defined fractal heap address in Link Info) moves the
+        # serialized link messages into a fractal heap indexed by a
+        # link-name v2 B-tree — what libhdf5 switches to past the
+        # 8-link compact threshold, i.e. any netCDF-4 file with more
+        # than a handful of variables under LIBVER_LATEST.
         li = next((b for t, b in root_msgs if t == 0x0002), None)
+        children = None
         if li is not None:
             flags = li[1]
             p = 2 + (8 if flags & 0x01 else 0)
             fheap = int.from_bytes(li[p : p + 8], "little")
             if fheap != UNDEF:
-                raise NotImplementedError(
-                    "HDF5 dense (fractal-heap) group storage: the "
-                    "netCDF-4 subset covers symbol-table and compact "
-                    "link-message groups"
-                )
-        children = [_link_message(b) for t, b in root_msgs if t == 0x0006]
+                children = _dense_group_children(f, li)
+        if children is None:
+            children = [_link_message(b) for t, b in root_msgs if t == 0x0006]
         if not children:
             raise NotImplementedError(
                 "HDF5 root group has neither a symbol-table message "
