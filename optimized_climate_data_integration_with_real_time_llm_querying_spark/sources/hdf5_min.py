@@ -15,8 +15,10 @@ subset netCDF-4 actually uses is small enough to decode with
   "OHDR" headers (+ OCHK continuations; checksums skipped, not
   verified),
 - old-style groups (symbol-table message -> v1 B-tree -> SNOD symbol
-  nodes -> local heap names) and new-style COMPACT groups (inline
-  Link messages; dense fractal-heap groups raise),
+  nodes -> local heap names), new-style COMPACT groups (inline Link
+  messages), and new-style DENSE groups (link-name v2 B-tree type-5
+  records resolved through a managed fractal heap — root direct
+  block or a root indirect block of direct blocks),
 - dataspace (v1), datatype (fixed-point / IEEE-float / fixed string /
   reference / vlen-of-reference), fill value, attribute (v1 and v3),
   data layout v3 (contiguous and chunked),
@@ -402,7 +404,13 @@ class _FractalHeap:
         entry = self.root_addr + 13 + self.off_size + (r * self.width + col) * 8
         daddr = f.u(entry, 8)
         if daddr == UNDEF:
-            raise ValueError("fractal heap object in an unallocated block")
+            # An ID into an unallocated block never comes out of a
+            # consistent name index, but NotImplementedError keeps
+            # ingest.read_netcdf's xarray-fallback contract: only
+            # corruption we can prove is a ValueError.
+            raise NotImplementedError(
+                "fractal heap object in an unallocated direct block"
+            )
         return daddr, self._row_off(r) + col * size_r, size_r
 
     def read_object(self, heap_id: bytes) -> bytes:
@@ -424,7 +432,11 @@ class _FractalHeap:
         if f.raw(daddr, 4) != b"FHDB":
             raise ValueError("bad fractal heap direct block signature")
         if not (doff <= off and off + ln <= doff + dsize):
-            raise ValueError("fractal heap object crosses a block boundary")
+            raise NotImplementedError(
+                "fractal heap object crossing a direct-block boundary: "
+                "the managed-object allocator never splits objects, so "
+                "this shape is outside the subset"
+            )
         return f.raw(daddr + (off - doff), ln)
 
 
@@ -443,7 +455,10 @@ def _dense_group_children(f: "_F", li: bytes) -> list[tuple[str, int]]:
     fheap_addr = int.from_bytes(li[p : p + 8], "little")
     name_bt = int.from_bytes(li[p + 8 : p + 16], "little")
     if name_bt == UNDEF:
-        raise ValueError("dense group without a link-name index B-tree")
+        raise NotImplementedError(
+            "dense group without a link-name index B-tree: "
+            "creation-order-only dense indexes are outside the subset"
+        )
     heap = _FractalHeap(f, fheap_addr)
     children: list[tuple[int | None, tuple[str, int]]] = []
     for rec in _btree2_records(f, name_bt, 5):
@@ -808,11 +823,13 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
             # Paged data block (very large chunk grids — 100-TB-scale
             # ERA5 archives land here). FADB prefix becomes sig(4)
             # version(1) client(1) header address(8) + page bitmap
-            # (one bit per page, LSB-first within each byte, set =
-            # initialized) + checksum(4); the element pages follow at
-            # a FIXED stride of page_nelmts*entry_size + 4 (per-page
-            # checksum), the stride libhdf5 uses for page addressing
-            # even when the last page holds fewer elements.
+            # (one bit per page, MSB-first within each byte the way
+            # libhdf5's H5VM_bit_set writes it — bit 0 is the HIGH
+            # bit of byte 0, 0x80 >> (bit % 8); set = initialized) +
+            # checksum(4); the element pages follow at a FIXED stride
+            # of page_nelmts*entry_size + 4 (per-page checksum), the
+            # stride libhdf5 uses for page addressing even when the
+            # last page holds fewer elements.
             npages = (int(n_entries) + page_nelmts - 1) // page_nelmts
             bitmap = f.raw(dblock + 14, (npages + 7) // 8)
             page0 = dblock + 14 + len(bitmap) + 4
@@ -820,7 +837,7 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
 
             def elem_bytes(i: int) -> bytes | None:
                 pg, j = divmod(i, page_nelmts)
-                if not (bitmap[pg // 8] >> (pg % 8)) & 1:
+                if not (bitmap[pg // 8] >> (7 - pg % 8)) & 1:
                     return None  # uninitialized page: chunks unwritten
                 return f.raw(page0 + pg * page_stride + j * entry_size, entry_size)
 
@@ -975,10 +992,12 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
                 if sblk_nelmts[u] > page_nelmts:
                     # PAGED data blocks: the super block carries the
                     # page-init bitmap (1 bit per page per data
-                    # block, dblk-major, LSB-first) between its block
-                    # offset and the data block addresses. sblk
-                    # element counts are power-of-two multiples of
-                    # page_nelmts, so pages divide evenly.
+                    # block, dblk-major, MSB-first within each byte —
+                    # libhdf5 H5VM_bit_set, bit 0 = high bit of byte
+                    # 0) between its block offset and the data block
+                    # addresses. sblk element counts are power-of-two
+                    # multiples of page_nelmts, so pages divide
+                    # evenly.
                     npages = sblk_nelmts[u] // page_nelmts
                     nbits = sblk_ndblks[u] * npages
                     bm = f.raw(base, (nbits + 7) // 8)
@@ -992,7 +1011,7 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
                         bits = 0
                         for pg in range(npages):
                             bit = i * npages + pg
-                            bits |= ((bm[bit // 8] >> (bit % 8)) & 1) << pg
+                            bits |= ((bm[bit // 8] >> (7 - bit % 8)) & 1) << pg
                         dblk_page_init[a] = bits
             return lst[k]
 

@@ -407,3 +407,44 @@ def test_nc4_to_nl_answer(spark, tmp_path):
         if _nearest_city(LATS[i], LONS[j]) == "Dhaka"
     ]
     assert rows[0]["value"] == pytest.approx(sum(vals) / len(vals))
+
+
+def test_nc4_many_variable_dense_root_ingests(spark, tmp_path):
+    """The real-file trigger for DENSE group storage: a netCDF-4 file
+    with more than ~8 root variables under LIBVER_LATEST stores its
+    root group as a fractal heap + link-name B-tree (any
+    many-variable ERA5 export — ERA5_preprocessing.ipynb cell2-4's
+    file shape). The stdlib HDF5 reader must ingest it directly, no
+    xarray fallback (none is installed here, so a fallback would
+    fail loudly)."""
+    import numpy as np
+
+    from test_hdf5_min import build_nc4
+
+    records = np.array(
+        [
+            [[_raw(m, i, j) for j in range(2)] for i in range(2)]
+            for m in range(N_MONTHS)
+        ],
+        "<i2",
+    )
+    p = tmp_path / "skt_dense_2020.nc4"
+    p.write_bytes(
+        build_nc4(
+            modern=True,
+            dense_root="direct",
+            extra_vars=5,  # 10 root links total: past the compact threshold
+            lat_vals=LATS,
+            lon_vals=LONS,
+            t2m=records,
+            scale=SCALE,
+            offset=OFFSET,
+            var_name="skt",
+            with_elevation=False,
+        )
+    )
+    grid = ingest.read_netcdf(spark, str(p))
+    assert {f"aux{i}" for i in range(5)} <= set(grid.columns)
+    rows = grid.orderBy("time", "lat", "lon").collect()
+    assert len(rows) == N_MONTHS * 4
+    assert rows[0]["skt"] == pytest.approx(_raw(0, 0, 0) * SCALE + OFFSET)

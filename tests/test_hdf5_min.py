@@ -134,6 +134,160 @@ def object_header(messages: list[bytes]) -> bytes:
     )
 
 
+# ----------------------------------------------- dense-group (fractal heap)
+
+
+def link_body(name: str, addr: int, corder: int | None = None) -> bytes:
+    """Serialized hard Link message BODY (v1) exactly as dense group
+    storage keeps it as a managed fractal-heap object — with the
+    creation-order field when tracking is on (netCDF-4 groups track
+    it)."""
+    nb = name.encode()
+    flags = 0
+    mid = b""
+    if corder is not None:
+        flags |= 0x04
+        mid = struct.pack("<q", corder)
+    return bytes([1, flags]) + mid + bytes([len(nb)]) + nb + struct.pack("<Q", addr)
+
+
+def heap_id(off: int, ln: int) -> bytes:
+    """7-byte managed heap ID: version/type byte 0, 4-byte offset
+    (max_heap_bits=32), 2-byte length."""
+    return bytes([0]) + struct.pack("<I", off) + struct.pack("<H", ln)
+
+
+def fhdb(b: "H5Builder", objs: list[bytes], blk_off: int, size: int):
+    """One fractal-heap direct block: FHDB prefix (sig, version, heap
+    header address — patched to the FRHP later — and 4-byte block
+    offset), then the objects; the block's bytes map 1:1 onto its
+    slice of the heap's linear space, prefix included, so each
+    object's heap-ID offset is blk_off + its position in the block.
+    Returns (file address, heap IDs in object order)."""
+    blk = bytearray(b"FHDB" + bytes([0]) + struct.pack("<Q", 0) + struct.pack("<I", blk_off))
+    ids = []
+    for o in objs:
+        ids.append(heap_id(blk_off + len(blk), len(o)))
+        blk += o
+    assert len(blk) <= size, "dense fixture direct block overflow"
+    blk += b"\0" * (size - len(blk))
+    return b.put(bytes(blk)), ids
+
+
+def name_btree(b: "H5Builder", ids: list[bytes], order: list[int] | None = None) -> int:
+    """Link-name index: a root-leaf v2 B-tree of type-5 records (name
+    hash(4) + 7-byte heap ID). Real files order records by Jenkins
+    name hash — i.e. unrelated to creation order — so the caller
+    passes the permutation to mimic that."""
+    idx = list(order) if order is not None else list(range(len(ids)))
+    recs = b"".join(
+        struct.pack("<I", 0x10000 + k) + ids[i] for k, i in enumerate(idx)
+    )
+    leaf = b.put(b"BTLF" + bytes([0, 5]) + recs + b"\0\0\0\0")
+    return b.put(
+        b"BTHD"
+        + bytes([0, 5])
+        + struct.pack("<IHH", 512, 11, 0)  # node size, record size, depth
+        + bytes([100, 40])
+        + struct.pack("<QHQ", leaf, len(ids), len(ids))
+        + b"\0\0\0\0"
+    )
+
+
+def frhp(
+    b: "H5Builder",
+    root_addr: int,
+    root_rows: int,
+    patchme: list[int],
+    *,
+    width: int = 4,
+    start_size: int = 512,
+    max_direct: int = 65536,
+    filter_len: int = 0,
+) -> int:
+    """Fractal heap header (spec III.D): doubling-table geometry after
+    the twelve 8-byte statistics fields; heap ID length 7 = 1 + 4-byte
+    offset (max heap size 32 bits) + 2-byte length. Patches the heap
+    header address into every block in ``patchme``."""
+    hdr = bytearray(b"FRHP" + bytes([0]))
+    hdr += struct.pack("<H", 7)  # heap ID length
+    hdr += struct.pack("<H", filter_len)  # I/O filters' encoded length
+    hdr += bytes([0])  # flags
+    hdr += struct.pack("<I", 4096)  # max managed object size
+    hdr += b"\0" * 96  # 12 x 8-byte statistics/bookkeeping fields
+    hdr += struct.pack("<H", width) + struct.pack("<Q", start_size)
+    hdr += struct.pack("<Q", max_direct) + struct.pack("<H", 32)
+    hdr += struct.pack("<H", root_rows)  # starting rows
+    hdr += struct.pack("<Q", root_addr) + struct.pack("<H", root_rows)
+    hdr += b"\0\0\0\0"  # checksum (not verified)
+    addr = b.put(bytes(hdr))
+    for a in patchme:
+        b.buf[a + 5 : a + 13] = struct.pack("<Q", addr)
+    return addr
+
+
+def link_info_msg(fheap: int, name_bt: int, track_corder: bool = True) -> bytes:
+    """Link Info message (0x0002) pointing the group at its dense
+    storage: optional max-creation-index, fractal heap address,
+    link-name v2 B-tree address."""
+    flags = 0x01 if track_corder else 0
+    body = bytes([0, flags])
+    if track_corder:
+        body += struct.pack("<q", 99)
+    body += struct.pack("<QQ", fheap, name_bt)
+    return msg2(0x0002, body)
+
+
+def dense_root_messages(
+    b: "H5Builder",
+    entries: list[tuple[str, int]],
+    *,
+    shape: str = "direct",
+    track_corder: bool = True,
+    hash_order: list[int] | None = None,
+) -> list[bytes]:
+    """Dense storage for a root group: serialized link messages in a
+    managed fractal heap (root direct block, or a root indirect block
+    spanning doubling-table rows 0/1/2) indexed by a link-name v2
+    B-tree; returns the Link Info message to put in the root header."""
+    bodies = [
+        link_body(nm, hdr, corder=(ci if track_corder else None))
+        for ci, (nm, hdr) in enumerate(entries)
+    ]
+    patchme: list[int] = []
+    ids: list[bytes] = []
+    if shape == "direct":
+        daddr, ids = fhdb(b, bodies, 0, 512)
+        patchme.append(daddr)
+        heap = frhp(b, daddr, 0, patchme, start_size=512)
+    else:
+        # root indirect block, width 4, starting size 128: row 0 at
+        # linear 0..511, row 1 at 512..1023, row 2 (doubled, 256-byte
+        # blocks) at 1024..2047. Objects spread across one block in
+        # each row; every other entry unallocated.
+        third = (len(bodies) + 2) // 3
+        g0, g1, g2 = bodies[:third], bodies[third : 2 * third], bodies[2 * third :]
+        d0, i0 = fhdb(b, g0, 0, 128)  # row 0, col 0
+        d1, i1 = fhdb(b, g1, 512 + 128, 128)  # row 1, col 1
+        d2, i2 = fhdb(b, g2, 1024 + 2 * 256, 256)  # row 2, col 2
+        ids = i0 + i1 + i2
+        grid = [UNDEF] * 12
+        grid[0], grid[4 + 1], grid[8 + 2] = d0, d1, d2
+        ib = bytearray(b"FHIB" + bytes([0]) + struct.pack("<Q", 0) + struct.pack("<I", 0))
+        for a in grid:
+            ib += struct.pack("<Q", a)
+        ib += b"\0\0\0\0"
+        iaddr = b.put(bytes(ib))
+        patchme.extend([d0, d1, d2, iaddr])
+        heap = frhp(b, iaddr, 3, patchme, start_size=128, max_direct=1024)
+    if hash_order is None:
+        # default permutation: reverse of creation order, so a reader
+        # that trusts B-tree (hash) order is caught
+        hash_order = list(range(len(ids)))[::-1]
+    bt = name_btree(b, ids, hash_order)
+    return [link_info_msg(heap, bt, track_corder=track_corder)]
+
+
 # ------------------------------------------------------------- file builder
 
 
@@ -187,6 +341,8 @@ def build_nc4(
     with_elevation: bool = True,
     modern: bool = False,
     layout4: str | None = None,
+    dense_root: str | None = None,
+    extra_vars: int = 0,
 ) -> bytes:
     """A netCDF-4 twin of the classic test file: dims time (pure),
     lat + lon (coordinate scales); data var (time, lat, lon) as
@@ -330,7 +486,9 @@ def build_nc4(
         elif layout4 in ("fixed_paged", "fixed_paged_filtered"):
             # PAGED fixed-array data block (spec III.F): FADB prefix
             # = sig(4) version(1) client(1) header address(8) + page
-            # bitmap (1 bit/page, LSB-first, set = initialized) +
+            # bitmap (1 bit/page, MSB-first within each byte per
+            # libhdf5's H5VM_bit_set — bit 0 is the HIGH bit of byte
+            # 0 — set = initialized) +
             # checksum(4); element pages follow CONTIGUOUSLY at a
             # fixed stride of page_nelmts*entry_size + 4 (per-page
             # checksum); the last page is truncated to its element
@@ -349,7 +507,7 @@ def build_nc4(
             npages = (n_time + page_nelmts - 1) // page_nelmts
             bitmap = bytearray((npages + 7) // 8)
             for pg in range(npages):
-                bitmap[pg // 8] |= 1 << (pg % 8)
+                bitmap[pg // 8] |= 0x80 >> (pg % 8)
             fadb = bytearray(b"FADB" + bytes([0, 1 if filtered else 0]))
             fadb += struct.pack("<Q", 0)  # header addr, patched below
             fadb += bytes(bitmap) + b"\0\0\0\0"  # prefix checksum
@@ -589,7 +747,8 @@ def build_nc4(
             # page_nelmts*esize + 4-byte checksum). The page-init
             # bitmap lives in the SUPER BLOCK between its block
             # offset and its data block addresses: 1 bit per page
-            # per data block, dblk-major, LSB-first.
+            # per data block, dblk-major, MSB-first within each byte
+            # (libhdf5 H5VM_bit_set: bit 0 = high bit of byte 0).
             # Params: idx_blk_elmts=2, data_blk_min=2, sup_blk_min
             # _ptrs=2, max_nelmts_bits=32 (arr_off_size 4),
             # page_bits=2 (4 elements/page). Tiers: chunks 0-1
@@ -660,7 +819,7 @@ def build_nc4(
             )
             s3 = bytearray(b"EASB" + bytes([0, client]))
             s3 += struct.pack("<QI", 0, 16)
-            s3 += bytes([0x0F])  # page-init bitmap, LSB-first
+            s3 += bytes([0xF0])  # page-init bitmap, MSB-first (bits 0-3 set)
             s3 += struct.pack("<QQ", *s3d) + b"\0\0\0\0"
             sb3 = b.put(bytes(s3))
             patchme.append(sb3)
@@ -832,9 +991,31 @@ def build_nc4(
             )
         )
         entries.append(("name", name_hdr))
+    for i in range(extra_vars):
+        # extra (lat, lon) f64 variables, enough of them to push the
+        # root group past libhdf5's 8-link compact threshold — the
+        # shape any real many-variable ERA5 export has
+        av = (np.arange(n_lat * n_lon, dtype="<f8") + 10.0 * i).reshape(n_lat, n_lon)
+        ad = b.put(av.tobytes())
+        ah = b.put(
+            OH(
+                [
+                    M(0x0001, ds_simple([n_lat, n_lon])),
+                    M(0x0003, dt_float(8)),
+                    dimension_list([g_idx[1], g_idx[2]]),
+                    layout_contig(ad, av.nbytes),
+                ]
+            )
+        )
+        entries.append((f"aux{i}", ah))
 
     if modern:
-        root_hdr = b.put(OH([link_msg(nm, hdr) for nm, hdr in entries]))
+        if dense_root:
+            root_hdr = b.put(
+                OH(dense_root_messages(b, entries, shape=dense_root))
+            )
+        else:
+            root_hdr = b.put(OH([link_msg(nm, hdr) for nm, hdr in entries]))
         return b.finish_v2(root_hdr)
 
     # --- local heap, SNOD, group B-tree, root header ---
@@ -1142,9 +1323,70 @@ def test_modern_chunked_deflate():
     assert last.t2m.iloc[0] == pytest.approx(282.0)
 
 
-def test_dense_group_storage_is_loud():
-    """A root OHDR whose Link Info message carries a DEFINED fractal
-    heap address is dense storage — outside the subset, must raise."""
+@pytest.mark.parametrize("shape", ["direct", "indirect"])
+def test_dense_root_group_decodes(shape):
+    """DENSE root-group storage (what libhdf5 switches to past the
+    8-link compact threshold — any many-variable netCDF-4 export):
+    10 root links (5 extra aux variables) resolved through the
+    link-name v2 B-tree and the fractal heap — root direct block and
+    root-indirect-of-direct-blocks shapes — decode to the same frame
+    as the compact-group twin."""
+    dense = build_nc4(modern=True, dense_root=shape, extra_vars=5)
+    compact = build_nc4(modern=True, extra_vars=5)
+    a = (
+        decode_netcdf4_bytes(dense)
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    r = (
+        decode_netcdf4_bytes(compact)
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    assert {f"aux{i}" for i in range(5)} <= set(a.columns)
+    assert len(a) == 12
+    for c in r.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
+
+
+def test_dense_group_creation_order_restored():
+    """The name index iterates in hash order; with creation-order
+    tracking on (netCDF-4 groups track it) the children must come
+    back in creation order, not B-tree order — the fixture's B-tree
+    permutation is the REVERSE of creation order to catch a reader
+    that trusts index order."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.hdf5_min import (
+        _F,
+        _dense_group_children,
+    )
+
+    b = H5Builder()
+    entries = [(f"v{i:02d}", 1000 + i) for i in range(9)]
+    (li,) = dense_root_messages(b, entries, shape="direct")
+    body = li[4:]  # strip the 4-byte v2 message frame
+    kids = _dense_group_children(_F(bytes(b.buf)), body)
+    assert kids == entries  # creation order, with addresses intact
+
+
+def test_dense_group_untracked_order_falls_back_to_name():
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.hdf5_min import (
+        _F,
+        _dense_group_children,
+    )
+
+    b = H5Builder()
+    entries = [("zulu", 7), ("alpha", 8), ("mike", 9)] + [
+        (f"v{i}", 10 + i) for i in range(6)
+    ]
+    (li,) = dense_root_messages(b, entries, shape="direct", track_corder=False)
+    kids = _dense_group_children(_F(bytes(b.buf)), li[4:])
+    assert kids == sorted(entries)
+
+
+def test_dense_group_without_name_index_is_loud():
+    """A dense group whose link-name B-tree address is undefined is
+    outside the subset (creation-order-only index): must raise
+    NotImplementedError so ingest's xarray fallback still triggers."""
     b = H5Builder()
     li = msg2(
         0x0002,
@@ -1152,7 +1394,73 @@ def test_dense_group_storage_is_loud():
     )
     root = b.put(object_header_v2([li]))
     buf = b.finish_v2(root)
-    with pytest.raises(NotImplementedError, match="fractal-heap"):
+    with pytest.raises(NotImplementedError, match="link-name index"):
+        parse_netcdf4(buf)
+
+
+def test_filtered_fractal_heap_is_loud():
+    b = H5Builder()
+    daddr, ids = fhdb(b, [link_body("x", 1, 0)], 0, 512)
+    heap = frhp(b, daddr, 0, [daddr], filter_len=4)
+    bt = name_btree(b, ids)
+    root = b.put(object_header_v2([link_info_msg(heap, bt)]))
+    buf = b.finish_v2(root)
+    with pytest.raises(NotImplementedError, match="I/O-filtered fractal heap"):
+        parse_netcdf4(buf)
+
+
+def test_fractal_heap_huge_tiny_ids_are_loud():
+    """A heap ID whose type bits are nonzero (huge/tiny object) is
+    outside the managed-object subset."""
+    b = H5Builder()
+    daddr, ids = fhdb(b, [link_body("x", 1, 0)], 0, 512)
+    heap = frhp(b, daddr, 0, [daddr])
+    tiny = bytes([0x10]) + ids[0][1:]  # type bits 01 = tiny
+    bt = name_btree(b, [tiny])
+    root = b.put(object_header_v2([link_info_msg(heap, bt)]))
+    buf = b.finish_v2(root)
+    with pytest.raises(NotImplementedError, match="huge/tiny"):
+        parse_netcdf4(buf)
+
+
+def test_fractal_heap_nested_indirect_is_loud():
+    """An object whose doubling-table row exceeds the maximum direct
+    block size lives under a NESTED indirect block — outside the
+    subset, must refuse rather than misread. width=4, start 128, max
+    direct 128: row 2 doubles to 256 > 128, so any offset >= 1024
+    needs the nested path."""
+    b = H5Builder()
+    grid = [UNDEF] * 12
+    ib = bytearray(b"FHIB" + bytes([0]) + struct.pack("<Q", 0) + struct.pack("<I", 0))
+    for a in grid:
+        ib += struct.pack("<Q", a)
+    iaddr = b.put(bytes(ib) + b"\0\0\0\0")
+    heap = frhp(b, iaddr, 3, [iaddr], start_size=128, max_direct=128)
+    bt = name_btree(b, [heap_id(1024 + 17, 30)])
+    root = b.put(object_header_v2([link_info_msg(heap, bt)]))
+    buf = b.finish_v2(root)
+    with pytest.raises(NotImplementedError, match="nested fractal heap"):
+        parse_netcdf4(buf)
+
+
+def test_fractal_heap_unallocated_block_is_loud():
+    """A heap ID into an unallocated direct block cannot come from a
+    consistent name index; the reader refuses with the
+    NotImplementedError the ingest fallback contract expects."""
+    b = H5Builder()
+    d0, ids = fhdb(b, [link_body("x", 1, 0)], 0, 128)
+    grid = [UNDEF] * 12
+    grid[0] = d0
+    ib = bytearray(b"FHIB" + bytes([0]) + struct.pack("<Q", 0) + struct.pack("<I", 0))
+    for a in grid:
+        ib += struct.pack("<Q", a)
+    iaddr = b.put(bytes(ib) + b"\0\0\0\0")
+    heap = frhp(b, iaddr, 3, [d0, iaddr], start_size=128, max_direct=1024)
+    # offset into row 0 col 1 (linear 128..255): entry is UNDEF
+    bt = name_btree(b, [heap_id(128 + 17, 30)])
+    root = b.put(object_header_v2([link_info_msg(heap, bt)]))
+    buf = b.finish_v2(root)
+    with pytest.raises(NotImplementedError, match="unallocated"):
         parse_netcdf4(buf)
 
 
@@ -1254,8 +1562,12 @@ def test_fixed_array_uninitialized_page_reads_as_unwritten():
     buf = bytearray(build_nc4(modern=True, layout4="fixed_paged", t2m=t2m))
     i = bytes(buf).find(b"FADB")
     assert i > 0
-    assert buf[i + 14] == 0x0F  # 4 pages, all initialized, LSB-first
-    buf[i + 14] = 0x0D  # clear page 1 (time chunks 4-7)
+    # 4 pages, all initialized, MSB-first (libhdf5 H5VM_bit_set): the
+    # 4-bit bitmap occupies the HIGH nibble — 0xF0, not 0x0F. This
+    # non-multiple-of-8 case is exactly where an LSB-first reader
+    # silently swaps initialized and unwritten pages.
+    assert buf[i + 14] == 0xF0
+    buf[i + 14] = 0xF0 & ~0x40  # clear page 1 (bit 1; time chunks 4-7)
     _, _, varlist = parse_netcdf4(bytes(buf))
     data = {v.name: v for v in varlist}["t2m"].data
     assert (data[4:8] == 0).all()  # skipped page -> unwritten
@@ -1361,8 +1673,9 @@ def test_earray_uninitialized_page_reads_as_unwritten():
     i = bytes(buf).find(b"EASB", i + 4)
     assert i > 0
     bm = i + 4 + 1 + 1 + 8 + 4  # sig + version + client + hdr addr + blk off
-    assert buf[bm] == 0x0F  # 2 dblks x 2 pages, all initialized
-    buf[bm] = 0x0D  # clear dblk0's page 1 (time chunks 20-23)
+    # 2 dblks x 2 pages = 4 bits, all initialized, MSB-first: 0xF0
+    assert buf[bm] == 0xF0
+    buf[bm] = 0xF0 & ~0x40  # clear dblk0's page 1 (bit 1; chunks 20-23)
     _, _, varlist = parse_netcdf4(bytes(buf))
     data = {v.name: v for v in varlist}["t2m"].data
     assert (data[20:24] == 0).all()  # skipped page -> unwritten
