@@ -94,6 +94,15 @@ EVAL_RE = re.compile(
     r"evaluate (the )?(retrieval|search|ranking))\b"
 )
 
+# Rank-metric paraphrases (VERDICT r11 item 7): "what's the MRR" /
+# "precision at 10" reach the MRR/P/R@10 companion eval the same way
+# the generic phrasing reaches nDCG@10. Checked BEFORE EVAL_RE so
+# "evaluate the retrieval MRR" lands on the more specific builder.
+MRR_RE = re.compile(
+    r"\b(mrr|mean reciprocal rank|reciprocal rank|"
+    r"(precision|recall)\s*(at|@)\s*10)\b"
+)
+
 # P5's NL comparison phrases (Disaster dollar/client.py:47-50).
 COMPARISON_PHRASES = {
     "more than": ">",
@@ -534,14 +543,26 @@ class ClimateEngine:
         # the same routing decision. Trend covers the three
         # time-series domains; FEMA stays on the plain path (its
         # grain is per-event assistance, not a yearly series).
-        if self.corpus_dir and EVAL_RE.search(question.lower()):
-            # Corpus-eval intent: reaches the registry's nDCG@10
-            # builder the way trend reaches Holt — checked BEFORE the
-            # climate router because these questions carry no climate
-            # cues (route() would raise).
-            from ..queries.retrieval import retrieval_ndcg_at_10
+        if self.corpus_dir and (
+            MRR_RE.search(question.lower()) or EVAL_RE.search(question.lower())
+        ):
+            # Corpus-eval intent: reaches the registry's eval
+            # builders the way trend reaches Holt — checked BEFORE
+            # the climate router because these questions carry no
+            # climate cues (route() would raise). MRR/precision/
+            # recall phrasings pick the MRR@10 companion; everything
+            # else gets nDCG@10.
+            from ..queries.retrieval import (
+                retrieval_mrr_at_10,
+                retrieval_ndcg_at_10,
+            )
 
-            plan = retrieval_ndcg_at_10(self.spark, self.corpus_dir)
+            builder = (
+                retrieval_mrr_at_10
+                if MRR_RE.search(question.lower())
+                else retrieval_ndcg_at_10
+            )
+            plan = builder(self.spark, self.corpus_dir)
             spec = QuerySpec(dataset="documents", metrics=list(plan.columns))
             text = answer(question, plan, self.transport)
             return Answer(question, "corpus", spec, plan, text, [])

@@ -530,6 +530,31 @@ def test_g14_eval_intent_routes_to_ndcg(spark):
     assert b.result.collect() == want
 
 
+def test_g15_mrr_intent_routes_to_mrr_builder(spark):
+    """'What's the MRR at 10?' (VERDICT r11 item 7) reaches the
+    MRR/P/R@10 companion eval — same frame cell-for-cell as calling
+    retrieval_mrr_at_10 directly — while generic eval phrasing still
+    lands on nDCG@10."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.retrieval import (
+        retrieval_mrr_at_10,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    eng = ClimateEngine(spark, corpus_dir=sf)
+    a = eng.ask("What's the MRR of retrieval at 10?")
+    assert a.domain == "corpus"
+    want = retrieval_mrr_at_10(spark, sf).collect()
+    assert a.result.collect() == want
+    # precision/recall paraphrase reaches the same builder even with
+    # EVAL_RE words present (MRR_RE wins the tie)
+    b = eng.ask("Evaluate the search: what is the precision at 10?")
+    assert b.domain == "corpus"
+    assert b.result.collect() == want
+    # generic phrasing is NOT stolen by the new route
+    c = eng.ask("How good is retrieval on this corpus?")
+    assert c.result.columns == ["dcg_at_10", "idcg_at_10", "ndcg_at_10"]
+
+
 def test_eval_intent_needs_corpus_dir_and_spares_plain_paths(engine, spark):
     """Without corpus_dir the eval phrasing still raises the router's
     loud error; with corpus_dir, climate questions are untouched."""
