@@ -1627,10 +1627,13 @@ def test_malformed_v4_indexes_are_loud():
 def test_layout_v4_earray_paged_directly_addressed_is_loud():
     # page_bits=1 makes the 4-element data block that the INDEX BLOCK
     # addresses directly paged — a shape whose page-init bitmap has
-    # no on-disk home (only super blocks carry one) and that
-    # libhdf5's creation parameters never produce (index-block rows
-    # hold at most 2x data_blk_min_elmts elements vs the 1024-element
-    # default page). The decoder must refuse rather than misread.
+    # no on-disk home (only super blocks carry one, spec III.E) and
+    # that libhdf5 cannot produce: its EA chunk-index creation
+    # parameters are compile-time constants (H5Dearray.c) under which
+    # index-block-addressed data blocks top out at 32 elements vs the
+    # 1024-element page threshold — the full bound is written out in
+    # BASELINE.md "Index-block-addressed paged EA data blocks".
+    # The decoder must refuse rather than misread.
     got, _ = _earray_16step("earray_paged")
     with pytest.raises(NotImplementedError, match="paged extensible-array"):
         decode_netcdf4_bytes(got)
