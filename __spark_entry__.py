@@ -45,8 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # CADENCE POLICY (decided in round 11, VERDICT r10 ask #2): the
 # standard is ceil(registry / 50) rounds between driver rows for
-# any entry, with the rotation strictly oldest-rows-first. At 192
-# entries that is a 4-round cadence, and 4 is the accepted
+# any entry, with the rotation strictly oldest-rows-first. At 194
+# entries (two round-12 additions) that is a 4-round cadence, and 4
+# is the accepted
 # standard — the suite's cell-by-cell oracle-parity sweep
 # (tests/test_oracle_parity.py + scripts/check_parity.py) re-proves
 # every oracled entry at HEAD every round, so driver rows are an
@@ -118,6 +119,11 @@ _PROMOTE = [
     "gopher_quality_flags",
 ]
 _DEMOTE = [
+    # -- ROUND-13 TIER A0: round-12 additions (never-rowed; lead the
+    #    round-13 window per the cadence policy; both FULL-oracled,
+    #    parity-green at sf0.01 on introduction) --
+    "cluster_cap_sample",
+    "rho_loss_select",
     # -- ROUND-13 TIER A: the 42 remaining r9-rowed names --
     "psi_source_drift",
     "weighted_jaccard_top_pairs",

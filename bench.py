@@ -185,6 +185,9 @@ HEADLINE = [
     "media_resize_report",      # multimodal resize metadata+payload gate
     "retrieval_mrr_at_10",      # MRR/precision/recall@10 eval companions
     "minhash_band_plan",        # LSH banding-plan table (closed-form)
+    # Round-12 additions:
+    "cluster_cap_sample",       # keep-best-2-per-cluster dedup sampling
+    "rho_loss_select",          # RHO-style excess-loss data selection
 ]
 
 

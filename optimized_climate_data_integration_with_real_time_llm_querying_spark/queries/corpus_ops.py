@@ -197,6 +197,67 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "cluster_cap_sample",
+    _PAIR_GRAPH_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + r""", edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    ), assigned AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ), ranked AS (
+      SELECT doc_id, cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) AS INT)
+               AS rnk
+      FROM assigned
+    )
+    SELECT doc_id, cluster_id, cluster_size, rnk,
+           CAST(rnk <= 2 AS INT) AS kept
+    FROM ranked
+    """,
+    doc="Dedup-AWARE sampling: cap each near-dup cluster at its top-2 "
+    "documents by length (the keep-best alternative to dedup_clusters' "
+    "keep-lowest-id verdict — a 100-TB curation run keeps the best "
+    "exemplars of a template, not whichever arrived first). Same "
+    "connected-components assignment as dedup_clusters (exact-Jaccard "
+    ">= 0.6 pairs, min-label propagation), then one per-cluster window "
+    "ranking by (n_chars DESC, doc_id): rank <= 2 is kept. The window "
+    "partitions by cluster_id, so the ranking shuffles (id, id, "
+    "bigint) triples only — no text moves — and singleton clusters "
+    "(the overwhelming mass) are 1-row partitions. Oracle replays the "
+    "component fixpoint with the same recursive CTE as dedup_clusters "
+    "plus the ROW_NUMBER cap.",
+)
+def cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.6, max_shingle_df=100)
+    out = dedup_cluster_assignments(d, pairs)
+    ranked = out.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    sel = ranked.select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+    ).withColumn("kept", (F.col("rnk") <= 2).cast("int"))
+    sel.cache_handles = list(getattr(out, "cache_handles", []))
+    return sel
+
+
 _WP_ROUNDS, _WP_VOCAB_K, _WP_MAX_SUB = 12, 50, 6
 
 

@@ -693,3 +693,118 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "neg_id", "cosine_sim", "rank")
     )
+
+
+@register(
+    "rho_loss_select",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE trim(text) <> '')
+    ), tk AS (
+      SELECT doc_id, i, t[i] AS token FROM toks
+    ), uv AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY token
+    ), ut AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM uv
+    ), up AS (
+      SELECT token, ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+      FROM uv, ut
+    ), uni AS (
+      SELECT t.doc_id, ROUND(-AVG(u.logp), 4) AS uni_neg_logp
+      FROM tk t JOIN up u ON u.token = t.token GROUP BY t.doc_id
+    ), big AS (
+      SELECT doc_id, token AS w1,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM tk
+    ), bg AS (
+      SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bg GROUP BY w1
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vsz FROM tk
+    ), p AS (
+      SELECT c2.w1, c2.w2, ln((n2 + 1.0) / (n1 + vsz)) AS logp
+      FROM c2 JOIN c1 ON c1.w1 = c2.w1, v
+    ), bi AS (
+      SELECT b.doc_id, ROUND(-AVG(p.logp), 4) AS bi_neg_logp
+      FROM bg b JOIN p ON p.w1 = b.w1 AND p.w2 = b.w2 GROUP BY b.doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.source, uni.uni_neg_logp, bi.bi_neg_logp,
+             ROUND(uni.uni_neg_logp - bi.bi_neg_logp, 4) + 0.0 AS excess_loss
+      FROM documents d
+      JOIN uni ON uni.doc_id = d.doc_id
+      JOIN bi ON bi.doc_id = d.doc_id
+    ), ranked AS (
+      SELECT doc_id, source, uni_neg_logp, bi_neg_logp, excess_loss,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY excess_loss DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM scored
+    )
+    SELECT doc_id, source, uni_neg_logp, bi_neg_logp, excess_loss,
+           CAST(rn <= CEIL(cnt * 0.25) AS INT) AS selected
+    FROM ranked
+    """,
+    doc="Excess-loss data selection (the RHO-1 / prioritized-training "
+    "recipe, Lin et al. 2024 / Mindermann et al. 2022, with corpus "
+    "LMs as the proxy pair): score every document under a WEAK "
+    "learner (the corpus unigram LM) and a STRONGER reference (the "
+    "add-1 bigram LM, identical model to bigram_logprob_scores), "
+    "excess = unigram minus bigram mean negative log-prob — large "
+    "excess marks structured, learnable text the stronger model "
+    "explains far better; junk/shuffled text shows little gap. Top "
+    "25% per source is selected (ROW_NUMBER vs CEIL(count/4), "
+    "doc_id tie-break). Plan: the two model passes are the existing "
+    "green scorer plans (vocab broadcast + map-side agg; bigram "
+    "pair-key shuffle), the selection adds one per-source window "
+    "over (id, 3 doubles) rows — no text moves after scoring, and "
+    "both models stay broadcast-sized at 100 TB.",
+)
+def rho_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+    from .corpus_ops import _bigram_doc_scores
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    vp = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.log(F.col("n").cast("double") / F.col("total").cast("double")).alias("logp"),
+    )
+    uni = (
+        tok.join(F.broadcast(vp), "token")
+        .groupBy("doc_id")
+        .agg(F.round(-F.avg("logp"), 4).alias("uni_neg_logp"))
+    )
+    bi = _bigram_doc_scores(d).select(
+        "doc_id", F.col("avg_neg_logp").alias("bi_neg_logp")
+    )
+    scored = (
+        d.select("doc_id", "source")
+        .join(uni, "doc_id")
+        .join(bi, "doc_id")
+        .withColumn(
+            "excess_loss",
+            F.round(F.col("uni_neg_logp") - F.col("bi_neg_logp"), 4) + F.lit(0.0),
+        )
+    )
+    rw = W.partitionBy("source").orderBy(F.col("excess_loss").desc(), "doc_id")
+    cw = W.partitionBy("source")
+    return scored.select(
+        "doc_id",
+        "source",
+        "uni_neg_logp",
+        "bi_neg_logp",
+        "excess_loss",
+        (
+            F.row_number().over(rw)
+            <= F.ceil(F.count(F.lit(1)).over(cw) * F.lit(0.25))
+        )
+        .cast("int")
+        .alias("selected"),
+    )
