@@ -18,7 +18,8 @@ subset netCDF-4 actually uses is small enough to decode with
   nodes -> local heap names), new-style COMPACT groups (inline Link
   messages), and new-style DENSE groups (link-name v2 B-tree type-5
   records resolved through a managed fractal heap — root direct
-  block or a root indirect block of direct blocks),
+  block, root indirect block of direct blocks, or nested indirect
+  blocks for heaps past the doubling table's max-direct rows),
 - dataspace (v1), datatype (fixed-point / IEEE-float / fixed string /
   reference / vlen-of-reference), fill value, attribute (v1 and v3),
   data layout v3 (contiguous and chunked),
@@ -52,12 +53,13 @@ the same xarray-shaped frame.
 Groups decode from all three storages: old-style symbol tables,
 compact link messages, and DENSE (fractal-heap) storage — the
 link-name v2 B-tree's records resolve through the heap's doubling
-table (root direct block or a root indirect block of direct blocks),
+table (root direct block, root indirect block, or nested indirect
+blocks once a row's block size passes the max-direct threshold),
 which is what libhdf5 switches to past the 8-link compact threshold.
 
 Anything outside the subset — later superblocks, v2 object headers,
 compact/v1/v2 layouts, filters beyond deflate+shuffle, compound
-datatypes, filtered fractal heaps, nested heap indirect blocks —
+datatypes, filtered fractal heaps, huge/tiny heap objects —
 raises a loud ``NotImplementedError`` naming the feature;
 ``ingest.read_netcdf`` then falls back to the xarray seam, which
 stays the documented escape hatch for exotic files.
@@ -372,46 +374,74 @@ class _FractalHeap:
     def _row_off(self, r: int) -> int:
         return 0 if r == 0 else (self.width * self.start_size) << (r - 1)
 
+    def _iblock_nrows(self, span: int) -> int:
+        # rows of a NON-root indirect block covering `span` bytes:
+        # sum of its row spans (width*start, width*start, 2x, 4x, ...)
+        # equals width*start*2^(nrows-1) = span, i.e.
+        # nrows = log2(span) - log2(width*start) + 1 — libhdf5's
+        # H5HF dtable "(log2(size) - first_row_bits) + 1".
+        first_row_bits = (self.width * self.start_size).bit_length() - 1
+        return (span.bit_length() - 1) - first_row_bits + 1
+
     def _locate(self, off: int) -> tuple[int, int, int]:
         """linear offset -> (direct block file addr, block linear
         offset, block size)."""
-        f = self.f
         if self.root_rows == 0:  # root IS a direct block
             return self.root_addr, 0, self.start_size
-        if f.raw(self.root_addr, 4) != b"FHIB":
+        return self._locate_in(self.root_addr, 0, self.root_rows, off)
+
+    def _locate_in(
+        self, iaddr: int, istart: int, nrows: int, off: int
+    ) -> tuple[int, int, int]:
+        """Walk one indirect block (root or nested). Every entry in
+        row r — direct OR indirect — covers _row_size(r) bytes of
+        linear space; the doubling-table rows RESTART at 0 inside
+        each indirect block, so the same row math recurses. Rows
+        whose block size exceeds max_direct hold child indirect
+        blocks (each subdividing its span with its own rows of
+        direct blocks); unfiltered heaps keep every entry 8 bytes,
+        so the entry array indexes uniformly as r*width + col."""
+        f = self.f
+        if f.raw(iaddr, 4) != b"FHIB":
             raise ValueError("bad fractal heap indirect block signature")
-        if off < self.width * self.start_size:
+        blk_off = f.u(iaddr + 13, self.off_size)
+        if blk_off != istart:
+            raise ValueError(
+                f"fractal heap indirect block offset {blk_off} does not "
+                f"match its addressed position {istart}"
+            )
+        rel = off - istart
+        if rel < self.width * self.start_size:
             r = 0
         else:
             r = 1
-            while self._row_off(r + 1) <= off:
+            while self._row_off(r + 1) <= rel:
                 r += 1
-        if r >= self.root_rows:
+        if r >= nrows:
             raise ValueError(
-                f"fractal heap offset {off} beyond the root indirect "
-                f"block's {self.root_rows} rows"
+                f"fractal heap offset {off} beyond this indirect "
+                f"block's {nrows} rows"
             )
         size_r = self._row_size(r)
-        if size_r > self.max_direct:
-            raise NotImplementedError(
-                "nested fractal heap indirect block: group link "
-                "storage at this size is outside the subset"
-            )
-        col = (off - self._row_off(r)) // size_r
+        col = (rel - self._row_off(r)) // size_r
         # entries are row-major, width per row; unfiltered heap ->
         # 8-byte child addresses after sig(4) version(1) heap
         # header(8) block offset(off_size)
-        entry = self.root_addr + 13 + self.off_size + (r * self.width + col) * 8
-        daddr = f.u(entry, 8)
-        if daddr == UNDEF:
+        entry = iaddr + 13 + self.off_size + (r * self.width + col) * 8
+        addr = f.u(entry, 8)
+        if addr == UNDEF:
             # An ID into an unallocated block never comes out of a
             # consistent name index, but NotImplementedError keeps
             # ingest.read_netcdf's xarray-fallback contract: only
             # corruption we can prove is a ValueError.
             raise NotImplementedError(
-                "fractal heap object in an unallocated direct block"
+                "fractal heap object in an unallocated block"
             )
-        return daddr, self._row_off(r) + col * size_r, size_r
+        child_start = istart + self._row_off(r) + col * size_r
+        if size_r <= self.max_direct:
+            return addr, child_start, size_r
+        # nested indirect block covering size_r bytes of linear space
+        return self._locate_in(addr, child_start, self._iblock_nrows(size_r), off)
 
     def read_object(self, heap_id: bytes) -> bytes:
         vt = heap_id[0]

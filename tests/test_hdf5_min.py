@@ -260,6 +260,37 @@ def dense_root_messages(
         daddr, ids = fhdb(b, bodies, 0, 512)
         patchme.append(daddr)
         heap = frhp(b, daddr, 0, patchme, start_size=512)
+    elif shape == "nested":
+        # width 4, start 128, max direct 256: rows 0-2 are direct
+        # (128/128/256-byte blocks), row 3's 512-byte span exceeds
+        # max_direct so its entries are CHILD INDIRECT blocks — each
+        # restarting the doubling table over its span (1 row of 4
+        # 128-byte direct blocks). Objects in a root-direct row, a
+        # doubled direct row, and a nested child's direct block.
+        third = (len(bodies) + 2) // 3
+        g0, g1, g2 = bodies[:third], bodies[third : 2 * third], bodies[2 * third :]
+        d0, i0 = fhdb(b, g0, 0, 128)  # root row 0, col 0
+        d1, i1 = fhdb(b, g1, 1024 + 256, 256)  # root row 2, col 1
+        d2, i2 = fhdb(b, g2, 2560 + 2 * 128, 128)  # child row 0, col 2
+        ids = i0 + i1 + i2
+        cgrid = [UNDEF] * 4
+        cgrid[2] = d2
+        cib = bytearray(
+            b"FHIB" + bytes([0]) + struct.pack("<Q", 0) + struct.pack("<I", 2560)
+        )
+        for a in cgrid:
+            cib += struct.pack("<Q", a)
+        caddr = b.put(bytes(cib) + b"\0\0\0\0")
+        grid = [UNDEF] * 16  # 4 rows x width 4
+        grid[0], grid[8 + 1], grid[12 + 1] = d0, d1, caddr
+        ib = bytearray(
+            b"FHIB" + bytes([0]) + struct.pack("<Q", 0) + struct.pack("<I", 0)
+        )
+        for a in grid:
+            ib += struct.pack("<Q", a)
+        iaddr = b.put(bytes(ib) + b"\0\0\0\0")
+        patchme.extend([d0, d1, d2, caddr, iaddr])
+        heap = frhp(b, iaddr, 4, patchme, start_size=128, max_direct=256)
     else:
         # root indirect block, width 4, starting size 128: row 0 at
         # linear 0..511, row 1 at 512..1023, row 2 (doubled, 256-byte
@@ -1323,14 +1354,15 @@ def test_modern_chunked_deflate():
     assert last.t2m.iloc[0] == pytest.approx(282.0)
 
 
-@pytest.mark.parametrize("shape", ["direct", "indirect"])
+@pytest.mark.parametrize("shape", ["direct", "indirect", "nested"])
 def test_dense_root_group_decodes(shape):
     """DENSE root-group storage (what libhdf5 switches to past the
     8-link compact threshold — any many-variable netCDF-4 export):
     10 root links (5 extra aux variables) resolved through the
-    link-name v2 B-tree and the fractal heap — root direct block and
-    root-indirect-of-direct-blocks shapes — decode to the same frame
-    as the compact-group twin."""
+    link-name v2 B-tree and the fractal heap — root direct block,
+    root-indirect-of-direct-blocks, and NESTED indirect (a row past
+    the max-direct threshold subdividing through a child indirect
+    block) — decode to the same frame as the compact-group twin."""
     dense = build_nc4(modern=True, dense_root=shape, extra_vars=5)
     compact = build_nc4(modern=True, extra_vars=5)
     a = (
@@ -1423,24 +1455,19 @@ def test_fractal_heap_huge_tiny_ids_are_loud():
         parse_netcdf4(buf)
 
 
-def test_fractal_heap_nested_indirect_is_loud():
-    """An object whose doubling-table row exceeds the maximum direct
-    block size lives under a NESTED indirect block — outside the
-    subset, must refuse rather than misread. width=4, start 128, max
-    direct 128: row 2 doubles to 256 > 128, so any offset >= 1024
-    needs the nested path."""
-    b = H5Builder()
-    grid = [UNDEF] * 12
-    ib = bytearray(b"FHIB" + bytes([0]) + struct.pack("<Q", 0) + struct.pack("<I", 0))
-    for a in grid:
-        ib += struct.pack("<Q", a)
-    iaddr = b.put(bytes(ib) + b"\0\0\0\0")
-    heap = frhp(b, iaddr, 3, [iaddr], start_size=128, max_direct=128)
-    bt = name_btree(b, [heap_id(1024 + 17, 30)])
-    root = b.put(object_header_v2([link_info_msg(heap, bt)]))
-    buf = b.finish_v2(root)
-    with pytest.raises(NotImplementedError, match="nested fractal heap"):
-        parse_netcdf4(buf)
+def test_fractal_heap_child_offset_mismatch_is_loud():
+    """A child indirect block whose on-disk block-offset field does
+    not match the linear position it was addressed at is corruption:
+    the walker must raise rather than trust either number. The nested
+    fixture's child FHIB (first in file order) claims offset 2560;
+    overwrite it with a lie."""
+    dense = bytearray(build_nc4(modern=True, dense_root="nested", extra_vars=5))
+    i = bytes(dense).find(b"FHIB")
+    assert i > 0
+    assert struct.unpack_from("<I", dense, i + 13)[0] == 2560
+    struct.pack_into("<I", dense, i + 13, 9999)
+    with pytest.raises(ValueError, match="does not match"):
+        parse_netcdf4(bytes(dense))
 
 
 def test_fractal_heap_unallocated_block_is_loud():
