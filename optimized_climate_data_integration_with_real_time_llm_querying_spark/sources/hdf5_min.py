@@ -21,7 +21,11 @@ subset netCDF-4 actually uses is small enough to decode with
   block, root indirect block of direct blocks, or nested indirect
   blocks for heaps past the doubling table's max-direct rows),
 - dataspace (v1), datatype (fixed-point / IEEE-float / fixed string /
-  reference / vlen-of-reference), fill value, attribute (v1 and v3),
+  reference / vlen-of-reference), fill value, attribute (v1 and v3,
+  inline AND dense: Attribute Info message -> attribute-name v2
+  B-tree type-8 records -> v3 bodies in a fractal heap, the storage
+  libhdf5 switches to past 8 attributes per object — a CF-complete
+  variable's metadata would silently vanish otherwise),
   data layout v3 (contiguous and chunked),
 - chunked data through the v1 B-tree (node type 1) AND all five
   v4-layout chunk indexes LIBVER_LATEST writes: single-chunk,
@@ -503,6 +507,58 @@ def _dense_group_children(f: "_F", li: bytes) -> list[tuple[str, int]]:
     else:
         children.sort(key=lambda t: t[1][0])
     return [lm for _, lm in children]
+
+
+def _dense_attributes(f: "_F", ai: bytes) -> list[tuple]:
+    """(name, value) pairs from DENSE attribute storage (Attribute
+    Info message 0x0015 with a defined fractal heap — what libhdf5
+    switches to past the 8-attribute compact threshold; a CF-complete
+    netCDF-4 variable or a metadata-rich root group crosses it under
+    LIBVER_LATEST). The attribute-name v2 B-tree's type-8 records
+    (heap ID(8) + message flags(1) + creation order(4) + name
+    hash(4)) resolve through the fractal heap to serialized v3
+    attribute message bodies. Ignoring the message would silently
+    DROP the attributes — including scale_factor/add_offset/
+    DIMENSION_LIST, i.e. wrong data — so this decodes or raises."""
+    flags = ai[1]
+    p = 2 + (2 if flags & 0x01 else 0)  # max creation index is 2 bytes
+    fheap_addr = int.from_bytes(ai[p : p + 8], "little")
+    name_bt = int.from_bytes(ai[p + 8 : p + 16], "little")
+    if fheap_addr == UNDEF:
+        return []  # phase change declared but nothing stored densely
+    if name_bt == UNDEF:
+        raise NotImplementedError(
+            "dense attribute storage without a name index B-tree: "
+            "creation-order-only indexes are outside the subset"
+        )
+    heap = _FractalHeap(f, fheap_addr)
+    if heap.id_len > 8:
+        raise NotImplementedError(
+            "dense attribute heap ID longer than the type-8 record field"
+        )
+    out = []
+    for rec in _btree2_records(f, name_bt, 8):
+        if rec[8] & 0x02:  # object-header message flag bit 1: shared
+            raise NotImplementedError(
+                "shared message in dense attribute storage"
+            )
+        out.append(_parse_attribute(f, heap.read_object(rec[0 : heap.id_len])))
+    return out
+
+
+def _object_attrs(f: "_F", msgs) -> dict:
+    """All attributes of one object: inline v1/v3 attribute messages
+    plus dense (fractal-heap) storage when an Attribute Info message
+    points at one."""
+    attrs: dict = {}
+    for t, b in msgs:
+        if t == 0x000C:
+            k, v = _parse_attribute(f, b)
+            attrs[k] = v
+        elif t == 0x0015:
+            for k, v in _dense_attributes(f, b):
+                attrs[k] = v
+    return attrs
 
 
 # ------------------------------------------------------------------- groups
@@ -1290,19 +1346,11 @@ def parse_netcdf4(buf: bytes):
                 "HDF5 root group has neither a symbol-table message "
                 "nor link messages"
             )
-    gattrs = {}
-    for t, b in root_msgs:
-        if t == 0x000C:
-            k, v = _parse_attribute(f, b)
-            gattrs[k] = v
+    gattrs = _object_attrs(f, root_msgs)
     objects = {}
     for name, addr in children:
         msgs = _messages(f, addr)
-        attrs = {}
-        for t, b in msgs:
-            if t == 0x000C:
-                k, v = _parse_attribute(f, b)
-                attrs[k] = v
+        attrs = _object_attrs(f, msgs)
         dt_body = next((b for t, b in msgs if t == 0x0003), None)
         ds_body = next((b for t, b in msgs if t == 0x0001), None)
         if dt_body is None or ds_body is None:

@@ -151,13 +151,14 @@ def link_body(name: str, addr: int, corder: int | None = None) -> bytes:
     return bytes([1, flags]) + mid + bytes([len(nb)]) + nb + struct.pack("<Q", addr)
 
 
-def heap_id(off: int, ln: int) -> bytes:
-    """7-byte managed heap ID: version/type byte 0, 4-byte offset
-    (max_heap_bits=32), 2-byte length."""
-    return bytes([0]) + struct.pack("<I", off) + struct.pack("<H", ln)
+def heap_id(off: int, ln: int, len_size: int = 2) -> bytes:
+    """Managed heap ID: version/type byte 0, 4-byte offset
+    (max_heap_bits=32), ``len_size``-byte length — 2 for the 7-byte
+    group-link IDs, 3 for the 8-byte dense-attribute IDs."""
+    return bytes([0]) + struct.pack("<I", off) + ln.to_bytes(len_size, "little")
 
 
-def fhdb(b: "H5Builder", objs: list[bytes], blk_off: int, size: int):
+def fhdb(b: "H5Builder", objs: list[bytes], blk_off: int, size: int, len_size: int = 2):
     """One fractal-heap direct block: FHDB prefix (sig, version, heap
     header address — patched to the FRHP later — and 4-byte block
     offset), then the objects; the block's bytes map 1:1 onto its
@@ -167,7 +168,7 @@ def fhdb(b: "H5Builder", objs: list[bytes], blk_off: int, size: int):
     blk = bytearray(b"FHDB" + bytes([0]) + struct.pack("<Q", 0) + struct.pack("<I", blk_off))
     ids = []
     for o in objs:
-        ids.append(heap_id(blk_off + len(blk), len(o)))
+        ids.append(heap_id(blk_off + len(blk), len(o), len_size))
         blk += o
     assert len(blk) <= size, "dense fixture direct block overflow"
     blk += b"\0" * (size - len(blk))
@@ -204,13 +205,15 @@ def frhp(
     start_size: int = 512,
     max_direct: int = 65536,
     filter_len: int = 0,
+    id_len: int = 7,
 ) -> int:
     """Fractal heap header (spec III.D): doubling-table geometry after
-    the twelve 8-byte statistics fields; heap ID length 7 = 1 + 4-byte
-    offset (max heap size 32 bits) + 2-byte length. Patches the heap
-    header address into every block in ``patchme``."""
+    the twelve 8-byte statistics fields; heap ID length = 1 + 4-byte
+    offset (max heap size 32 bits) + length field (2 bytes for the
+    7-byte group-link IDs, 3 for the 8-byte attribute IDs). Patches
+    the heap header address into every block in ``patchme``."""
     hdr = bytearray(b"FRHP" + bytes([0]))
-    hdr += struct.pack("<H", 7)  # heap ID length
+    hdr += struct.pack("<H", id_len)  # heap ID length
     hdr += struct.pack("<H", filter_len)  # I/O filters' encoded length
     hdr += bytes([0])  # flags
     hdr += struct.pack("<I", 4096)  # max managed object size
@@ -319,6 +322,38 @@ def dense_root_messages(
     return [link_info_msg(heap, bt, track_corder=track_corder)]
 
 
+def dense_attr_messages(
+    b: "H5Builder", bodies: list[bytes], hash_order: list[int] | None = None
+) -> list[bytes]:
+    """DENSE attribute storage for one object: serialized v3
+    attribute bodies as managed fractal-heap objects (8-byte IDs:
+    4-byte offset + 3-byte length), indexed by an attribute-name v2
+    B-tree of type-8 records (heap ID(8) + message flags(1) +
+    creation order(4) + name hash(4), record size 17); returns the
+    Attribute Info message (0x0015) for the object header."""
+    daddr, ids = fhdb(b, bodies, 0, 1024, len_size=3)
+    heap = frhp(b, daddr, 0, [daddr], start_size=1024, id_len=8)
+    order = (
+        list(hash_order)
+        if hash_order is not None
+        else list(range(len(ids)))[::-1]
+    )
+    recs = b"".join(
+        ids[i] + bytes([0]) + struct.pack("<II", i, 0x20000 + k)
+        for k, i in enumerate(order)
+    )
+    leaf = b.put(b"BTLF" + bytes([0, 8]) + recs + b"\0\0\0\0")
+    bt = b.put(
+        b"BTHD"
+        + bytes([0, 8])
+        + struct.pack("<IHH", 512, 17, 0)
+        + bytes([100, 40])
+        + struct.pack("<QHQ", leaf, len(ids), len(ids))
+        + b"\0\0\0\0"
+    )
+    return [msg2(0x0015, bytes([0, 0]) + struct.pack("<QQ", heap, bt))]
+
+
 # ------------------------------------------------------------- file builder
 
 
@@ -374,6 +409,7 @@ def build_nc4(
     layout4: str | None = None,
     dense_root: str | None = None,
     extra_vars: int = 0,
+    dense_attrs: bool = False,
 ) -> bytes:
     """A netCDF-4 twin of the classic test file: dims time (pure),
     lat + lon (coordinate scales); data var (time, lat, lon) as
@@ -944,11 +980,45 @@ def build_nc4(
     t2m_msgs = [
         M(0x0001, ds_simple([n_time, n_lat, n_lon])),
         M(0x0003, dt_fixed(2)),
-        dimension_list([g_idx[0], g_idx[1], g_idx[2]]),
-        A("scale_factor", dt_float(8), ds_scalar(), struct.pack("<d", scale)),
-        A("add_offset", dt_float(8), ds_scalar(), struct.pack("<d", offset)),
-        A("_FillValue", dt_fixed(2), ds_scalar(), struct.pack("<h", FILL)),
     ]
+    if dense_attrs:
+        assert modern, "dense attribute storage is a LIBVER_LATEST shape"
+        # ALL of the variable's attributes — CF unpacking and the
+        # DIMENSION_LIST wiring included — move into the fractal
+        # heap, plus filler metadata to mimic the >8-attribute
+        # trigger; nothing stays inline, so a reader that ignores
+        # the Attribute Info message loses the CF semantics entirely.
+        dl_data = b"".join(
+            struct.pack("<IQI", 1, g_addr, i)
+            for i in (g_idx[0], g_idx[1], g_idx[2])
+        )
+        bodies = [
+            attr_v3_body(
+                "DIMENSION_LIST", dt_vlen_of_ref(), ds_simple([3]), dl_data
+            ),
+            attr_v3_body(
+                "scale_factor", dt_float(8), ds_scalar(), struct.pack("<d", scale)
+            ),
+            attr_v3_body(
+                "add_offset", dt_float(8), ds_scalar(), struct.pack("<d", offset)
+            ),
+            attr_v3_body(
+                "_FillValue", dt_fixed(2), ds_scalar(), struct.pack("<h", FILL)
+            ),
+        ] + [
+            attr_v3_body(f"meta{i}", dt_fixed(4), ds_scalar(), struct.pack("<i", i))
+            for i in range(6)
+        ]
+        t2m_msgs.extend(dense_attr_messages(b, bodies))
+    else:
+        t2m_msgs.extend(
+            [
+                dimension_list([g_idx[0], g_idx[1], g_idx[2]]),
+                A("scale_factor", dt_float(8), ds_scalar(), struct.pack("<d", scale)),
+                A("add_offset", dt_float(8), ds_scalar(), struct.pack("<d", offset)),
+                A("_FillValue", dt_fixed(2), ds_scalar(), struct.pack("<h", FILL)),
+            ]
+        )
     if layout4:
         t2m_msgs.extend(_layout4_msgs())
     elif chunked_t2m:
@@ -1453,6 +1523,61 @@ def test_fractal_heap_huge_tiny_ids_are_loud():
     buf = b.finish_v2(root)
     with pytest.raises(NotImplementedError, match="huge/tiny"):
         parse_netcdf4(buf)
+
+
+def test_dense_attribute_storage_decodes():
+    """DENSE attribute storage (Attribute Info message -> type-8
+    B-tree -> v3 bodies in the fractal heap — what libhdf5 switches
+    to past 8 attributes per object): the variable's ENTIRE
+    attribute set, CF unpacking and DIMENSION_LIST included, lives
+    in the heap; the decode must match the inline-attribute twin
+    cell for cell. B-tree records are ordered by fake name hash —
+    the REVERSE of insertion — so index order is exercised too."""
+    a = (
+        decode_netcdf4_bytes(build_nc4(modern=True, dense_attrs=True))
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    r = (
+        decode_netcdf4_bytes(build_nc4(modern=True))
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == 12
+    for c in r.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
+    # the CF attrs really did come through the heap (fill -> NaN,
+    # scale/offset applied)
+    _, _, varlist = parse_netcdf4(build_nc4(modern=True, dense_attrs=True))
+    t2m = {v.name: v for v in varlist}["t2m"]
+    assert float(t2m.attrs["scale_factor"]) == 0.01
+    assert int(t2m.attrs["meta3"]) == 3
+    assert t2m.dimids == [0, 1, 2]
+
+
+def test_dense_attribute_shared_message_is_loud():
+    """A type-8 record whose message flags mark the attribute SHARED
+    (stored in the shared-message heap, not this one) is outside the
+    subset: refusal, not a bogus heap read."""
+    buf = bytearray(build_nc4(modern=True, dense_attrs=True))
+    i = bytes(buf).find(b"BTLF\x00\x08")  # the type-8 leaf
+    assert i > 0
+    buf[i + 6 + 8] |= 0x02  # first record's message flags: shared
+    with pytest.raises(NotImplementedError, match="shared message"):
+        parse_netcdf4(bytes(buf))
+
+
+def test_dense_attribute_missing_name_index_is_loud():
+    buf = bytearray(build_nc4(modern=True, dense_attrs=True))
+    i = bytes(buf).find(b"BTHD\x00\x08")
+    assert i > 0
+    # find the Attribute Info message body pointing at this B-tree
+    # and blank the name-index address
+    j = bytes(buf).find(struct.pack("<Q", i))
+    assert j > 0
+    buf[j : j + 8] = struct.pack("<Q", UNDEF)
+    with pytest.raises(NotImplementedError, match="name index B-tree"):
+        parse_netcdf4(bytes(buf))
 
 
 def test_fractal_heap_child_offset_mismatch_is_loud():
