@@ -541,3 +541,25 @@ def test_orc_read_pushes_filters_and_prunes_columns(spark, tmp_path):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "payload" not in read_schema, read_schema
     assert q.count() == 143  # ids congruent to 3 mod 7 in [0, 1000)
+
+
+def test_rho_loss_select_broadcasts_models(spark, sf_oracle):
+    # Round-12: both LM models (vocab unigram probs, bigram probs)
+    # join the token/bigram streams; the vocab side must broadcast
+    # and the per-source selection window must not introduce a
+    # global (unpartitioned) window or a cartesian product.
+    plan = plan_of(spark, sf_oracle, "rho_loss_select")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan  # two-phase model aggregates
+
+
+def test_cluster_cap_sample_window_carries_no_text(spark, sf_oracle):
+    # Round-12: the per-cluster ranking must shuffle scalar triples
+    # only — the document text never reaches the window stage — and
+    # the keep verdict stays whole-stage-codegen (no UDFs).
+    plan = plan_of(spark, sf_oracle, "cluster_cap_sample")
+    win = plan.split("Window")[1][:400] if "Window" in plan else ""
+    assert "Window" in plan
+    assert "text" not in win, win
+    assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
