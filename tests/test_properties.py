@@ -301,3 +301,49 @@ def test_allpairs_prefix_filter_equals_bruteforce(spark, texts, threshold):
         .collect()
     }
     assert fast == brute
+
+
+# ---------------------------------------------------------------- HDF5 heaps
+
+_names = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=8
+    ),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@given(
+    names=_names,
+    shape=st.sampled_from(["direct", "indirect", "nested"]),
+    corder=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_dense_group_roundtrip_property(names, shape, corder, seed):
+    """Every random set of links pushed through each fractal-heap
+    shape (root direct / root indirect / nested indirect) and a
+    random B-tree record permutation comes back exactly: creation
+    order when tracked, name order otherwise — the heap-ID offset
+    arithmetic and the doubling-table walk are exercised over
+    arbitrary object sizes and placements."""
+    import random
+
+    from test_hdf5_min import H5Builder, dense_root_messages
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.hdf5_min import (
+        _F,
+        _dense_group_children,
+    )
+
+    entries = [(nm, 1000 + i) for i, nm in enumerate(names)]
+    order = list(range(len(entries)))
+    random.Random(seed).shuffle(order)
+    b = H5Builder()
+    (li,) = dense_root_messages(
+        b, entries, shape=shape, track_corder=corder, hash_order=order
+    )
+    kids = _dense_group_children(_F(bytes(b.buf)), li[4:])
+    assert kids == (entries if corder else sorted(entries))
