@@ -45,8 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # CADENCE POLICY (decided in round 11, VERDICT r10 ask #2): the
 # standard is ceil(registry / 50) rounds between driver rows for
-# any entry, with the rotation strictly oldest-rows-first. At 194
-# entries (two round-12 additions) that is a 4-round cadence, and 4
+# any entry, with the rotation strictly oldest-rows-first. At 196
+# entries (four round-12 additions) that is a 4-round cadence, and 4
 # is the accepted
 # standard — the suite's cell-by-cell oracle-parity sweep
 # (tests/test_oracle_parity.py + scripts/check_parity.py) re-proves
@@ -120,10 +120,12 @@ _PROMOTE = [
 ]
 _DEMOTE = [
     # -- ROUND-13 TIER A0: round-12 additions (never-rowed; lead the
-    #    round-13 window per the cadence policy; both FULL-oracled,
+    #    round-13 window per the cadence policy; all FULL-oracled,
     #    parity-green at sf0.01 on introduction) --
     "cluster_cap_sample",
     "rho_loss_select",
+    "ngram_novelty_decay",
+    "vocab_coverage_oov",
     # -- ROUND-13 TIER A: the 42 remaining r9-rowed names --
     "psi_source_drift",
     "weighted_jaccard_top_pairs",

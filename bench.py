@@ -188,6 +188,8 @@ HEADLINE = [
     # Round-12 additions:
     "cluster_cap_sample",       # keep-best-2-per-cluster dedup sampling
     "rho_loss_select",          # RHO-style excess-loss data selection
+    "ngram_novelty_decay",      # per-shard new-gram diversity curve
+    "vocab_coverage_oov",       # per-source OOV vs corpus top-1k vocab
 ]
 
 

@@ -2424,3 +2424,151 @@ def unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result.cache_handles = [words, seed, v0, v1]
     return result
+
+
+@register(
+    "ngram_novelty_decay",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+      FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+      ) WHERE array_to_string(t[i:i+2], ' ') <> ''
+    ), sharded AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 8 AS INT) AS shard,
+             gram
+      FROM grams
+    ), per_shard AS (
+      SELECT shard, gram FROM sharded GROUP BY shard, gram
+    ), firsts AS (
+      SELECT gram, MIN(shard) AS first_shard FROM per_shard GROUP BY gram
+    )
+    SELECT p.shard,
+           CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+           CAST(SUM(CASE WHEN f.first_shard = p.shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_grams,
+           ROUND(SUM(CASE WHEN f.first_shard = p.shard THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty_ratio
+    FROM per_shard p JOIN firsts f ON f.gram = p.gram
+    GROUP BY p.shard
+    """,
+    doc="N-gram NOVELTY DECAY across a deterministic 8-shard split: "
+    "for each shard, how many of its distinct 3-gram shingles first "
+    "appear there vs in an earlier shard (gram -> MIN(shard), the "
+    "same trick the curriculum queries use to avoid any sequential "
+    "scan) — the curve diversity analyses draw to estimate dedup "
+    "headroom and diminishing data returns before committing a "
+    "100-TB crawl to training. Everything is (gram-hashable) "
+    "aggregates: per-doc distinct grams, one (shard, gram) distinct, "
+    "one MIN per gram, one broadcast-back join; no order dependence, "
+    "no window over the corpus. Shards come from the md5/conv "
+    "cross-engine hash (oracle-hygiene rule 6).",
+)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    t = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 3)
+    grams = (
+        t.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 3)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("t")[F.col("i")], F.col("t")[F.col("i") + 1],
+                F.col("t")[F.col("i") + 2]
+            ).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .distinct()
+    )
+    sharded = grams.select(
+        F.pmod(dedup.md5_hash64(F.col("doc_id")), F.lit(8)).cast("int").alias("shard"),
+        "gram",
+    ).distinct()
+    firsts = sharded.groupBy("gram").agg(F.min("shard").alias("first_shard"))
+    return (
+        sharded.join(firsts, "gram")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.sum(
+                F.when(F.col("first_shard") == F.col("shard"), 1).otherwise(0)
+            ).alias("new_grams"),
+        )
+        .select(
+            "shard",
+            F.col("distinct_grams").cast("long").alias("distinct_grams"),
+            F.col("new_grams").cast("long").alias("new_grams"),
+            F.round(
+                F.col("new_grams") / F.col("distinct_grams").cast("double"), 4
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+@register(
+    "vocab_coverage_oov",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY token
+      ) ORDER BY n DESC, token LIMIT 1000
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.source
+    """,
+    doc="Per-source OOV rate against the corpus top-1k vocabulary "
+    "(count-desc, lexicographic tie-break): the tokenizer-fit / "
+    "domain-shift diagnostic run before fixing a vocab for a "
+    "100-TB training mix — a source whose OOV rate is an outlier "
+    "either needs vocab budget or is junk. One vocab aggregate "
+    "(top-k heap), broadcast to a left join over the token stream, "
+    "one map-side-combined per-source aggregate; the vocab is 1,000 "
+    "rows no matter the corpus size.",
+)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = d.select("source", F.explode(tokens("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(1000)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("oov_tokens").cast("long").alias("oov_tokens"),
+            F.round(
+                F.col("oov_tokens") / F.col("n_tokens").cast("double"), 4
+            ).alias("oov_rate"),
+        )
+    )
