@@ -563,3 +563,23 @@ def test_cluster_cap_sample_window_carries_no_text(spark, sf_oracle):
     assert "Window" in plan
     assert "text" not in win, win
     assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
+
+
+def test_vocab_coverage_broadcasts_1k_vocab(spark, sf_oracle):
+    # Round-12: the top-1k vocab must come from a heap (TakeOrdered),
+    # broadcast into the token stream, with a two-phase per-source
+    # aggregate — the vocab side is constant-size at any corpus.
+    plan = plan_of(spark, sf_oracle, "vocab_coverage_oov")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_novelty_no_global_window(spark, sf_oracle):
+    # Round-12: novelty = gram -> MIN(shard) + join back; there must
+    # be NO window operator at all (a cumulative-distinct formulation
+    # would serialize the corpus through one partition).
+    plan = plan_of(spark, sf_oracle, "ngram_novelty_decay")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial" in plan
