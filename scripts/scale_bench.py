@@ -61,6 +61,14 @@ QUERIES = [
     # |days| x |types| (constant over the events twin's fixed 30-day
     # span), so cost = the groupBy scan; expected ~linear-at-worst.
     "netcdf_roundtrip",
+    # Round-12: the four new documents-table queries — cluster-cap
+    # rides the components fixpoint (diameter-bound), rho-loss is the
+    # two LM scorer plans + a per-source window, novelty is
+    # distinct-gram aggregates, OOV is a broadcast join.
+    "cluster_cap_sample",
+    "rho_loss_select",
+    "ngram_novelty_decay",
+    "vocab_coverage_oov",
 ]
 # Non-registry knob variants (VERDICT r9 item 5): the SAME weighted-
 # SimHash candidate generator at two bits-per-band settings, returning
