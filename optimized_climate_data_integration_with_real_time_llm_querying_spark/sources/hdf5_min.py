@@ -63,7 +63,7 @@ which is what libhdf5 switches to past the 8-link compact threshold.
 
 Anything outside the subset — later superblocks, v2 object headers,
 compact/v1/v2 layouts, filters beyond deflate+shuffle, compound
-datatypes, filtered fractal heaps, huge/tiny heap objects —
+datatypes, filtered fractal heaps, tiny/filtered-huge heap objects —
 raises a loud ``NotImplementedError`` naming the feature;
 ``ingest.read_netcdf`` then falls back to the xarray seam, which
 stays the documented escape hatch for exotic files.
@@ -330,16 +330,19 @@ def _btree2_records(f: "_F", addr: int, want_type: int) -> list[bytes]:
 
 
 class _FractalHeap:
-    """Managed-object reader for one fractal heap (spec III.D): the
-    header's doubling table maps a heap ID's linear offset to a
-    direct block, whose bytes map 1:1 onto its slice of the heap's
-    linear address space (header included — the allocator reserves
-    the prefix). Dense group storage keeps one serialized Link
-    message per managed object. Unfiltered heaps only (group link
-    storage never filters); huge/tiny heap IDs are outside the
-    subset (a link message cannot fit a tiny ID at the group heap's
-    7-byte ID length, and huge objects would need the filtered-object
-    path)."""
+    """Object reader for one fractal heap (spec III.D). MANAGED IDs:
+    the header's doubling table maps the ID's linear offset to a
+    direct block (root direct, root indirect, or nested indirect),
+    whose bytes map 1:1 onto its slice of the heap's linear address
+    space (header included — the allocator reserves the prefix).
+    HUGE IDs (objects past the max-managed size, e.g. a >4 KB array
+    attribute): the ID's sequence number resolves through the
+    header's huge-object v2 B-tree (indirect unfiltered records).
+    Dense group storage keeps one serialized Link message per
+    object; dense attribute storage one v3 attribute body.
+    Unfiltered heaps only (link/attribute storage never filters);
+    TINY IDs stay loud — no link or attribute body fits inside a
+    7/8-byte ID."""
 
     def __init__(self, f: "_F", addr: int):
         if f.raw(addr, 4) != b"FRHP":
@@ -356,7 +359,11 @@ class _FractalHeap:
         # statistics/bookkeeping fields (next huge ID, huge B-tree,
         # free space, free-space manager, managed space, allocated
         # managed, iterator offset, #managed, huge size, #huge,
-        # tiny size, #tiny), then the doubling table.
+        # tiny size, #tiny), then the doubling table. The huge-object
+        # B-tree address (second of the twelve) serves HUGE heap IDs:
+        # objects past the max-managed size — e.g. a >4 KB array or
+        # history attribute — move out of the doubling table.
+        self.huge_bt = f.u(addr + 22, 8)
         p = addr + 10 + 4 + 8 * 12
         self.width = f.u(p, 2)
         self.start_size = f.u(p + 2, 8)
@@ -447,14 +454,45 @@ class _FractalHeap:
         # nested indirect block covering size_r bytes of linear space
         return self._locate_in(addr, child_start, self._iblock_nrows(size_r), off)
 
+    def _read_huge(self, heap_id: bytes) -> bytes:
+        """Huge object: the ID carries a sequence number looked up in
+        the header's huge-object v2 B-tree. With the 7/8-byte ID
+        lengths dense links/attributes use, IDs are always INDIRECT
+        (a direct ID needs 1 + 8 + 8 = 17 bytes) and unfiltered
+        (record type 3: address(8) + length(8) + ID); filtered and
+        direct record types stay loud."""
+        f = self.f
+        if self.huge_bt == UNDEF:
+            raise ValueError(
+                "huge fractal heap ID without a huge-object B-tree"
+            )
+        rtype = f.u(self.huge_bt + 5, 1)
+        if rtype != 3:
+            raise NotImplementedError(
+                f"huge-object B-tree record type {rtype}: only "
+                "indirectly-accessed unfiltered huge objects (type 3) "
+                "are in the subset"
+            )
+        hid = int.from_bytes(heap_id[1 : self.id_len], "little")
+        for rec in _btree2_records(f, self.huge_bt, 3):
+            if int.from_bytes(rec[16:], "little") == hid:
+                addr = int.from_bytes(rec[0:8], "little")
+                ln = int.from_bytes(rec[8:16], "little")
+                return f.raw(addr, ln)
+        raise ValueError(f"huge heap ID {hid} not in the huge-object B-tree")
+
     def read_object(self, heap_id: bytes) -> bytes:
         vt = heap_id[0]
         if vt & 0xC0:
             raise NotImplementedError(f"fractal heap ID version {vt >> 6}")
-        if vt & 0x30:
+        id_type = (vt >> 4) & 0x3
+        if id_type == 1:  # huge: past the max-managed-object size
+            return self._read_huge(heap_id)
+        if id_type:  # tiny (payload inside the ID) never fits a link
+            # or attribute body at the 7/8-byte ID lengths
             raise NotImplementedError(
-                "huge/tiny fractal heap object: dense group links are "
-                "managed objects"
+                "tiny fractal heap object: dense group links and "
+                "attributes are managed or huge objects"
             )
         off = int.from_bytes(heap_id[1 : 1 + self.off_size], "little")
         ln = int.from_bytes(

@@ -206,18 +206,23 @@ def frhp(
     max_direct: int = 65536,
     filter_len: int = 0,
     id_len: int = 7,
+    huge_bt: int = UNDEF,
 ) -> int:
     """Fractal heap header (spec III.D): doubling-table geometry after
     the twelve 8-byte statistics fields; heap ID length = 1 + 4-byte
     offset (max heap size 32 bits) + length field (2 bytes for the
-    7-byte group-link IDs, 3 for the 8-byte attribute IDs). Patches
-    the heap header address into every block in ``patchme``."""
+    7-byte group-link IDs, 3 for the 8-byte attribute IDs). The
+    second statistics field is the huge-object v2 B-tree address
+    (UNDEF when nothing exceeded the max managed size, as libhdf5
+    writes it). Patches the heap header address into every block in
+    ``patchme``."""
     hdr = bytearray(b"FRHP" + bytes([0]))
     hdr += struct.pack("<H", id_len)  # heap ID length
     hdr += struct.pack("<H", filter_len)  # I/O filters' encoded length
     hdr += bytes([0])  # flags
     hdr += struct.pack("<I", 4096)  # max managed object size
-    hdr += b"\0" * 96  # 12 x 8-byte statistics/bookkeeping fields
+    hdr += struct.pack("<QQ", 0, huge_bt)  # next huge ID + huge B-tree
+    hdr += b"\0" * 80  # remaining 10 statistics/bookkeeping fields
     hdr += struct.pack("<H", width) + struct.pack("<Q", start_size)
     hdr += struct.pack("<Q", max_direct) + struct.pack("<H", 32)
     hdr += struct.pack("<H", root_rows)  # starting rows
@@ -323,16 +328,40 @@ def dense_root_messages(
 
 
 def dense_attr_messages(
-    b: "H5Builder", bodies: list[bytes], hash_order: list[int] | None = None
+    b: "H5Builder",
+    bodies: list[bytes],
+    hash_order: list[int] | None = None,
+    huge: list[bytes] = (),
 ) -> list[bytes]:
     """DENSE attribute storage for one object: serialized v3
     attribute bodies as managed fractal-heap objects (8-byte IDs:
     4-byte offset + 3-byte length), indexed by an attribute-name v2
     B-tree of type-8 records (heap ID(8) + message flags(1) +
     creation order(4) + name hash(4), record size 17); returns the
-    Attribute Info message (0x0015) for the object header."""
+    Attribute Info message (0x0015) for the object header. Bodies in
+    ``huge`` exceed the max managed size: stored raw, addressed by a
+    type-3 record (address(8) + length(8) + ID(7)) in the heap's
+    huge-object v2 B-tree, with huge-typed heap IDs (0x10)."""
     daddr, ids = fhdb(b, bodies, 0, 1024, len_size=3)
-    heap = frhp(b, daddr, 0, [daddr], start_size=1024, id_len=8)
+    huge_bt = UNDEF
+    if huge:
+        recs3 = []
+        for k, body in enumerate(huge, start=1):
+            a = b.put(body)
+            recs3.append(
+                struct.pack("<QQ", a, len(body)) + k.to_bytes(7, "little")
+            )
+            ids.append(bytes([0x10]) + k.to_bytes(7, "little"))
+        leaf = b.put(b"BTLF" + bytes([0, 3]) + b"".join(recs3) + b"\0\0\0\0")
+        huge_bt = b.put(
+            b"BTHD"
+            + bytes([0, 3])
+            + struct.pack("<IHH", 512, 23, 0)
+            + bytes([100, 40])
+            + struct.pack("<QHQ", leaf, len(recs3), len(recs3))
+            + b"\0\0\0\0"
+        )
+    heap = frhp(b, daddr, 0, [daddr], start_size=1024, id_len=8, huge_bt=huge_bt)
     order = (
         list(hash_order)
         if hash_order is not None
@@ -1009,7 +1038,15 @@ def build_nc4(
             attr_v3_body(f"meta{i}", dt_fixed(4), ds_scalar(), struct.pack("<i", i))
             for i in range(6)
         ]
-        t2m_msgs.extend(dense_attr_messages(b, bodies))
+        huge_bodies = []
+        if dense_attrs == "huge":
+            # a 700-double array attribute (5.6 KB) exceeds the max
+            # managed object size: stored as a HUGE heap object
+            lut = (np.arange(700, dtype="<f8") * 0.5).tobytes()
+            huge_bodies.append(
+                attr_v3_body("lookup", dt_float(8), ds_simple([700]), lut)
+            )
+        t2m_msgs.extend(dense_attr_messages(b, bodies, huge=huge_bodies))
     else:
         t2m_msgs.extend(
             [
@@ -1511,17 +1548,57 @@ def test_filtered_fractal_heap_is_loud():
         parse_netcdf4(buf)
 
 
-def test_fractal_heap_huge_tiny_ids_are_loud():
-    """A heap ID whose type bits are nonzero (huge/tiny object) is
-    outside the managed-object subset."""
+def test_fractal_heap_tiny_ids_are_loud():
+    """A TINY heap ID (payload inside the ID) can never hold a link
+    or attribute body at the 7/8-byte ID lengths — refusal, not a
+    bogus decode."""
     b = H5Builder()
     daddr, ids = fhdb(b, [link_body("x", 1, 0)], 0, 512)
     heap = frhp(b, daddr, 0, [daddr])
-    tiny = bytes([0x10]) + ids[0][1:]  # type bits 01 = tiny
+    tiny = bytes([0x20]) + ids[0][1:]  # type bits 10 = tiny
     bt = name_btree(b, [tiny])
     root = b.put(object_header_v2([link_info_msg(heap, bt)]))
     buf = b.finish_v2(root)
-    with pytest.raises(NotImplementedError, match="huge/tiny"):
+    with pytest.raises(NotImplementedError, match="tiny fractal heap"):
+        parse_netcdf4(buf)
+
+
+def test_dense_attribute_huge_object_decodes():
+    """An attribute body past the max managed size (a 700-double
+    array, 5.6 KB) lives as a HUGE heap object behind the
+    huge-object v2 B-tree; it must come back exactly alongside the
+    managed attributes, and the data columns must still match the
+    inline twin."""
+    buf = build_nc4(modern=True, dense_attrs="huge")
+    _, _, varlist = parse_netcdf4(buf)
+    t2m = {v.name: v for v in varlist}["t2m"]
+    lut = np.asarray(t2m.attrs["lookup"], dtype="<f8")
+    np.testing.assert_array_equal(lut, np.arange(700, dtype="<f8") * 0.5)
+    assert float(t2m.attrs["scale_factor"]) == 0.01  # managed neighbors intact
+    a = (
+        decode_netcdf4_bytes(buf)
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    r = (
+        decode_netcdf4_bytes(build_nc4(modern=True))
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    for c in r.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), r[c].to_numpy(), err_msg=c)
+
+
+def test_huge_id_without_btree_is_loud():
+    """A huge-typed heap ID in a heap whose huge-object B-tree
+    address is UNDEF is corruption — the object cannot exist."""
+    b = H5Builder()
+    daddr, ids = fhdb(b, [link_body("x", 1, 0)], 0, 512)
+    heap = frhp(b, daddr, 0, [daddr])  # huge_bt stays UNDEF
+    bt = name_btree(b, [bytes([0x10]) + ids[0][1:]])
+    root = b.put(object_header_v2([link_info_msg(heap, bt)]))
+    buf = b.finish_v2(root)
+    with pytest.raises(ValueError, match="without a huge-object B-tree"):
         parse_netcdf4(buf)
 
 
