@@ -190,6 +190,7 @@ HEADLINE = [
     "rho_loss_select",          # RHO-style excess-loss data selection
     "ngram_novelty_decay",      # per-shard new-gram diversity curve
     "vocab_coverage_oov",       # per-source OOV vs corpus top-1k vocab
+    "diurnal_anomaly_profile",  # periodic climatology + anomaly (ERA5 shape)
 ]
 
 

@@ -785,3 +785,59 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out
+
+
+@register(
+    "diurnal_anomaly_profile",
+    """
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(date_trunc('day', ts) AS DATE) AS day, value
+      FROM events
+    ), clim AS (
+      SELECT event_type, hod, ROUND(AVG(value), 6) AS clim
+      FROM base GROUP BY 1, 2
+    )
+    SELECT b.event_type, b.day,
+           COUNT(*) AS n_events,
+           ROUND(AVG(b.value - c.clim), 4) + 0.0 AS mean_anomaly,
+           ROUND(AVG(ABS(b.value - c.clim)), 4) AS mean_abs_anomaly
+    FROM base b JOIN clim c ON c.event_type = b.event_type AND c.hod = b.hod
+    GROUP BY 1, 2
+    """,
+    doc="Climatology-and-anomaly — the core ERA5 preprocessing shape "
+    "(ERA5_preprocessing.ipynb: monthly climatology subtracted from "
+    "the series), expressed over the events twin's 30-day span as an "
+    "HOUR-OF-DAY climatology per event type: one two-phase aggregate "
+    "builds the periodic-key climatology (|types| x 24 rows — "
+    "broadcast-sized at ANY corpus scale, exactly like a 12-row "
+    "monthly climatology over a 100-TB archive), a broadcast join "
+    "subtracts it from every event, and a second two-phase aggregate "
+    "profiles the per-day anomaly (signed + absolute). The "
+    "climatology is pinned to the 6-dp grid before subtraction so "
+    "both engines difference the identical doubles.",
+)
+def diurnal_anomaly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.col("ts").cast("date").alias("day"),
+        "value",
+    )
+    clim = base.groupBy("event_type", "hod").agg(
+        F.round(F.avg("value"), 6).alias("clim")
+    )
+    return (
+        base.join(F.broadcast(clim), ["event_type", "hod"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.avg(F.col("value") - F.col("clim")), 4) + F.lit(0.0)).alias(
+                "mean_anomaly"
+            ),
+            F.round(F.avg(F.abs(F.col("value") - F.col("clim"))), 4).alias(
+                "mean_abs_anomaly"
+            ),
+        )
+    )
