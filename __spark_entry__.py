@@ -45,8 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # CADENCE POLICY (decided in round 11, VERDICT r10 ask #2): the
 # standard is ceil(registry / 50) rounds between driver rows for
-# any entry, with the rotation strictly oldest-rows-first. At 197
-# entries (five round-12 additions) that is a 4-round cadence, and 4
+# any entry, with the rotation strictly oldest-rows-first. At 198
+# entries (six round-12 additions) that is a 4-round cadence, and 4
 # is the accepted
 # standard — the suite's cell-by-cell oracle-parity sweep
 # (tests/test_oracle_parity.py + scripts/check_parity.py) re-proves
@@ -127,6 +127,7 @@ _DEMOTE = [
     "ngram_novelty_decay",
     "vocab_coverage_oov",
     "diurnal_anomaly_profile",
+    "netcdf4_roundtrip",
     # -- ROUND-13 TIER A: the 42 remaining r9-rowed names --
     "psi_source_drift",
     "weighted_jaccard_top_pairs",

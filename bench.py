@@ -191,6 +191,7 @@ HEADLINE = [
     "ngram_novelty_decay",      # per-shard new-gram diversity curve
     "vocab_coverage_oov",       # per-source OOV vs corpus top-1k vocab
     "diurnal_anomaly_profile",  # periodic climatology + anomaly (ERA5 shape)
+    "netcdf4_roundtrip",        # S4 sink/source grid roundtrip (HDF5 half)
 ]
 
 

@@ -819,12 +819,49 @@ def excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cells), while fact-sized data stays columnar.",
 )
 def netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _netcdf_grid_roundtrip(spark, sf_dir, container="classic")
+
+
+@register(
+    "netcdf4_roundtrip",
+    """
+    WITH c AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), d AS (SELECT DISTINCT day FROM c), t AS (SELECT DISTINCT event_type FROM c)
+    SELECT d.day AS event_day, t.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM d CROSS JOIN t
+    LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+    """,
+    doc="netcdf_roundtrip's HDF5 twin: the SAME dense (day x type) "
+    "grid written through the round-12 pure-stdlib netCDF-4 WRITER "
+    "(superblock v0, v1 object headers, old-style root group, "
+    "dimension scales + DIMENSION_LIST through one global heap "
+    "collection, fixed-width strings for the type names) and read "
+    "back through the auto-detecting S4 reader, under the identical "
+    "content oracle — so the engine hands grids back in BOTH "
+    "containers the ERA5 ecosystem consumes (classic CDF for legacy "
+    "tooling, HDF5 for xarray/CDS-era tooling).",
+)
+def netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _netcdf_grid_roundtrip(spark, sf_dir, container="hdf5")
+
+
+def _netcdf_grid_roundtrip(
+    spark: SparkSession, sf_dir: str, container: str
+) -> DataFrame:
+    """Shared body of netcdf_roundtrip (classic CDF-1) and
+    netcdf4_roundtrip (HDF5): the same dense (day x type) count grid
+    through whichever S4 WRITER, read back through the auto-detecting
+    S4 reader — both containers must survive the identical content
+    oracle."""
     import os
 
     import numpy as np
 
     from ..sources.ingest import read_netcdf
-    from ..sources.netcdf_writer import write_netcdf_classic
 
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("unix_micros(ts) div 86400000000")
@@ -844,10 +881,18 @@ def netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     strlen = max(len(t.encode("utf-8")) for t in types)
     names = np.array([t.encode("utf-8") for t in types], dtype=f"S{strlen}")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if container == "classic":
+        from ..sources.netcdf_writer import write_netcdf_classic as writer
+
+        suffix = "nc"
+    else:
+        from ..sources.netcdf4_writer import write_netcdf4 as writer
+
+        suffix = "nc4"
     path = os.path.join(
-        os.getcwd(), "spark-warehouse", f"_netcdf_roundtrip_{tag}.nc"
+        os.getcwd(), "spark-warehouse", f"_netcdf_roundtrip_{tag}.{suffix}"
     )
-    write_netcdf_classic(
+    writer(
         path,
         dims=[("day", None), ("type", len(types)), ("strlen", strlen)],
         variables=[
