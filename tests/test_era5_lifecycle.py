@@ -150,19 +150,27 @@ def test_nc_to_nl_answer(spark, tmp_path):
     assert located.count() == N_MONTHS * 4
 
 
-def test_grid_export_roundtrip(spark, tmp_path):
+@pytest.mark.parametrize("container", ["classic", "hdf5"])
+def test_grid_export_roundtrip(spark, tmp_path, container):
     """The reverse half of the lifecycle: the engine hands a grid
-    BACK to netCDF-consuming tooling. Ingest the classic file, repack
-    the unpacked doubles to CF int16 with the same scale/offset,
-    export through the pure-stdlib writer (valid_time as the record
-    dimension, like the source), re-ingest, and demand cell-for-cell
-    equality with the original frame — the writer/reader pair must
-    preserve the reference's packed-ERA5 representation exactly."""
+    BACK to netCDF-consuming tooling — in BOTH containers (classic
+    CDF-1 and, since round 12, netCDF-4/HDF5). Ingest the classic
+    file, repack the unpacked doubles to CF int16 with the same
+    scale/offset, export through the pure-stdlib writer (valid_time
+    as the record dimension, like the source), re-ingest, and demand
+    cell-for-cell equality with the original frame — the writer/
+    reader pair must preserve the reference's packed-ERA5
+    representation exactly."""
     import numpy as np
 
-    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.netcdf_writer import (
-        write_netcdf_classic,
-    )
+    if container == "classic":
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.netcdf_writer import (
+            write_netcdf_classic as writer,
+        )
+    else:
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.netcdf4_writer import (
+            write_netcdf4 as writer,
+        )
 
     p = tmp_path / "skt_src.nc"
     p.write_bytes(_era5_nc_bytes())
@@ -177,8 +185,8 @@ def test_grid_export_roundtrip(spark, tmp_path):
     lons = sorted(pdf["longitude"].unique())
     skt = pdf["skt"].to_numpy().reshape(len(times), len(lats), len(lons))
     raw = np.round((skt - OFFSET) / SCALE).astype("<i2")
-    p2 = tmp_path / "skt_export.nc"
-    write_netcdf_classic(
+    p2 = tmp_path / ("skt_export.nc" if container == "classic" else "skt_export.nc4")
+    writer(
         str(p2),
         dims=[
             ("valid_time", None),
