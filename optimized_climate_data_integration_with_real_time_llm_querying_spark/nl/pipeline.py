@@ -94,6 +94,18 @@ EVAL_RE = re.compile(
     r"evaluate (the )?(retrieval|search|ranking))\b"
 )
 
+# Climate-anomaly intent (round 12): "was 2020 warmer than usual in
+# Dhaka?" — the departure-from-climatology question every climate
+# tool fields (the reference's ERA5 preprocessing computes exactly
+# this monthly-climatology subtraction). ERA5-domain only: the other
+# domains' grains are events/flows, not physical series.
+ANOMALY_RE = re.compile(
+    r"\b(anomal\w+|departure from (normal|average|the climatology)|"
+    r"(warmer|colder|wetter|drier|windier|higher|lower) than "
+    r"(usual|normal|average)|"
+    r"(above|below) (normal|average))\b"
+)
+
 # Rank-metric paraphrases (VERDICT r11 item 7): "what's the MRR" /
 # "precision at 10" reach the MRR/P/R@10 companion eval the same way
 # the generic phrasing reaches nDCG@10. Checked BEFORE EVAL_RE so
@@ -444,6 +456,74 @@ class ClimateEngine:
             return "series", yearly, False, spec.filters
         raise ValueError(f"no trend planner for domain {domain!r}")
 
+    def _plan_anomaly(self, question: str) -> tuple[QuerySpec, DataFrame]:
+        """'Was skin temperature in Dhaka in 2020 above normal?' ->
+        monthly climatology per (city, metric, month-of-year) over
+        EVERY year the table has (the ERA5_preprocessing.ipynb
+        climatology step), then the asked year's monthly departure
+        from it. No year in the question = the table's latest year.
+        Both aggregates are two-phase over the filtered series; the
+        climatology is (city x metric x 12) rows — dimension-sized at
+        any archive scale — and values pin to the 6-dp grid before
+        the subtraction so the anomaly is a well-defined number."""
+        spec = self._spec_era5(question)
+        tbl = _apply_eq_filters(
+            self.tables["era5_monthly"], spec.filters, ci=spec.case_insensitive
+        )
+        t = extract_time(question)
+        y_min, y_max = tbl.agg(
+            F.min(F.year("date")), F.max(F.year("date"))
+        ).collect()[0]
+        if y_max is None:
+            raise ValueError(
+                f"no era5 rows match the question's filters "
+                f"({spec.filters!r}) — cannot compute an anomaly"
+            )
+        year = t.year if t.year is not None else int(y_max)
+        if not (y_min <= year <= y_max):
+            raise ValueError(
+                f"anomaly year {year} is outside the table's "
+                f"{y_min}-{y_max} coverage"
+            )
+        monthly = tbl.select(
+            "city",
+            "metric",
+            F.year("date").alias("year"),
+            F.month("date").alias("month"),
+            "value",
+        )
+        clim = monthly.groupBy("city", "metric", "month").agg(
+            F.round(F.avg("value"), 6).alias("climatology"),
+            F.countDistinct("year").alias("n_years"),
+        )
+        target = (
+            monthly.filter(F.col("year") == year)
+            .groupBy("city", "metric", "month")
+            .agg(F.round(F.avg("value"), 6).alias("value"))
+        )
+        plan = (
+            target.join(clim, ["city", "metric", "month"])
+            .select(
+                "city",
+                "metric",
+                F.lit(year).alias("year"),
+                "month",
+                "value",
+                "climatology",
+                F.round(F.col("value") - F.col("climatology"), 6).alias("anomaly"),
+                "n_years",
+            )
+            .orderBy("city", "metric", "month")
+        )
+        out_spec = QuerySpec(
+            dataset="era5_monthly",
+            metrics=["value", "climatology", "anomaly"],
+            filters=spec.filters,
+            year_range=(year, year),
+            group_by=["city", "metric", "month"],
+        )
+        return out_spec, plan
+
     def _plan_trend(self, domain: str, question: str) -> tuple[QuerySpec, DataFrame]:
         """'Which disaster type is trending up?' / 'Is CO2 rising in
         Brazil?' / 'temperature trend in Dhaka' -> Holt linear-trend
@@ -571,6 +651,10 @@ class ClimateEngine:
             question.lower()
         ):
             spec, plan = self._plan_trend(domain, question)
+            text = answer(question, plan, self.transport)
+            return Answer(question, domain, spec, plan, text, [])
+        if domain == "era5" and ANOMALY_RE.search(question.lower()):
+            spec, plan = self._plan_anomaly(question)
             text = answer(question, plan, self.transport)
             return Answer(question, domain, spec, plan, text, [])
         spec = self._spec_for(domain, question)

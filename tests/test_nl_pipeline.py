@@ -555,6 +555,51 @@ def test_g15_mrr_intent_routes_to_mrr_builder(spark):
     assert c.result.columns == ["dcg_at_10", "idcg_at_10", "ndcg_at_10"]
 
 
+def test_g16_anomaly_intent_departure_from_climatology(engine):
+    """'Was X above normal in <year>?' routes to the anomaly planner:
+    monthly climatology over EVERY year in the table, the asked
+    year's departure per month — recomputed here straight from the
+    fixture table."""
+    a = engine.ask("Was skin temperature in Dhaka in 2020 above normal?")
+    assert a.domain == "era5"
+    rows = a.result.collect()
+    assert len(rows) == 12
+    assert all(r["year"] == 2020 and r["city"] == "Dhaka" for r in rows)
+    assert all(r["n_years"] == 4 for r in rows)  # 2019-2022 table
+    # recompute month 1 from the table directly
+    tbl = engine.tables["era5_monthly"].filter(
+        (F.col("city") == "Dhaka")
+        & (F.col("metric") == "skin_temperature")
+        & (F.month("date") == 1)
+    )
+    vals = {r["y"]: r["v"] for r in tbl.select(
+        F.year("date").alias("y"), F.col("value").alias("v")
+    ).collect()}
+    clim = round(sum(vals.values()) / len(vals), 6)
+    jan = next(r for r in rows if r["month"] == 1)
+    assert jan["climatology"] == pytest.approx(clim)
+    assert jan["anomaly"] == pytest.approx(round(round(vals[2020], 6) - clim, 6))
+
+
+def test_g16_anomaly_defaults_to_latest_year(engine):
+    a = engine.ask("Skin temperature anomaly in Dhaka?")
+    rows = a.result.collect()
+    assert len(rows) == 12 and all(r["year"] == 2022 for r in rows)
+
+
+def test_g16_anomaly_out_of_coverage_is_loud(engine):
+    with pytest.raises(ValueError, match="outside the table's"):
+        engine.ask("Was skin temperature in Dhaka in 2015 above normal?")
+
+
+def test_anomaly_words_do_not_steal_other_domains(engine):
+    # emissions question with 'above normal' phrasing stays on the
+    # plain emissions path (anomaly planning is ERA5-only)
+    a = engine.ask("What were the CO2 emissions in Brazil in 2020?")
+    assert a.domain == "emissions"
+    assert "anomaly" not in a.result.columns
+
+
 def test_eval_intent_needs_corpus_dir_and_spares_plain_paths(engine, spark):
     """Without corpus_dir the eval phrasing still raises the router's
     loud error; with corpus_dir, climate questions are untouched."""
