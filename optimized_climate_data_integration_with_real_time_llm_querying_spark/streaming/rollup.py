@@ -86,3 +86,68 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def anomaly_rollup(
+    events: DataFrame,
+    climatology: DataFrame,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming twin of queries.streaming_shapes.diurnal_anomaly_
+    profile: every event's departure from a FROZEN hour-of-day
+    climatology, aggregated per (event_type, day) under a watermark.
+
+    The climatology arrives as a STATIC broadcast frame (event_type,
+    hod, clim) — the production pattern for any slowly-reprocessed
+    reference surface (a monthly ERA5 climatology is recomputed
+    out-of-band and swapped in; a stream-static broadcast join keeps
+    ZERO state for it, so streaming state stays #types x #open-days
+    regardless of input volume). Column names and rounding mirror the
+    batch query exactly so streaming == batch is assertable cell for
+    cell."""
+    base = events.withWatermark("ts", watermark).select(
+        "event_type", F.hour("ts").alias("hod"), "ts", "value"
+    )
+    joined = base.join(F.broadcast(climatology), ["event_type", "hod"])
+    return (
+        joined.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.avg(F.col("value") - F.col("clim")), 4) + F.lit(0.0)).alias(
+                "mean_anomaly"
+            ),
+            F.round(F.avg(F.abs(F.col("value") - F.col("clim"))), 4).alias(
+                "mean_abs_anomaly"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "mean_anomaly",
+            "mean_abs_anomaly",
+        )
+    )
+
+
+def run_anomaly_available_now(
+    spark: SparkSession,
+    source_path: str,
+    climatology: DataFrame,
+    query_name: str = "anomaly_out",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Drive the anomaly rollup over all currently-available files
+    (availableNow) into a memory sink; returns the result frame for
+    streaming == batch assertions."""
+    events = read_event_stream(spark, source_path)
+    agg = anomaly_rollup(events, climatology, watermark)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

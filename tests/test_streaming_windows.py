@@ -181,3 +181,41 @@ def test_streaming_ohlc_matches_batch_query(spark, sf_small):
         assert s == b
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_streaming_anomaly_matches_batch_query(spark, sf_small):
+    """The streaming anomaly rollup (frozen broadcast climatology +
+    watermarked daily aggregate) must reproduce the registered batch
+    diurnal_anomaly_profile cell for cell, modulo column order:
+    day/event_type keys, counts, signed and absolute mean anomalies
+    on the same rounding grid."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.streaming.rollup import (
+        run_anomaly_available_now,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    clim = (
+        events.select("event_type", F.hour("ts").alias("hod"), "value")
+        .groupBy("event_type", "hod")
+        .agg(F.round(F.avg("value"), 6).alias("clim"))
+    )
+    stream_dir = tempfile.mkdtemp(prefix="ev_anom_")
+    try:
+        events.write.mode("overwrite").parquet(stream_dir)
+        streamed = run_anomaly_available_now(spark, stream_dir, clim)
+        batch = all_queries()["diurnal_anomaly_profile"].builder(spark, sf_small)
+        s = sorted(
+            (str(r["day"]), r["event_type"], r["n_events"], r["mean_anomaly"], r["mean_abs_anomaly"])
+            for r in streamed.collect()
+        )
+        b = sorted(
+            (str(r["day"]), r["event_type"], r["n_events"], r["mean_anomaly"], r["mean_abs_anomaly"])
+            for r in batch.collect()
+        )
+        assert len(s) > 0
+        assert s == b
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
