@@ -69,6 +69,11 @@ QUERIES = [
     "rho_loss_select",
     "ngram_novelty_decay",
     "vocab_coverage_oov",
+    # Round-12 second half: the events-table climatology/anomaly
+    # (climatology is |types| x 24 — constant — so cost = two scans)
+    # and the HDF5 grid roundtrip (grid bounded by |days| x |types|).
+    "diurnal_anomaly_profile",
+    "netcdf4_roundtrip",
 ]
 # Non-registry knob variants (VERDICT r9 item 5): the SAME weighted-
 # SimHash candidate generator at two bits-per-band settings, returning
