@@ -583,3 +583,13 @@ def test_ngram_novelty_no_global_window(spark, sf_oracle):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan or "partial" in plan
+
+
+def test_diurnal_anomaly_broadcasts_climatology(spark, sf_oracle):
+    # Round-12: the |types| x 24 climatology must broadcast into the
+    # event stream (never a sort-merge join) and both aggregates must
+    # be two-phase.
+    plan = plan_of(spark, sf_oracle, "diurnal_anomaly_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial" in plan
