@@ -150,3 +150,14 @@ def test_writer_via_spark_ingest(spark, tmp_path):
     rows = df.orderBy("time", "lat", "lon").collect()
     assert len(rows) == 24
     assert rows[0]["t2m"] == pytest.approx(270.0)
+
+
+def test_truncated_output_is_loud():
+    """Any truncation of the writer's output must raise (truncated
+    read or structural error), never silently decode a shorter grid —
+    the same loudness sweep discipline as the reader's fixtures."""
+    blob, _ = _grid_blob()
+    for frac in (0.25, 0.5, 0.75, 0.9, 0.99):
+        cut = blob[: int(len(blob) * frac)]
+        with pytest.raises((ValueError, NotImplementedError)):
+            parse_netcdf4(cut)

@@ -347,3 +347,78 @@ def test_dense_group_roundtrip_property(names, shape, corder, seed):
     )
     kids = _dense_group_children(_F(bytes(b.buf)), li[4:])
     assert kids == (entries if corder else sorted(entries))
+
+
+# -------------------------------------------------------- netCDF-4 writer
+
+_nc_dims = st.lists(
+    st.tuples(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=3,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(dims=_nc_dims, nc_type=st.sampled_from([1, 3, 4, 5, 6]), data=st.data())
+@settings(max_examples=50, deadline=None)
+def test_netcdf4_writer_reader_roundtrip_property(dims, nc_type, data):
+    """Arbitrary dim sets and dtypes through the writer must come
+    back EXACTLY through the spec-pinned reader: same dims (ordered
+    by dimid), same values, same dimids — the writer is fuzzed
+    against the format via the reader, not against itself."""
+    import numpy as np
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.hdf5_min import (
+        parse_netcdf4,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.netcdf4_writer import (
+        _TYPES,
+        write_netcdf4,
+    )
+
+    shape = tuple(ln for _, ln in dims)
+    n = int(np.prod(shape))
+    if nc_type in (1, 3, 4):
+        info = np.iinfo(_TYPES[nc_type])
+        vals = data.draw(
+            st.lists(
+                st.integers(min_value=int(info.min), max_value=int(info.max)),
+                min_size=n,
+                max_size=n,
+            )
+        )
+    else:
+        vals = data.draw(
+            st.lists(
+                st.floats(
+                    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+                ),
+                min_size=n,
+                max_size=n,
+            )
+        )
+    arr = np.asarray(vals, dtype=_TYPES[nc_type]).reshape(shape)
+    blob = write_netcdf4(
+        None,
+        dims=list(dims),
+        variables=[
+            {
+                "name": "zvar",
+                "nc_type": nc_type,
+                "dims": [d for d, _ in dims],
+                "values": arr,
+            }
+        ],
+    )
+    got_dims, _, varlist = parse_netcdf4(blob)
+    assert got_dims == [(d, ln) for d, ln in dims]
+    by = {v.name: v for v in varlist}
+    assert by["zvar"].dimids == list(range(len(dims)))
+    np.testing.assert_array_equal(by["zvar"].data, arr)
