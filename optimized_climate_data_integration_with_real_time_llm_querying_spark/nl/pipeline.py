@@ -501,6 +501,11 @@ class ClimateEngine:
             .groupBy("city", "metric", "month")
             .agg(F.round(F.avg("value"), 6).alias("value"))
         )
+        if t.months:
+            # "anomaly in April 2020" — narrow the OUTPUT months; the
+            # climatology stays full-year (each month compares to its
+            # own-month normal regardless of which months are shown)
+            target = target.filter(F.col("month").isin(t.months))
         plan = (
             target.join(clim, ["city", "metric", "month"])
             .select(

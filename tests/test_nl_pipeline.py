@@ -581,6 +581,21 @@ def test_g16_anomaly_intent_departure_from_climatology(engine):
     assert jan["anomaly"] == pytest.approx(round(round(vals[2020], 6) - clim, 6))
 
 
+def test_g16_anomaly_month_scoped(engine):
+    """A month-specific anomaly question narrows the OUTPUT to that
+    month while the climatology stays the full own-month normal."""
+    a = engine.ask(
+        "Skin temperature anomaly in Dhaka in April 2020 compared to normal?"
+    )
+    rows = a.result.collect()
+    assert len(rows) == 1
+    assert rows[0]["month"] == 4 and rows[0]["year"] == 2020
+    # same April row as the unscoped question produces
+    full = engine.ask("Was skin temperature in Dhaka in 2020 above normal?")
+    apr = next(r for r in full.result.collect() if r["month"] == 4)
+    assert rows[0]["anomaly"] == pytest.approx(apr["anomaly"])
+
+
 def test_g16_anomaly_defaults_to_latest_year(engine):
     a = engine.ask("Skin temperature anomaly in Dhaka?")
     rows = a.result.collect()
