@@ -1932,3 +1932,47 @@ def test_dataspace_v2_parses():
     body = bytes([2, 2, 0, 1]) + struct.pack("<QQ", 4, 5)
     assert _parse_dataspace(body) == [4, 5]
     assert _parse_dataspace(bytes([2, 0, 0, 0])) == []
+
+
+def test_huge_btree_direct_record_type_is_loud():
+    """A huge-object B-tree of record type 1 (directly-accessed IDs)
+    cannot occur at the 7/8-byte ID lengths — the reader must name
+    the unsupported type rather than misparse records."""
+    b = H5Builder()
+    daddr, ids = fhdb(b, [link_body("x", 1, 0)], 0, 512)
+    leaf = b.put(b"BTLF" + bytes([0, 1]) + b"\0" * 16 + b"\0\0\0\0")
+    huge_bt = b.put(
+        b"BTHD"
+        + bytes([0, 1])
+        + struct.pack("<IHH", 512, 16, 0)
+        + bytes([100, 40])
+        + struct.pack("<QHQ", leaf, 1, 1)
+        + b"\0\0\0\0"
+    )
+    heap = frhp(b, daddr, 0, [daddr], huge_bt=huge_bt)
+    bt = name_btree(b, [bytes([0x10]) + ids[0][1:]])
+    root = b.put(object_header_v2([link_info_msg(heap, bt)]))
+    buf = b.finish_v2(root)
+    with pytest.raises(NotImplementedError, match="record type 1"):
+        parse_netcdf4(buf)
+
+
+def test_dense_attr_info_with_max_corder_field():
+    """Attribute Info flags bit 0 adds a 2-byte max-creation-index
+    before the heap addresses; the parser must skip exactly 2 bytes
+    (not 8 — the LINK Info field is 8, an easy off-by-spec)."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.hdf5_min import (
+        _F,
+        _dense_attributes,
+    )
+
+    b = H5Builder()
+    bodies = [
+        attr_v3_body("alpha", dt_fixed(4), ds_scalar(), struct.pack("<i", 7))
+    ]
+    (msg015,) = dense_attr_messages(b, bodies)
+    plain = msg015[4:]  # strip the v2 frame: version(1) flags(1) addrs
+    assert plain[1] == 0
+    with_corder = bytes([0, 1]) + struct.pack("<H", 42) + plain[2:]
+    attrs = dict(_dense_attributes(_F(bytes(b.buf)), with_corder))
+    assert attrs == {"alpha": 7}
