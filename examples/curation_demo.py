@@ -31,8 +31,12 @@ STEPS = [
     ("quality: char entropy", "char_entropy_scores"),
     ("quality + dedup gate", "corpus_filter_pipeline"),
     ("near-dup clusters", "dedup_clusters"),
+    ("cluster-cap sampling (keep best 2)", "cluster_cap_sample"),
     ("winnow fingerprint match", "winnow_dup_candidates"),
+    ("diversity: novelty decay", "ngram_novelty_decay"),
+    ("vocab fit: OOV by source", "vocab_coverage_oov"),
     ("contamination audit", "contamination_rate"),
+    ("excess-loss selection (RHO)", "rho_loss_select"),
     ("token-budget selection", "quality_budget_select"),
     ("weighted sample (priority)", "priority_weighted_sample"),
     ("curriculum stages", "length_curriculum_stages"),
