@@ -1392,7 +1392,20 @@ def parse_netcdf4(buf: bytes):
         dt_body = next((b for t, b in msgs if t == 0x0003), None)
         ds_body = next((b for t, b in msgs if t == 0x0001), None)
         if dt_body is None or ds_body is None:
-            continue  # sub-group or typeless object: not in the subset
+            if any(t in (0x0011, 0x0002, 0x0006) for t, _ in msgs):
+                # a GROUP child: silently skipping it would drop every
+                # variable under it — loud seam, not silent data loss.
+                # (Flat classic-model files — all real ERA5 exports —
+                # have no sub-groups; hierarchical files fall back to
+                # the xarray seam via ingest.)
+                raise NotImplementedError(
+                    f"sub-group {name!r}: hierarchical netCDF-4 groups "
+                    "are outside the flat classic-model subset"
+                )
+            # named datatype / other metadata object: carries no data,
+            # safe to skip (variables USING an exotic type still fail
+            # loudly in the datatype parser)
+            continue
         dt = _parse_datatype(dt_body)
         shape = _parse_dataspace(ds_body)
         objects[addr] = {

@@ -1976,3 +1976,55 @@ def test_dense_attr_info_with_max_corder_field():
     with_corder = bytes([0, 1]) + struct.pack("<H", 42) + plain[2:]
     attrs = dict(_dense_attributes(_F(bytes(b.buf)), with_corder))
     assert attrs == {"alpha": 7}
+
+
+def test_sub_group_child_is_loud():
+    """A root child that is itself a GROUP (hierarchical netCDF-4)
+    must raise — silently skipping it would drop every variable under
+    it. Both group storages: old-style (symbol-table message) and
+    modern (link messages)."""
+    # old-style root with one child group
+    b2 = H5Builder()
+    child = b2.put(object_header([msg(0x0011, struct.pack("<QQ", UNDEF, UNDEF))]))
+    heap_data = bytearray(b"\0" * 8)
+    off = len(heap_data)
+    heap_data += b"grp\0\0\0\0\0"
+    seg = b2.put(bytes(heap_data))
+    hh = b2.put(b"HEAP" + bytes([0, 0, 0, 0]) + struct.pack("<QQQ", len(heap_data), 1, seg))
+    snod = b"SNOD" + bytes([1, 0]) + struct.pack("<H", 1)
+    snod += struct.pack("<QQI4x16x", off, child, 0)
+    sa = b2.put(snod)
+    bt = b"TREE" + bytes([0, 0]) + struct.pack("<H", 1)
+    bt += struct.pack("<QQ", UNDEF, UNDEF) + struct.pack("<QQQ", 0, sa, off)
+    ba = b2.put(bt)
+    rh = b2.put(object_header([msg(0x0011, struct.pack("<QQ", ba, hh))]))
+    with pytest.raises(NotImplementedError, match="sub-group 'grp'"):
+        parse_netcdf4(b2.finish(rh))
+
+    # modern: root with a link to a child that has its own Link message
+    b3 = H5Builder()
+    leaf = b3.put(object_header_v2([link_msg("x", 1)]))
+    root3 = b3.put(object_header_v2([link_msg("grp", leaf)]))
+    with pytest.raises(NotImplementedError, match="sub-group 'grp'"):
+        parse_netcdf4(b3.finish_v2(root3))
+
+
+def test_named_datatype_child_is_skipped():
+    """A committed (named) datatype object carries no data — skipping
+    it is correct, and the sibling variables still decode."""
+    b = H5Builder()
+    dt_only = b.put(object_header_v2([msg2(0x0003, dt_fixed(4))]))
+    data = b.put(struct.pack("<i", 7))
+    var = b.put(
+        object_header_v2(
+            [
+                msg2(0x0001, ds_simple([])),
+                msg2(0x0003, dt_fixed(4)),
+                msg2(0x0008, bytes([3, 1]) + struct.pack("<QQ", data, 4)),
+            ]
+        )
+    )
+    root = b.put(object_header_v2([link_msg("mytype", dt_only), link_msg("v", var)]))
+    _, _, varlist = parse_netcdf4(b.finish_v2(root))
+    names = {v.name for v in varlist}
+    assert names == {"v"}
