@@ -28,100 +28,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order. Round-12 rotation: promote the round-11 _DEMOTE[:50] exactly
-# as the round-11 window plan pre-ordered (confirmed by VERDICT r11
-# "Next round" #4) — the 2 round-11 additions first (never-rowed;
-# both judge-verified green), then the 40 remaining r8-rowed names,
-# then the first 8 of the r9-rowed tier.
+# order. Round-13 rotation: promote the round-12 _DEMOTE[:50] exactly
+# as the round-12 window plan pre-ordered (confirmed by VERDICT r12
+# "Next round" #1) — the six round-12 additions first (never-rowed;
+# all FULL-oracled, parity-green on introduction), then the 42
+# remaining r9-rowed names, then the first 2 of the r10-rowed tier.
 #
-# EXPECTED HASH COUNT, written down BEFORE the round (the r11
-# discipline: 47+3 predicted, 47+3 landed): this window is 47
-# oracled + 3 by-design rows-only (minhash_near_dup_pairs and
-# simhash_near_dup_pairs — xxhash64 production variants, twinned by
-# the FULL-oracled *_md5 entries; embedding_cosine_near_dups_lsh —
-# banded-LSH scale path, twinned by the FULL-oracled exact
-# embedding_cosine_near_dups). Expected CORRECTNESS_r12: 47
-# hash-green + 3 rows-only, 0 broken.
+# EXPECTED HASH COUNT, written down BEFORE the round (the r11/r12
+# discipline): none of the 8 by-design rows-only entries fall in
+# this slice, so the prediction is 50 oracled / 0 rows-only.
+# Expected CORRECTNESS_r13: 50 hash-green + 0 rows-only, 0 broken.
 #
 # CADENCE POLICY (decided in round 11, VERDICT r10 ask #2): the
 # standard is ceil(registry / 50) rounds between driver rows for
 # any entry, with the rotation strictly oldest-rows-first. At 198
-# entries (six round-12 additions) that is a 4-round cadence, and 4
-# is the accepted
+# entries that is a 4-round cadence, and 4 is the accepted
 # standard — the suite's cell-by-cell oracle-parity sweep
 # (tests/test_oracle_parity.py + scripts/check_parity.py) re-proves
 # every oracled entry at HEAD every round, so driver rows are an
 # independent audit, not the only correctness signal. Growth budget:
 # the registry may grow to AT MOST 200 entries while the 50-slot
 # window holds the 4-round cadence; past 200, growth must displace
-# (retire a twin) rather than extend. Every new entry still leads
-# the next round's window (rowed within one round of introduction).
+# (retire a twin) rather than extend.
 #
-# ROUND-13 WINDOW PLAN (write it down while it's true): _DEMOTE
-# below is ALREADY in round-13 priority order — any round-12
-# additions first (never-rowed), then the 42 remaining r9-rowed
-# names, then the r10-rowed tier, then the r11-rowed tier. Round 13
-# = promote _DEMOTE[:50].
+# DISPLACEMENT POLICY (decided in round 13, BEFORE any new entry
+# lands, per VERDICT r12 ask #4): when entries past 200 arrive, the
+# retirement order is the by-design rows-only entries whose FULL-
+# oracled twin proves the identical plan shape — retiring one loses
+# no oracle coverage, only a duplicate driver row of a weaker kind:
+#   1. simhash_near_dup_pairs        (twin: simhash_near_dup_pairs_md5)
+#   2. minhash_near_dup_pairs        (twin: minhash_near_dup_pairs_md5)
+#   3. embedding_cosine_near_dups_lsh (twin: embedding_cosine_near_dups
+#      + recall floors in tests/test_lsh_recall.py)
+#   4. ann_projected_topk            (twin: ann_projected_coarse)
+#   5. curation_end_to_end           (twin: curation_end_to_end_exact)
+# The production xxhash/LSH variants stay exercised by pytest
+# (tests/test_hash_equivalence.py, test_lsh_recall.py) after
+# retirement. approx_* sketch entries and sequence_packing are NOT
+# candidates: their rows-only driver row is the only driver-side
+# signal for a distinct numeric contract (error bounds).
+#
+# ROUND-14 WINDOW PLAN (write it down while it's true): _DEMOTE
+# below is ALREADY in round-14 priority order — any round-13
+# additions first (never-rowed), then the remaining r10-rowed tier,
+# then the r11-rowed tier, then the r12-rowed tier. Round 14 =
+# promote _DEMOTE[:50].
 _PROMOTE = [
-    # -- ROUND-12 TIER A0: the 2 round-11 additions (first driver
-    #    rows; both judge-verified green in the r11 VERDICT) --
-    "retrieval_mrr_at_10",
-    "minhash_band_plan",
-    # -- ROUND-12 TIER A: the 40 remaining r8-rowed names --
-    "quality_budget_select",
-    "winsorized_source_stats",
-    "bpe_apply_merge",
-    "lexical_diversity",
-    "source_pareto_share",
-    "pmi_collocations",
-    "priority_weighted_sample",
-    "source_overlap_matrix",
-    "length_drift_ks",
-    "tfidf_doc_similarity",
-    "exact_dedup_docs",
-    "document_chunks",
-    "embedding_cosine_topk_int8",
-    "minhash_near_dup_pairs",  # rows-only (by design)
-    "simhash_near_dup_pairs",  # rows-only (by design)
-    "incremental_minhash_dedup",
-    "minhash_estimate_vs_exact",
-    "doc_winnow_fingerprints",
-    "winnow_dup_candidates",
-    "embedding_cosine_topk",
-    "embedding_lsh_topk",
-    "stratified_sample_corpus",
-    "corpus_train_val_test",
-    "embedding_cosine_near_dups_lsh",  # rows-only (by design)
-    "pii_redact",
-    "repetition_stats",
-    "vocab_top_terms",
-    "decontaminate_embeddings",
-    "lang_id_confusion",
-    "char_entropy_scores",
-    "dup_rate_by_source",
-    "fuzzy_name_match_pairs",
-    "bm25_topk",
-    "contamination_rate",
-    "events_sliding_3d_daily",
-    "sensor_locf_fill",
-    "sensor_gap_report",
-    "sensor_zscore_anomalies",
-    "events_session_window_agg",
-    "series_correlation_pairs",
-    # -- ROUND-12 TIER B: first 8 of the r9-rowed tier --
-    "pq_codes",
-    "pq_adc_topk",
-    "ivf_pq_topk",
-    "ivf_residual_pq_topk",
-    "similarity_pagerank",
-    "wordpiece_greedy_segments",
-    "epoch_shuffle_shards",
-    "gopher_quality_flags",
-]
-_DEMOTE = [
-    # -- ROUND-13 TIER A0: round-12 additions (never-rowed; lead the
-    #    round-13 window per the cadence policy; all FULL-oracled,
-    #    parity-green at sf0.01 on introduction) --
+    # -- ROUND-13 TIER A0: the 6 round-12 additions (first driver
+    #    rows; all judge-verified green in the r12 VERDICT) --
     "cluster_cap_sample",
     "rho_loss_select",
     "ngram_novelty_decay",
@@ -171,10 +125,12 @@ _DEMOTE = [
     "null_ordering_ranks",
     "bloom_semi_join_audit",
     "unigram_lm_segments",
-    # -- ROUND-13 TIER B: r10-rowed tier (the round-10 window; 2
-    #    rows-only sketch entries annotated) --
+    # -- ROUND-13 TIER B: first 2 of the r10-rowed tier --
     "chi2_lang_source",
     "ols_order_size_price",
+]
+_DEMOTE = [
+    # -- ROUND-14 TIER A: the remaining r10-rowed tier --
     "quantity_moments",
     "frequent_triples",
     "media_dedup_report",
@@ -223,8 +179,7 @@ _DEMOTE = [
     "bpe_encode_docs",
     "temperature_mix_sample",
     "bpe_fertility_by_source",
-    # -- ROUND-13 TIER C: r11-rowed tier (the round-11 window; 3
-    #    rows-only entries annotated) --
+    # -- ROUND-14 TIER B: the r11-rowed tier --
     "compaction_roundtrip",
     "jsonl_roundtrip",
     "events_ohlc_daily",
@@ -275,6 +230,57 @@ _DEMOTE = [
     "curation_end_to_end",  # rows-only (by design)
     "curation_end_to_end_exact",
     "length_curriculum_stages",
+    # -- ROUND-14 TIER C: the r12-rowed tier (the round-12 window) --
+    "retrieval_mrr_at_10",
+    "minhash_band_plan",
+    "quality_budget_select",
+    "winsorized_source_stats",
+    "bpe_apply_merge",
+    "lexical_diversity",
+    "source_pareto_share",
+    "pmi_collocations",
+    "priority_weighted_sample",
+    "source_overlap_matrix",
+    "length_drift_ks",
+    "tfidf_doc_similarity",
+    "exact_dedup_docs",
+    "document_chunks",
+    "embedding_cosine_topk_int8",
+    "minhash_near_dup_pairs",  # rows-only (by design)
+    "simhash_near_dup_pairs",  # rows-only (by design)
+    "incremental_minhash_dedup",
+    "minhash_estimate_vs_exact",
+    "doc_winnow_fingerprints",
+    "winnow_dup_candidates",
+    "embedding_cosine_topk",
+    "embedding_lsh_topk",
+    "stratified_sample_corpus",
+    "corpus_train_val_test",
+    "embedding_cosine_near_dups_lsh",  # rows-only (by design)
+    "pii_redact",
+    "repetition_stats",
+    "vocab_top_terms",
+    "decontaminate_embeddings",
+    "lang_id_confusion",
+    "char_entropy_scores",
+    "dup_rate_by_source",
+    "fuzzy_name_match_pairs",
+    "bm25_topk",
+    "contamination_rate",
+    "events_sliding_3d_daily",
+    "sensor_locf_fill",
+    "sensor_gap_report",
+    "sensor_zscore_anomalies",
+    "events_session_window_agg",
+    "series_correlation_pairs",
+    "pq_codes",
+    "pq_adc_topk",
+    "ivf_pq_topk",
+    "ivf_residual_pq_topk",
+    "similarity_pagerank",
+    "wordpiece_greedy_segments",
+    "epoch_shuffle_shards",
+    "gopher_quality_flags",
 ]
 
 
