@@ -176,11 +176,11 @@ class _Buf:
         self.buf.extend(b)
         return addr
 
-    def finish(self, root_header: int) -> bytes:
+    def finish(self, root_header: int, leaf_k: int = 4) -> bytes:
         sb = bytearray()
         sb += b"\x89HDF\r\n\x1a\n"
         sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])  # versions + 8/8 sizes
-        sb += struct.pack("<HHI", 4, 16, 0)  # leaf K, internal K, flags
+        sb += struct.pack("<HHI", leaf_k, 16, 0)  # leaf K, internal K, flags
         sb += struct.pack("<QQQQ", 0, UNDEF, len(self.buf), UNDEF)
         # root symbol-table entry (cache type 1, scratch zeroed)
         sb += struct.pack("<QQI4x16x", 0, root_header, 1)
@@ -312,8 +312,18 @@ def write_netcdf4(
     payload = b""
     for i, hdr in enumerate(dim_hdr, start=1):
         payload += struct.pack("<HH4xQ", i, 1, 8) + _pad8(struct.pack("<Q", dim_hdr[i - 1]))
-    coll = b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack("<Q", 16 + len(payload) + 16)
-    coll += payload + struct.pack("<HH4xQ", 0, 0, 0)  # free-space object
+    # libhdf5 validates Collection Size >= H5HG_MINSIZE (4096 bytes,
+    # H5HGprivate.h) when it loads a collection, and the terminating
+    # free-space object (index 0) must carry the remaining space in
+    # its size field — which, per spec IV.E, INCLUDES object 0's own
+    # 16-byte header. A minimal/zero-sized trailer makes every
+    # DIMENSION_LIST unreadable by h5py/netcdf-c, the exact consumers
+    # this container targets.
+    total = max(4096, 16 + len(payload) + 16)
+    free = total - 16 - len(payload)
+    coll = b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack("<Q", total)
+    coll += payload + struct.pack("<HH4xQ", 0, 0, free)
+    coll += b"\0" * (total - len(coll))
     gcol = b.put(coll)
 
     def dimension_list(dimids: list[int]) -> bytes:
@@ -347,6 +357,18 @@ def write_netcdf4(
         + bytes([0, 0, 0, 0])
         + struct.pack("<QQQ", len(heap_data), 1, heap_seg)
     )
+    # libhdf5 rejects a symbol-table node whose record count exceeds
+    # 2 * (superblock group-leaf K) — "bad symbol table node record
+    # count". The leaf K is a writer-controlled 2-byte field, so size
+    # it to the entry count (all entries stay in ONE sorted SNOD,
+    # which an under-full leaf permits); past the 2-byte ceiling the
+    # writer is loud instead of emitting a file external tools reject.
+    leaf_k = max(4, (len(entries) + 1) // 2)
+    if leaf_k > 0xFFFF:
+        raise NotImplementedError(
+            f"{len(entries)} root objects exceeds the single-SNOD ceiling "
+            "(2*65535); multi-SNOD group B-trees are not written"
+        )
     snod = b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(entries))
     ordered = sorted(entries)
     for nm, hdr in ordered:
@@ -362,7 +384,7 @@ def write_netcdf4(
         root_msgs.append(_attr_value_msg(k, val))
     root_hdr = b.put(_object_header(root_msgs))
 
-    blob = b.finish(root_hdr)
+    blob = b.finish(root_hdr, leaf_k=leaf_k)
     if path is not None:
         with open(path, "wb") as fh:
             fh.write(blob)

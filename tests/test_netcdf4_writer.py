@@ -161,3 +161,111 @@ def test_truncated_output_is_loud():
         cut = blob[: int(len(blob) * frac)]
         with pytest.raises((ValueError, NotImplementedError)):
             parse_netcdf4(cut)
+
+
+def _find_gcol(blob: bytes) -> int:
+    off = blob.find(b"GCOL")
+    assert off > 0, "no global heap collection in output"
+    assert blob.find(b"GCOL", off + 4) < 0, "writer must emit exactly one GCOL"
+    return off
+
+
+def test_gcol_meets_libhdf5_minimum_size():
+    """libhdf5 validates Collection Size >= H5HG_MINSIZE (4096) when
+    loading a global heap; a smaller collection makes DIMENSION_LIST
+    unreadable by h5py/netcdf-c even though the in-repo reader is
+    lenient. Pin the on-disk struct, not just the roundtrip."""
+    import struct
+
+    blob, _ = _grid_blob()
+    off = _find_gcol(blob)
+    (size,) = struct.unpack_from("<Q", blob, off + 8)
+    assert size >= 4096
+    # the declared collection must actually fit in the file
+    assert off + size <= len(blob)
+
+
+def test_gcol_free_space_object_declares_remainder():
+    """The index-0 terminator's size field must carry the remaining
+    collection space INCLUDING its own 16-byte header (spec IV.E);
+    libhdf5 walks the heap by these sizes."""
+    import struct
+
+    blob, _ = _grid_blob()
+    off = _find_gcol(blob)
+    (total,) = struct.unpack_from("<Q", blob, off + 8)
+    p = off + 16
+    end = off + total
+    while p < end:
+        idx, = struct.unpack_from("<H", blob, p)
+        obj_size, = struct.unpack_from("<Q", blob, p + 8)
+        if idx == 0:
+            assert obj_size == end - p, (
+                "free-space size must equal the remaining collection bytes"
+            )
+            # remainder after the header is zero padding
+            assert blob[p + 16 : end] == b"\0" * (end - p - 16)
+            return
+        p += 16 + (obj_size + 7) // 8 * 8
+    raise AssertionError("no free-space terminator found")
+
+
+def test_leaf_k_scales_with_root_entry_count():
+    """libhdf5 rejects SNOD nodes with nsyms > 2 * (group-leaf K from
+    the superblock). The writer keeps one SNOD, so K must be derived
+    from the entry count — a fixed K=4 breaks any file with more than
+    8 root objects (dims + variables), an easy real-export shape."""
+    import struct
+
+    n_vars = 30  # 2 dims + 30 variables = 32 root objects > 2*4
+    variables = [
+        {"name": "lat", "nc_type": 6, "dims": ["lat"], "values": [1.0, 2.0]},
+        {"name": "lon", "nc_type": 6, "dims": ["lon"], "values": [1.0, 2.0, 3.0]},
+    ] + [
+        {
+            "name": f"v{i:02d}",
+            "nc_type": 4,
+            "dims": ["lat", "lon"],
+            "values": np.arange(6).reshape(2, 3) + i,
+        }
+        for i in range(n_vars)
+    ]
+    blob = write_netcdf4(None, dims=[("lat", 2), ("lon", 3)], variables=variables)
+
+    # superblock leaf K at offset 13 (after 8-byte signature + 5 bytes)
+    leaf_k, = struct.unpack_from("<H", blob, 16)
+    snod_off = blob.find(b"SNOD")
+    nsyms, = struct.unpack_from("<H", blob, snod_off + 6)
+    assert nsyms == n_vars + 2
+    assert nsyms <= 2 * leaf_k, "SNOD record count must satisfy nsyms <= 2K"
+
+    # and the file still roundtrips through the spec-pinned reader
+    dims, _, varlist = parse_netcdf4(blob)
+    by = {v.name: v for v in varlist}
+    assert len(by) == n_vars + 2
+    np.testing.assert_array_equal(by["v07"].data, np.arange(6).reshape(2, 3) + 7)
+
+
+def test_small_file_keeps_default_leaf_k():
+    import struct
+
+    blob, _ = _grid_blob()
+    leaf_k, = struct.unpack_from("<H", blob, 16)
+    assert leaf_k == 4
+
+
+def test_external_hdf5_interop_when_available():
+    """Read the writer's output with h5py / netCDF4 when installed —
+    the consumers the GCOL/SNOD struct rules above exist for. Skipped
+    in environments without the libs (this container), enforced where
+    they exist."""
+    h5py = pytest.importorskip("h5py")
+    import io
+
+    blob, t2m = _grid_blob()
+    with h5py.File(io.BytesIO(blob), "r") as f:
+        assert set(f.keys()) == {"time", "lat", "lon", "t2m"}
+        np.testing.assert_array_equal(f["t2m"][...], t2m)
+        dl = f["t2m"].attrs["DIMENSION_LIST"]
+        assert len(dl) == 3
+        assert f["lat"].attrs["CLASS"] == b"DIMENSION_SCALE"
