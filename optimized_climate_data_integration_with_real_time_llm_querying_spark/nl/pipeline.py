@@ -461,7 +461,10 @@ class ClimateEngine:
         monthly climatology per (city, metric, month-of-year) over
         EVERY year the table has (the ERA5_preprocessing.ipynb
         climatology step), then the asked year's monthly departure
-        from it. No year in the question = the table's latest year.
+        from it. No year in the question = the table's latest year; a
+        year RANGE ("anomaly from 2018 to 2020") keeps one output row
+        per (year, month) — each year compares to the same full-table
+        climatology — clamped to coverage like the trend planner.
         Both aggregates are two-phase over the filtered series; the
         climatology is (city x metric x 12) rows — dimension-sized at
         any archive scale — and values pin to the 6-dp grid before
@@ -479,12 +482,19 @@ class ClimateEngine:
                 f"no era5 rows match the question's filters "
                 f"({spec.filters!r}) — cannot compute an anomaly"
             )
-        year = t.year if t.year is not None else int(y_max)
-        if not (y_min <= year <= y_max):
-            raise ValueError(
-                f"anomaly year {year} is outside the table's "
-                f"{y_min}-{y_max} coverage"
-            )
+        if t.year is not None:
+            lo = hi = t.year
+        elif t.year_range is not None:
+            lo, hi = t.year_range
+        else:
+            lo = hi = int(y_max)
+        if not t.empty:  # empty spec stays vacuously-false BETWEEN
+            if hi < y_min or lo > y_max:
+                raise ValueError(
+                    f"anomaly years {lo}-{hi} are outside the table's "
+                    f"{y_min}-{y_max} coverage"
+                )
+            lo, hi = max(lo, int(y_min)), min(hi, int(y_max))
         monthly = tbl.select(
             "city",
             "metric",
@@ -497,8 +507,8 @@ class ClimateEngine:
             F.countDistinct("year").alias("n_years"),
         )
         target = (
-            monthly.filter(F.col("year") == year)
-            .groupBy("city", "metric", "month")
+            monthly.filter(F.col("year").between(lo, hi))
+            .groupBy("city", "metric", "year", "month")
             .agg(F.round(F.avg("value"), 6).alias("value"))
         )
         if t.months:
@@ -511,21 +521,21 @@ class ClimateEngine:
             .select(
                 "city",
                 "metric",
-                F.lit(year).alias("year"),
+                "year",
                 "month",
                 "value",
                 "climatology",
                 F.round(F.col("value") - F.col("climatology"), 6).alias("anomaly"),
                 "n_years",
             )
-            .orderBy("city", "metric", "month")
+            .orderBy("city", "metric", "year", "month")
         )
         out_spec = QuerySpec(
             dataset="era5_monthly",
             metrics=["value", "climatology", "anomaly"],
             filters=spec.filters,
-            year_range=(year, year),
-            group_by=["city", "metric", "month"],
+            year_range=(lo, hi),
+            group_by=["city", "metric", "year", "month"],
         )
         return out_spec, plan
 

@@ -607,6 +607,37 @@ def test_g16_anomaly_out_of_coverage_is_loud(engine):
         engine.ask("Was skin temperature in Dhaka in 2015 above normal?")
 
 
+def test_g16_anomaly_year_range(engine):
+    """'anomaly from 2019 to 2021' keeps one row per (year, month),
+    each year compared to the SAME full-table climatology — the range
+    must not silently collapse to the latest year."""
+    a = engine.ask(
+        "Skin temperature anomaly in Dhaka from 2019 to 2021 vs normal?"
+    )
+    rows = a.result.collect()
+    assert len(rows) == 36
+    assert sorted({r["year"] for r in rows}) == [2019, 2020, 2021]
+    # the 2020 slice equals the single-year question's answer
+    single = engine.ask("Was skin temperature in Dhaka in 2020 above normal?")
+    got_2020 = [tuple(r) for r in rows if r["year"] == 2020]
+    assert got_2020 == [tuple(r) for r in single.result.collect()]
+
+
+def test_g16_anomaly_open_range_clamps_to_coverage(engine):
+    # "since 2021" parses to (2021, horizon); the planner clamps to
+    # the table's 2019-2022 coverage instead of erroring
+    a = engine.ask("Skin temperature anomaly in Dhaka since 2021?")
+    rows = a.result.collect()
+    assert sorted({r["year"] for r in rows}) == [2021, 2022]
+
+
+def test_g16_anomaly_disjoint_range_is_loud(engine):
+    with pytest.raises(ValueError, match="outside the table's"):
+        engine.ask(
+            "Skin temperature anomaly in Dhaka from 2010 to 2015 vs normal?"
+        )
+
+
 def test_anomaly_words_do_not_steal_other_domains(engine):
     # emissions question with 'above normal' phrasing stays on the
     # plain emissions path (anomaly planning is ERA5-only)
