@@ -9,7 +9,13 @@ nightly batch over everything.
 
 Scale notes:
 - state is keyed by (window, key): bounded by watermark eviction,
-  so state size ~ #keys x #open-windows, independent of input volume;
+  so state size ~ #keys x #open-windows, independent of input volume.
+  That bound holds in APPEND/UPDATE output modes, where the watermark
+  finalizes and evicts closed windows (the production pattern —
+  tests/test_streaming_restart.py drives it with a checkpoint across
+  restarts); in COMPLETE mode watermarks are inert and every window
+  stays in state, which is acceptable only for the availableNow
+  memory-sink test drivers below;
 - the pre-shuffle partial aggregation means the shuffle carries one
   row per (partition, window, key), not per event;
 - ``available_now`` triggers let the same query run as incremental
@@ -70,11 +76,14 @@ def run_available_now(
     window: str = "1 day",
     watermark: str = "2 days",
 ) -> DataFrame:
-    """Drive the streaming rollup over all currently-available files
+    """TEST DRIVER: run the rollup over all currently-available files
     (availableNow trigger), synchronously, into an in-memory sink;
-    returns the result as a DataFrame. Used by tests to assert
-    streaming == batch; in production the sink is parquet/Kafka and
-    the trigger is continuous."""
+    returns the result as a DataFrame for streaming == batch asserts.
+    Complete mode is deliberate HERE ONLY: it returns every window
+    including the not-yet-finalized tail, at the cost of making the
+    watermark inert (state grows with open windows). The production
+    shape is append mode + a real sink + checkpoint, where the
+    watermark actually evicts — see the restart test."""
     events = read_event_stream(spark, source_path)
     agg = tumbling_rollup(events, window, watermark)
     q = (
@@ -137,9 +146,13 @@ def run_anomaly_available_now(
     query_name: str = "anomaly_out",
     watermark: str = "2 days",
 ) -> DataFrame:
-    """Drive the anomaly rollup over all currently-available files
-    (availableNow) into a memory sink; returns the result frame for
-    streaming == batch assertions."""
+    """TEST DRIVER: drive the anomaly rollup over all currently-
+    available files (availableNow) into a memory sink; returns the
+    result frame for streaming == batch assertions. Same complete-
+    mode caveat as :func:`run_available_now` — the watermark is inert
+    in complete mode, so this is NOT the bounded-state production
+    pattern; that is the append+checkpoint drive in
+    tests/test_streaming_restart.py."""
     events = read_event_stream(spark, source_path)
     agg = anomaly_rollup(events, climatology, watermark)
     q = (
