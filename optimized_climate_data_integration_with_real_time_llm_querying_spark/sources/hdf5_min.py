@@ -62,8 +62,9 @@ blocks once a row's block size passes the max-direct threshold),
 which is what libhdf5 switches to past the 8-link compact threshold.
 
 Anything outside the subset — later superblocks, v2 object headers,
-compact/v1/v2 layouts, filters beyond deflate+shuffle, compound
-datatypes, filtered fractal heaps, tiny/filtered-huge heap objects —
+compact/v1/v2 layouts, filters beyond deflate+shuffle+fletcher32,
+compound datatypes, filtered fractal heaps, tiny/filtered-huge heap
+objects —
 raises a loud ``NotImplementedError`` naming the feature;
 ``ingest.read_netcdf`` then falls back to the xarray seam, which
 stays the documented escape hatch for exotic files.
@@ -831,6 +832,31 @@ def _read_data(f: _F, msgs: list[tuple[int, bytes]], dims: list[int], dtype) -> 
     )
 
 
+def _fletcher32(data: bytes) -> int:
+    """libhdf5's H5_checksum_fletcher32: Fletcher-32 over BIG-endian
+    16-bit words (an odd trailing byte becomes the high byte of a
+    final word), both running sums folded mod 65535, sum2 in the high
+    half. The folding maps a nonzero sum that is ≡0 (mod 65535) to
+    0xFFFF, never to 0 — only all-zero input checksums to 0 — so the
+    modular shortcut below must preserve that. Vectorized because the
+    per-chunk input is megabytes; the loop transcription lives in the
+    tests as the cross-check."""
+    nw = len(data) // 2
+    w = np.frombuffer(data, dtype=">u2", count=nw).astype(np.uint64)
+    if len(data) % 2:
+        w = np.append(w, np.uint64(data[-1] << 8))
+    if w.size == 0 or not w.any():
+        return 0
+    n = w.size
+    # sum1 ≡ Σw ; sum2 ≡ Σ prefix-sums = Σ w_i·(n-i)   (mod 65535)
+    m1 = int(w.sum() % 65535) or 65535
+    coeff = np.arange(n, 0, -1, dtype=np.uint64) % np.uint64(65535)
+    m2 = int((w * coeff % np.uint64(65535)).sum() % 65535) or 65535
+    # m_k==65535 is only correct when the true sum is nonzero — given
+    # some w_i>0, sum1>0 always; sum2>0 because every coeff ≥ 1
+    return (m2 << 16) | m1
+
+
 def _apply_filters(raw: bytes, filters, fmask: int, itemsize: int) -> bytes:
     for i, (fid, _lvl) in reversed(list(enumerate(filters))):
         if fmask & (1 << i):
@@ -839,6 +865,23 @@ def _apply_filters(raw: bytes, filters, fmask: int, itemsize: int) -> bytes:
             raw = zlib.decompress(raw)
         elif fid == 2:
             raw = _unshuffle(raw, itemsize)
+        elif fid == 3:
+            # fletcher32: verify + strip the 4-byte little-endian
+            # trailing checksum (H5Zfletcher32.c). Emitted by
+            # ``nccopy -F`` and some CDS pipelines; position in the
+            # pipeline varies (before or after deflate), which the
+            # reversed iteration already handles.
+            if len(raw) < 4:
+                raise ValueError("fletcher32: chunk shorter than its checksum")
+            stored = int.from_bytes(raw[-4:], "little")
+            computed = _fletcher32(raw[:-4])
+            if stored != computed:
+                raise ValueError(
+                    f"fletcher32 checksum mismatch: stored 0x{stored:08x}, "
+                    f"computed 0x{computed:08x} — corrupt or pre-1.6.3-"
+                    "legacy chunk"
+                )
+            raw = raw[:-4]
         else:
             raise NotImplementedError(f"HDF5 filter id {fid}")
     return raw

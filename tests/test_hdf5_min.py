@@ -26,6 +26,34 @@ from optimized_climate_data_integration_with_real_time_llm_querying_spark.source
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
 
+def ref_fletcher32(data: bytes) -> int:
+    """Direct loop transcription of libhdf5's H5_checksum_fletcher32
+    (H5checksum.c): big-endian 16-bit words, 360-word inner blocks,
+    (x & 0xffff) + (x >> 16) folds between blocks and twice at the
+    end. The reader's vectorized mod-65535 shortcut is pinned against
+    THIS transcription, which is pinned against the C."""
+    ln = len(data) // 2
+    sum1 = sum2 = 0
+    p = 0
+    while ln:
+        tlen = min(ln, 360)
+        ln -= tlen
+        for _ in range(tlen):
+            sum1 += (data[p] << 8) | data[p + 1]
+            p += 2
+            sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return (sum2 << 16) | sum1
+
+
 def _pad8(b: bytes) -> bytes:
     return b + b"\0" * ((8 - len(b) % 8) % 8)
 
@@ -426,6 +454,7 @@ def build_nc4(
     *,
     chunked_t2m: bool = False,
     shuffle: bool = False,
+    fletcher: str | None = None,  # "pre" | "post" pipeline position
     string_var: bool = False,
     lat_vals=None,
     lon_vals=None,
@@ -1059,14 +1088,24 @@ def build_nc4(
     if layout4:
         t2m_msgs.extend(_layout4_msgs())
     elif chunked_t2m:
-        # chunk shape (1, n_lat, n_lon): one chunk per time step
+        # chunk shape (1, n_lat, n_lon): one chunk per time step.
+        # fletcher="pre"  -> pipeline [fletcher32, shuffle?, deflate]
+        #   (checksum appended to the RAW bytes, then shuffled+zipped)
+        # fletcher="post" -> pipeline [shuffle?, deflate, fletcher32]
+        #   (checksum over the COMPRESSED bytes) — both orders occur
+        #   in the wild; the reader's reversed iteration must handle
+        #   either.
         chunks = []
         for ti in range(n_time):
             raw = t2m[ti : ti + 1].tobytes()
+            if fletcher == "pre":
+                raw += struct.pack("<I", ref_fletcher32(raw))
             if shuffle:
                 a = np.frombuffer(raw, np.uint8).reshape(-1, 2)
                 raw = a.T.tobytes()
             comp = zlib.compress(raw)
+            if fletcher == "post":
+                comp += struct.pack("<I", ref_fletcher32(comp))
             caddr = b.put(comp)
             chunks.append(((ti, 0, 0, 0), len(comp), caddr))
         # v1 chunk B-tree leaf
@@ -1080,9 +1119,16 @@ def build_nc4(
         bt = b.put(node)
         filters = [(2, 2)] if shuffle else []
         filters.append((1, 6))
+        if fletcher == "pre":
+            filters.insert(0, (3, 0))
+        elif fletcher == "post":
+            filters.append((3, 0))
         fbody = bytes([1, len(filters)]) + b"\0" * 6
         for fid, cv in filters:
-            fbody += struct.pack("<HHHH", fid, 0, 0, 1) + struct.pack("<I", cv) + b"\0" * 4
+            ncv = 1 if cv else 0
+            fbody += struct.pack("<HHHH", fid, 0, 0, ncv)
+            if ncv:
+                fbody += struct.pack("<I", cv) + b"\0" * 4
         t2m_msgs.append(M(0x000B, fbody))
         t2m_msgs.append(
             M(
@@ -2028,3 +2074,84 @@ def test_named_datatype_child_is_skipped():
     _, _, varlist = parse_netcdf4(b.finish_v2(root))
     names = {v.name for v in varlist}
     assert names == {"v"}
+
+
+# ------------------------------------------------------- fletcher32 filter
+
+
+def test_fletcher32_vectorized_matches_c_transcription():
+    """The reader's vectorized checksum must equal the 360-word-block
+    C transcription on adversarial shapes: empty, all-zero, odd
+    lengths, exactly/over the 360-word fold boundary, and sums driven
+    onto the mod-65535 boundary (where folding yields 0xFFFF, not 0)."""
+    import random
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.hdf5_min import (
+        _fletcher32,
+    )
+
+    rng = random.Random(13)
+    cases = [
+        b"",
+        b"\0",
+        b"\0" * 1000,
+        b"a",
+        b"abcde",
+        b"\xff\xff",          # one word == 65535: sum1 folds to 0xFFFF
+        b"\xff\xff" * 2,      # sum1 == 131070 ≡ 0 (mod 65535)
+        b"\xff\xff" * 359,
+        b"\xff\xff" * 360,    # exactly one full fold block
+        b"\xff\xff" * 361,
+        bytes(rng.randrange(256) for _ in range(721 * 2 + 1)),  # odd, 2 blocks
+    ]
+    for _ in range(20):
+        cases.append(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 4000))))
+    for data in cases:
+        assert _fletcher32(data) == ref_fletcher32(data), data[:16]
+    assert _fletcher32(b"") == 0
+    assert _fletcher32(b"\0" * 64) == 0
+    assert _fletcher32(b"\xff\xff" * 2) == 0xFFFFFFFF  # both sums ≡ 0 -> 0xFFFF
+
+
+@pytest.mark.parametrize("pos", ["pre", "post"])
+@pytest.mark.parametrize("shuf", [False, True])
+def test_chunked_fletcher32_roundtrip(pos, shuf):
+    """fletcher32 in either pipeline position (checksum of the raw
+    bytes before shuffle+deflate, or of the compressed bytes after)
+    verifies and strips, leaving the decode identical to the
+    unfiltered fixture — the `nccopy -F` shape."""
+    want = decode_netcdf4_bytes(build_nc4())
+    got = decode_netcdf4_bytes(build_nc4(chunked_t2m=True, shuffle=shuf, fletcher=pos))
+    pd_testing_cols = ["time", "lat", "lon", "t2m"]
+    w = want.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    g = got.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    assert g[pd_testing_cols].equals(w[pd_testing_cols])
+
+
+def test_fletcher32_corruption_is_loud():
+    """A flipped byte inside a checksummed chunk must raise, never
+    decode silently-wrong data — the whole point of the filter."""
+    blob = bytearray(build_nc4(chunked_t2m=True, fletcher="post"))
+    # chunks are zlib streams (0x78 0x9c header) followed by their
+    # 4-byte checksum; flip a byte in the first compressed chunk
+    z = blob.find(b"\x78\x9c")
+    assert z > 0
+    blob[z + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum mismatch|invalid|corrupt"):
+        decode_netcdf4_bytes(bytes(blob))
+
+
+def test_fletcher32_filter_mask_skips_verification():
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.hdf5_min import (
+        _apply_filters,
+    )
+
+    data = b"\x01\x02\x03\x04"
+    good = data + struct.pack("<I", ref_fletcher32(data))
+    assert _apply_filters(good, [(3, 0)], 0, 2) == data
+    # fmask bit 0 set = filter skipped on write: bytes pass through
+    assert _apply_filters(data, [(3, 0)], 1, 2) == data
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        _apply_filters(data + b"\0\0\0\0", [(3, 0)], 0, 2)
+    with pytest.raises(ValueError, match="shorter than its checksum"):
+        _apply_filters(b"\x01\x02", [(3, 0)], 0, 2)
