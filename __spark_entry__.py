@@ -130,6 +130,11 @@ _PROMOTE = [
     "ols_order_size_price",
 ]
 _DEMOTE = [
+    # -- ROUND-14 TIER A0: round-13 additions (never-rowed; lead the
+    #    round-14 window per the cadence policy; FULL-oracled,
+    #    parity-green at sf0.01 on introduction). Registry is at
+    #    199/200 of the growth budget. --
+    "ivf_pq_rerank_topk",
     # -- ROUND-14 TIER A: the remaining r10-rowed tier --
     "quantity_moments",
     "frequent_triples",

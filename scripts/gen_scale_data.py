@@ -158,6 +158,41 @@ def gen_embeddings(n: int, seed: int = 43) -> pa.Table:
     )
 
 
+def gen_embeddings_skew(n: int, seed: int = 48, n_components: int = 32) -> pa.Table:
+    """Embedding-SKEW twin: a clustered mixture with Zipf(s=1.1)
+    component occupancy — the geometry the isotropic twin cannot
+    exhibit and the actual 100-TB ANN failure mode (hot inverted
+    lists -> straggler partitions; FAISS's imbalance_factor measures
+    exactly this). The hottest of the 32 components holds ~26% of the
+    vectors vs the uniform 3.1%.
+
+    Marginals stay matched to the isotropic twin: vectors are
+    unit-normalized 64-dim, so per-component RMS is 1/8 by
+    construction; the ONLY variable between the twins is cluster
+    structure + occupancy skew. Each vector is
+    normalize(0.8 * center_c + 0.6 * g), g ~ N(0, I/sqrt(dim)):
+    within-component cosine ~0.64, across ~0 — distinct but
+    overlapping clusters, like real encoder output. Labels stay
+    Uniform{0..9} (label-based queries see the same distribution)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_components, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    p = 1.0 / np.power(np.arange(1, n_components + 1), 1.1)
+    comp = rng.choice(n_components, size=n, p=p / p.sum())
+    g = rng.standard_normal((n, DIM)) / np.sqrt(DIM)
+    m = 0.8 * centers[comp] + 0.6 * g
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in m], pa.list_(pa.float32())
+            ),
+            "label": pa.array(rng.integers(0, N_LABELS, size=n), pa.int32()),
+        }
+    )
+
+
 BASE_PARTS = 20000
 
 
@@ -298,6 +333,12 @@ def main() -> None:
         help="documents get the Heaps+Zipf content-rarity twin instead "
         "of the 31-token distribution-matched one",
     )
+    ap.add_argument(
+        "--embed-skew",
+        action="store_true",
+        help="embeddings get the clustered-mixture Zipf-occupancy twin "
+        "instead of the isotropic one",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     wrote = []
@@ -308,8 +349,9 @@ def main() -> None:
         wrote.append(f"{n} docs" + (" (zipf)" if args.zipf else ""))
     if "embeddings" in args.tables:
         n = int(BASE_VECS * args.mult)
-        pq.write_table(gen_embeddings(n), os.path.join(args.out, "embeddings.parquet"))
-        wrote.append(f"{n} vecs")
+        egen = gen_embeddings_skew if args.embed_skew else gen_embeddings
+        pq.write_table(egen(n), os.path.join(args.out, "embeddings.parquet"))
+        wrote.append(f"{n} vecs" + (" (skew)" if args.embed_skew else ""))
     if "part" in args.tables:
         n = int(BASE_PARTS * args.mult)
         pq.write_table(gen_part(n), os.path.join(args.out, "part.parquet"))

@@ -37,6 +37,12 @@ QUERIES = [
     # shapes; entity_resolution needs the part twin gen_scale_data
     # now writes.
     "ivf_pq_topk",
+    # Round-13 (VERDICT r12 item 3): the residual variant joins the
+    # curve so BOTH IVF-PQ families get rows on the embedding-SKEW
+    # twins (gen_scale_data --embed-skew) where hot inverted lists
+    # are possible; probe/list balance itself is measured by
+    # scripts/ann_skew_probe.py.
+    "ivf_residual_pq_topk",
     "unigram_lm_segments",
     "similarity_pagerank",
     "entity_resolution_clusters",

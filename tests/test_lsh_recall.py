@@ -279,3 +279,86 @@ def test_simhash_band_width_knob(spark, sf_oracle):
 
     with _pytest.raises(ValueError, match="32-bit-valued"):
         tfidf_simhash_candidates(spark, sf_oracle, n_bits=48, n_bands=2)
+
+
+def test_ivf_pq_recall_under_occupancy_skew(spark):
+    """Recall floor on the clustered Zipf-occupancy twin — the
+    100-TB ANN failure mode the isotropic table cannot exhibit (hot
+    inverted lists; scripts/ann_skew_probe.py measures imbalance
+    ~2.25 at the registry settings). Queries are drawn from BOTH the
+    hottest and the coldest components: skew must not silently
+    collapse tail-component recall."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    from gen_scale_data import gen_embeddings_skew
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_rerank_topk,
+        ivf_pq_topk,
+    )
+
+    tbl = gen_embeddings_skew(600)
+    pdf = tbl.to_pandas()
+    pdf["embedding"] = pdf["embedding"].map(lambda v: [float(x) for x in v])
+    emb = spark.createDataFrame(pdf)
+
+    # hot/cold query picks: rank components by nearest-center mass
+    import numpy as np
+
+    m = np.array(tbl.column("embedding").to_pylist())
+    rng = np.random.default_rng(48)
+    centers = rng.standard_normal((32, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    comp = (m @ centers.T).argmax(axis=1)
+    counts = np.bincount(comp, minlength=32)
+    hot_q = int(np.flatnonzero(comp == counts.argmax())[0])
+    nz = [c for c in np.argsort(counts) if counts[c] >= 12]
+    cold_q = int(np.flatnonzero(comp == nz[0])[0])
+
+    recalls = {}
+    rerank = {}
+    for tag, qid in (("hot", hot_q), ("cold", cold_q)):
+        qrow = emb.filter(F.col("vec_id") == qid).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        exact = {
+            r["vec_id"]
+            for r in similarity.cosine_topk(emb, qrow, k=10).collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in ivf_pq_topk(
+                emb, query_id=qid, n_cells=8, nprobe=2, m=8, k=16, n_iter=2
+            ).collect()
+        }
+        recalls[tag] = len(exact & approx) / len(exact)
+        rr = {
+            r["vec_id"]
+            for r in ivf_pq_rerank_topk(
+                emb, query_id=qid, n_cells=8, nprobe=2, m=8, k=16,
+                n_iter=2, topk=10, shortlist=50,
+            ).collect()
+        }
+        rerank[tag] = len(exact & rr) / len(exact)
+    print(f"ivf_pq recall@10 under skew: adc={recalls} rerank={rerank}")
+    # The PINNED FINDING (measured: hot 0.3 / cold 0.9): occupancy
+    # skew degrades ADC-ranked recall for HOT-cluster queries — the
+    # dense cluster's neighbors sit below the m=8/k=16 quantization
+    # resolution (nprobe=8 does NOT recover it; it is PQ distortion,
+    # not probe miss) — while cold-tail queries stay high. The
+    # production remedy is an ADC SHORTLIST + exact re-rank
+    # (ivf_pq_rerank_topk; measured 0.7 hot / 1.0 cold at
+    # shortlist=50). Floors sit below the measured values.
+    assert recalls["cold"] >= 0.7, recalls
+    assert recalls["hot"] >= 0.2, recalls
+    assert recalls["cold"] > recalls["hot"], recalls
+    assert rerank["hot"] >= 0.6, rerank
+    assert rerank["cold"] >= 0.7, rerank
+    assert rerank["hot"] > recalls["hot"], (rerank, recalls)

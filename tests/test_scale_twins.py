@@ -64,3 +64,39 @@ def test_both_twins_inject_near_copies():
         # ~5% near-copies, 1/3 of which get zero edits -> expect
         # dozens of exact dups at n=2000; be loose but nonzero
         assert exact > 5, gen.__name__
+
+
+def test_embedding_skew_twin_statistics():
+    """The clustered Zipf-occupancy embedding twin (VERDICT r12 ask
+    #3): deterministic, unit-norm with the isotropic twin's 1/8
+    per-component RMS, and with real occupancy skew — the hottest
+    mixture component holds several times the uniform share, the
+    geometry hot IVF inverted lists come from."""
+    import numpy as np
+
+    from gen_scale_data import gen_embeddings, gen_embeddings_skew
+
+    a = gen_embeddings_skew(1500)
+    b = gen_embeddings_skew(1500)
+    assert a.equals(b)
+    assert a.column_names == ["vec_id", "embedding", "label"]
+
+    m = np.array(a.column("embedding").to_pylist())
+    assert m.shape == (1500, 64)
+    np.testing.assert_allclose(np.linalg.norm(m, axis=1), 1.0, atol=1e-5)
+    # marginal matched to the isotropic twin (unit norm -> RMS 1/8)
+    iso = np.array(gen_embeddings(1500).column("embedding").to_pylist())
+    assert abs(m.std() - iso.std()) < 0.01
+
+    # occupancy skew: nearest-true-center assignment recovers a hot
+    # component far above the uniform 1/32 share (Zipf s=1.1 -> ~26%)
+    rng = np.random.default_rng(48)
+    centers = rng.standard_normal((32, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    comp = (m @ centers.T).argmax(axis=1)
+    top_share = np.bincount(comp, minlength=32).max() / len(comp)
+    assert top_share > 0.15, top_share
+    # while the isotropic twin has no such component structure
+    iso_comp = (iso @ centers.T).argmax(axis=1)
+    iso_share = np.bincount(iso_comp, minlength=32).max() / len(iso_comp)
+    assert iso_share < 0.12, iso_share
