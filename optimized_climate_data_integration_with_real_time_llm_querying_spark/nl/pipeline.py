@@ -530,6 +530,36 @@ class ClimateEngine:
             )
             .orderBy("city", "metric", "year", "month")
         )
+        cities = spec.filters.get("city")
+        if isinstance(cities, list) and len(cities) > 1:
+            # g17 anomaly-COMPARISON composition ("was 2020 more
+            # anomalous in Dhaka than in Delhi?"): the multi-city
+            # spec machinery and the anomaly planner compose into ONE
+            # plan — both cities' departures from the same frozen
+            # full-table climatology — summarized to one row per
+            # (city, metric, year) so the cities are directly
+            # comparable; ordered most-anomalous-first. The monthly
+            # grain stays the single-city output.
+            plan = (
+                plan.groupBy("city", "metric", "year")
+                .agg(
+                    F.round(F.avg("anomaly"), 6).alias("mean_anomaly"),
+                    F.round(F.avg(F.abs(F.col("anomaly"))), 6).alias(
+                        "mean_abs_anomaly"
+                    ),
+                    F.count(F.lit(1)).alias("n_months"),
+                )
+                .orderBy(F.col("mean_abs_anomaly").desc(), "city", "metric", "year")
+            )
+            out_spec = QuerySpec(
+                dataset="era5_monthly",
+                metrics=["mean_anomaly", "mean_abs_anomaly"],
+                filters=spec.filters,
+                year_range=(lo, hi),
+                group_by=["city", "metric", "year"],
+                order_by=[("mean_abs_anomaly", False)],
+            )
+            return out_spec, plan
         out_spec = QuerySpec(
             dataset="era5_monthly",
             metrics=["value", "climatology", "anomaly"],

@@ -654,3 +654,50 @@ def test_eval_intent_needs_corpus_dir_and_spares_plain_paths(engine, spark):
     eng = ClimateEngine(spark, corpus_dir="/root/testdata/sf0.001")
     a = eng.ask("What were the CO2 emissions in Brazil in 2020?")
     assert a.domain == "emissions"
+
+
+def test_g17_anomaly_comparison_two_cities(engine):
+    """'Was 2020 more anomalous in Dhaka than in Delhi?' composes the
+    anomaly planner with the multi-city compare machinery: ONE plan,
+    both cities' departures from the same frozen climatology,
+    summarized to one directly-comparable row per (city, year),
+    most-anomalous city first."""
+    a = engine.ask(
+        "Was skin temperature in 2020 more anomalous in Dhaka than in Delhi?"
+    )
+    assert a.domain == "era5"
+    rows = a.result.collect()
+    assert {r["city"] for r in rows} == {"Dhaka", "Delhi"}
+    assert all(r["year"] == 2020 and r["n_months"] == 12 for r in rows)
+    assert rows[0]["mean_abs_anomaly"] >= rows[1]["mean_abs_anomaly"]
+    # each city's summary equals the mean of its single-city monthly plan
+    for city in ("Dhaka", "Delhi"):
+        single = engine.ask(
+            f"Was skin temperature in {city} in 2020 above normal?"
+        ).result.collect()
+        want = round(sum(abs(r["anomaly"]) for r in single) / len(single), 6)
+        got = next(r for r in rows if r["city"] == city)["mean_abs_anomaly"]
+        assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_g17_comparison_respects_month_scope(engine):
+    a = engine.ask(
+        "Was skin temperature in April 2020 more anomalous in Dhaka than in Delhi?"
+    )
+    rows = a.result.collect()
+    assert {r["city"] for r in rows} == {"Dhaka", "Delhi"}
+    assert all(r["n_months"] == 1 for r in rows)
+
+
+def test_g17_single_city_anomaly_stays_monthly(engine):
+    # composition must not steal the single-city grain
+    a = engine.ask("Was skin temperature in Dhaka in 2020 above normal?")
+    assert "month" in a.result.columns and "anomaly" in a.result.columns
+    assert len(a.result.collect()) == 12
+
+
+def test_g17_plain_multi_city_compare_not_stolen(engine):
+    # a non-anomaly multi-city question stays on the plain compare path
+    a = engine.ask("Compare skin temperature in Dhaka and Delhi in 2020")
+    assert "anomaly" not in " ".join(a.result.columns)
+    assert {r["city"] for r in a.result.collect()} == {"Dhaka", "Delhi"}
