@@ -26,7 +26,7 @@ subset netCDF-4 actually uses is small enough to decode with
   B-tree type-8 records -> v3 bodies in a fractal heap, the storage
   libhdf5 switches to past 8 attributes per object — a CF-complete
   variable's metadata would silently vanish otherwise),
-  data layout v3 (contiguous and chunked),
+  data layout v3 and v4 (compact, contiguous and chunked),
 - chunked data through the v1 B-tree (node type 1) AND all five
   v4-layout chunk indexes LIBVER_LATEST writes: single-chunk,
   implicit, and fixed-array (paged AND unpaged — million-chunk
@@ -62,7 +62,7 @@ blocks once a row's block size passes the max-direct threshold),
 which is what libhdf5 switches to past the 8-link compact threshold.
 
 Anything outside the subset — later superblocks, v2 object headers,
-compact/v1/v2 layouts, filters beyond deflate+shuffle+fletcher32,
+v1/v2 data layouts, filters beyond deflate+shuffle+fletcher32,
 compound datatypes, filtered fractal heaps, tiny/filtered-huge heap
 objects —
 raises a loud ``NotImplementedError`` naming the feature;
@@ -795,6 +795,8 @@ def _read_data(f: _F, msgs: list[tuple[int, bytes]], dims: list[int], dtype) -> 
     n = 1
     for d in dims:
         n *= d
+    if cls == 0:
+        return _read_compact(layout[2:], dims, dtype, n)
     if cls == 1:  # contiguous
         addr = int.from_bytes(layout[2:10], "little")
         if addr == UNDEF or n == 0:
@@ -828,8 +830,29 @@ def _read_data(f: _F, msgs: list[tuple[int, bytes]], dims: list[int], dtype) -> 
                 out[sl] = chunk[clip]
         return out
     raise NotImplementedError(
-        f"HDF5 data layout class {cls}: only contiguous (1) and chunked (2)"
+        f"HDF5 data layout class {cls}: compact (0), contiguous (1) "
+        "and chunked (2) only"
     )
+
+
+def _read_compact(body: bytes, dims: list[int], dtype, n: int) -> np.ndarray:
+    """Compact layout (class 0, v3 and v4 share the field shape):
+    2-byte data size, then the raw element bytes INLINE in the object
+    header message — what libhdf5 picks for tiny datasets (< 64 KiB,
+    e.g. scalar/short coordinate variables) when asked. No address,
+    no filters (the format forbids filtered compact data)."""
+    size = int.from_bytes(body[0:2], "little")
+    raw = body[2 : 2 + size]
+    if len(raw) < size:
+        raise ValueError("compact data layout: message shorter than its size field")
+    if n == 0:
+        return np.zeros(dims, dtype=dtype)
+    if size < n * dtype.itemsize:
+        raise ValueError(
+            f"compact data layout: {size} bytes for a "
+            f"{n * dtype.itemsize}-byte dataspace"
+        )
+    return np.frombuffer(raw, dtype=dtype, count=n).reshape(dims).copy()
 
 
 def _fletcher32(data: bytes) -> int:
@@ -897,11 +920,13 @@ def _read_data_v4(f: _F, layout: bytes, msgs, dims: list[int], dtype) -> np.ndar
     multi-level, with the variable child-pointer widths derived from
     the node size the way libhdf5's H5B2 node_info math does)."""
     cls = layout[1]
+    n = 1
+    for d in dims:
+        n *= d
+    if cls == 0:  # compact: same fields as v3
+        return _read_compact(layout[2:], dims, dtype, n)
     if cls == 1:  # contiguous: same fields as v3
         addr = int.from_bytes(layout[2:10], "little")
-        n = 1
-        for d in dims:
-            n *= d
         if addr == UNDEF or n == 0:
             return np.zeros(dims, dtype=dtype)
         return (

@@ -453,6 +453,7 @@ class H5Builder:
 def build_nc4(
     *,
     chunked_t2m: bool = False,
+    compact_t2m: bool = False,
     shuffle: bool = False,
     fletcher: str | None = None,  # "pre" | "post" pipeline position
     string_var: bool = False,
@@ -1085,8 +1086,18 @@ def build_nc4(
                 A("_FillValue", dt_fixed(2), ds_scalar(), struct.pack("<h", FILL)),
             ]
         )
-    if layout4:
+    if layout4 == "compact":
+        # v4 compact layout: version 4, class 0, size(2) + inline data
+        t2m_msgs.append(
+            M(0x0008, bytes([4, 0]) + struct.pack("<H", t2m.nbytes) + t2m.tobytes())
+        )
+    elif layout4:
         t2m_msgs.extend(_layout4_msgs())
+    elif compact_t2m:
+        # v3 compact layout: version 3, class 0, size(2) + inline data
+        t2m_msgs.append(
+            M(0x0008, bytes([3, 0]) + struct.pack("<H", t2m.nbytes) + t2m.tobytes())
+        )
     elif chunked_t2m:
         # chunk shape (1, n_lat, n_lon): one chunk per time step.
         # fletcher="pre"  -> pipeline [fletcher32, shuffle?, deflate]
@@ -2155,3 +2166,36 @@ def test_fletcher32_filter_mask_skips_verification():
         _apply_filters(data + b"\0\0\0\0", [(3, 0)], 0, 2)
     with pytest.raises(ValueError, match="shorter than its checksum"):
         _apply_filters(b"\x01\x02", [(3, 0)], 0, 2)
+
+
+# --------------------------------------------------- compact data layout
+
+
+@pytest.mark.parametrize("variant", ["v3", "v4"])
+def test_compact_layout_roundtrip(variant):
+    """Compact layout (class 0): the element bytes live inline in the
+    object-header message — what libhdf5 picks for tiny datasets.
+    Same decode as the contiguous fixture, both message versions."""
+    want = decode_netcdf4_bytes(build_nc4()).sort_values(
+        ["time", "lat", "lon"]
+    ).reset_index(drop=True)
+    got = decode_netcdf4_bytes(
+        build_nc4(compact_t2m=True)
+        if variant == "v3"
+        else build_nc4(modern=True, layout4="compact")
+    ).sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    cols = ["time", "lat", "lon", "t2m"]
+    assert got[cols].equals(want[cols])
+
+
+def test_compact_layout_short_message_is_loud():
+    blob = bytearray(build_nc4(compact_t2m=True))
+    # the compact message: find the layout body (3, 0, size) and lie
+    # about the size so it exceeds the message body
+    # needle = (ver 3, class 0, size 24) + the first two t2m int16s,
+    # long enough not to collide with other structures
+    i = blob.find(bytes([3, 0]) + struct.pack("<Hhh", 24, 100, 200))
+    assert i > 0
+    blob[i + 2 : i + 4] = struct.pack("<H", 60000)
+    with pytest.raises(ValueError, match="shorter than its size field"):
+        decode_netcdf4_bytes(bytes(blob))
