@@ -593,3 +593,14 @@ def test_diurnal_anomaly_broadcasts_climatology(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial" in plan
+
+
+def test_ivf_pq_rerank_exact_stage_is_semi_join(spark, sf_oracle):
+    """The re-rank stage must touch ONLY the shortlist: the exploded
+    corpus semi-joins the 50-row ADC shortlist (never an inner join
+    materializing scores for everything), the query vector arrives as
+    a broadcast, and the final top-k is a heap, not a global sort."""
+    plan = plan_of(spark, sf_oracle, "ivf_pq_rerank_topk")
+    assert re.search(r"LeftSemi", plan), "shortlist must gate via semi-join"
+    assert re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
+    assert re.search(r"TakeOrderedAndProject", plan)
