@@ -30,6 +30,25 @@ import sys
 BAR_SECONDS = 44.136  # reference single-node total, BASELINE.md
 
 
+def _load_clean(path: str) -> dict:
+    """A clean bench capture. Since round 13 bench.py prints TWO
+    JSON lines (the full per-query record, then a tail-window-sized
+    compact summary for the driver's parser); pick the record with
+    the most queries so both old single-line and new two-line files
+    load."""
+    recs = []
+    for line in open(path):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                recs.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    if not recs:
+        sys.exit(f"{path}: no JSON record found")
+    return max(recs, key=lambda r: len(r.get("queries", {})))
+
+
 def _driver_queries(path: str) -> dict[str, float]:
     """Per-query seconds from a driver bench file: parsed.queries when
     the driver parsed the JSON line, else regex-recovered from the
@@ -51,7 +70,7 @@ def _driver_queries(path: str) -> dict[str, float]:
 
 def _driver_mode(driver_path: str, clean_path: str) -> None:
     drv = _driver_queries(driver_path)
-    cln = json.load(open(clean_path))["queries"]
+    cln = _load_clean(clean_path)["queries"]
     shared = sorted(set(drv) & set(cln))
     ratios = sorted((drv[q] / cln[q], q) for q in shared if cln[q] > 0)
     if not ratios:
@@ -79,8 +98,8 @@ def main() -> None:
         return
     if len(sys.argv) < 3:
         sys.exit(__doc__)
-    prev = json.load(open(sys.argv[1]))["queries"]
-    curr = json.load(open(sys.argv[2]))["queries"]
+    prev = _load_clean(sys.argv[1])["queries"]
+    curr = _load_clean(sys.argv[2])["queries"]
     shared = sorted(set(prev) & set(curr))
     tp, tc = sum(prev[q] for q in shared), sum(curr[q] for q in shared)
     print(

@@ -43,6 +43,10 @@ QUERIES = [
     # are possible; probe/list balance itself is measured by
     # scripts/ann_skew_probe.py.
     "ivf_residual_pq_topk",
+    # Round-13: the shortlist+exact-rerank remedy for the skew-twin
+    # recall cliff; the exact stage is 50 rows at any scale, so its
+    # curve must track ivf_pq_topk's.
+    "ivf_pq_rerank_topk",
     "unigram_lm_segments",
     "similarity_pagerank",
     "entity_resolution_clusters",
