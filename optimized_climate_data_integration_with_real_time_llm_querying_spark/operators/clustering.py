@@ -144,6 +144,97 @@ def kmeans_assign(
     return out
 
 
+def kmeans_assign_balanced(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    split_factor: float = 1.5,
+    max_rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`kmeans_assign` with HOT-LIST SPLITTING — the straggler
+    remedy for skewed corpora. On clustered Zipf-occupancy data the
+    plain coarse quantizer leaves one inverted list holding ~2.3x the
+    mean (measured on the embedding-skew twin,
+    scripts/ann_skew_probe.py); at cluster scale that list is the
+    straggler partition of every probe that hits it. Each round,
+    any cell holding more than ``split_factor`` x mean rows is
+    re-clustered with a 2-means over ITS members only (same
+    deterministic contract as the parent: lowest-id seeds within the
+    cell, 6-dp grid), and its two halves get fresh cell ids; repeat
+    until balanced or ``max_rounds``. Cold cells keep their ids and
+    are never rescanned, so the extra cost is Lloyd iterations over
+    the hot fraction only.
+
+    Returns (id, cluster, dist2) with ``centroids`` carrying the
+    trained centroid of every FINAL cell — probes see more, smaller
+    cells where the data is dense, which is exactly FAISS's guidance
+    for imbalanced IVF (the probe audit script measures the improved
+    imbalance on the skew twin).
+    """
+    cells = kmeans_assign(df, k, n_iter, vec_col, id_col)
+    handles = list(cells.cache_handles)
+    assign_df = cells.select(id_col, "cluster", "dist2")
+    centroids = {c: {} for c in {r[0] for r in cells.centroids}}
+    for c, dim, val in cells.centroids:
+        centroids[c][dim] = val
+    next_id = k
+    n_total = df.count()
+    no_split: set[int] = set()  # degenerate cells we stop retrying
+    for _ in range(max_rounds):
+        counts = {
+            r["cluster"]: r["n"]
+            for r in assign_df.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        mean_sz = n_total / len(counts)
+        hot = sorted(
+            c
+            for c, n in counts.items()
+            if n > split_factor * mean_sz and c not in no_split
+        )
+        if not hot:
+            break
+        for c in hot:
+            member_ids = assign_df.filter(F.col("cluster") == c).select(id_col)
+            members = df.join(member_ids, id_col, "left_semi")
+            sub = kmeans_assign(members, 2, n_iter, vec_col, id_col)
+            handles.extend(sub.cache_handles)
+            relabeled = sub.select(
+                F.col(id_col),
+                (F.col("cluster") + F.lit(next_id)).alias("cluster"),
+                "dist2",
+            )
+            sub_cent = {}
+            for sc, dim, val in sub.centroids:
+                sub_cent.setdefault(sc + next_id, {})[dim] = val
+            # a degenerate split (all members in one sub-cell) would
+            # loop forever on the same hot cell: keep the original
+            # cell instead and stop trying to split it
+            if len(sub_cent) < 2:
+                no_split.add(c)
+                continue
+            centroids.pop(c)
+            centroids.update(sub_cent)
+            assign_df = assign_df.filter(F.col("cluster") != c).unionByName(
+                relabeled
+            )
+            next_id += 2
+        # checkpoint the union lineage per round (cheap local action:
+        # the frame is (id, cluster, dist2) scalars)
+        assign_df = assign_df.localCheckpoint(eager=True)
+    out = assign_df
+    out.centroids = [
+        (c, dim, val)
+        for c in sorted(centroids)
+        for dim, val in sorted(centroids[c].items())
+    ]
+    out.cache_handles = handles
+    return out
+
+
 def pq_assign(
     df: DataFrame,
     m: int = 8,

@@ -41,6 +41,12 @@ def main() -> None:
     ap.add_argument("--dirs", nargs="+", required=True)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--queries", type=int, default=32, help="query sample size")
+    ap.add_argument(
+        "--balanced",
+        action="store_true",
+        help="use kmeans_assign_balanced (hot-list splitting) instead "
+        "of the plain coarse quantizer",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -50,6 +56,7 @@ def main() -> None:
     )
     from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
         kmeans_assign,
+        kmeans_assign_balanced,
     )
     from optimized_climate_data_integration_with_real_time_llm_querying_spark.session import (
         get_spark,
@@ -60,7 +67,11 @@ def main() -> None:
         d = os.path.abspath(d)
         emb = load_table(spark, d, "embeddings", rebalance=True)
         n = emb.count()
-        cells = kmeans_assign(emb, K, N_ITER)
+        cells = (
+            kmeans_assign_balanced(emb, K, N_ITER)
+            if args.balanced
+            else kmeans_assign(emb, K, N_ITER)
+        )
         occ_rows = cells.groupBy("cluster").count().collect()
         for h in getattr(cells, "cache_handles", []):
             try:
@@ -68,8 +79,10 @@ def main() -> None:
             except Exception:
                 pass
         occ = {int(r["cluster"]): int(r["count"]) for r in occ_rows}
-        sizes = [occ.get(c, 0) for c in range(K)]
-        mean_sz = n / K
+        # cell ids are not contiguous after hot-list splitting; size
+        # stats come from the realized cells
+        sizes = sorted(occ.values(), reverse=True)
+        mean_sz = n / len(occ)
         imbalance = max(sizes) / mean_sz
 
         # probe-weighted scan share: each sampled query's NPROBE
@@ -118,10 +131,12 @@ def main() -> None:
                     "dir": os.path.basename(d),
                     "n": n,
                     "k": K,
+                    "n_cells": len(occ),
+                    "balanced": bool(args.balanced),
                     "nprobe": NPROBE,
-                    "list_sizes": sorted(sizes, reverse=True),
+                    "list_sizes": sizes,
                     "imbalance_factor": round(imbalance, 3),
-                    "ideal_scan_share": round(NPROBE / K, 3),
+                    "ideal_scan_share": round(NPROBE / len(occ), 3),
                     "mean_scan_share": round(mean_share, 3),
                     "max_scan_share": round(max(vals), 3),
                     "n_query_sample": len(vals),
