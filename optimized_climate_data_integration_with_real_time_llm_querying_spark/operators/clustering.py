@@ -49,6 +49,7 @@ def kmeans_assign(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed_ids: list[int] | None = None,
 ) -> DataFrame:
     """Deterministic k-means: returns (id, cluster, dist2) — the
     assignment of every vector to its nearest centroid after
@@ -97,10 +98,16 @@ def kmeans_assign(
         # Seed centroids = the k lowest-id vectors, rounded through
         # Spark's F.round (HALF_UP, matching DuckDB ROUND) — NOT
         # Python's round(), whose banker's rounding could diverge at
-        # .5 ulp.
+        # .5 ulp. ``seed_ids`` overrides the default for callers with
+        # a better deterministic pick (the hot-list splitter seeds
+        # the second centroid at the cell's farthest member so it can
+        # bisect a dense core); the oracle-able registry paths never
+        # pass it.
+        base = df.select(F.col(id_col), F.col(vec_col))
+        if seed_ids is not None:
+            base = base.filter(F.col(id_col).isin([int(s) for s in seed_ids]))
         seeded = (
-            df.select(F.col(id_col), F.col(vec_col))
-            .orderBy(id_col)
+            base.orderBy(id_col)
             .limit(k)
             .withColumn(
                 "cluster", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
@@ -198,9 +205,35 @@ def kmeans_assign_balanced(
         if not hot:
             break
         for c in hot:
-            member_ids = assign_df.filter(F.col("cluster") == c).select(id_col)
+            from pyspark.sql import Window as W
+
+            cell_rows = assign_df.filter(F.col("cluster") == c)
+            member_ids = cell_rows.select(id_col)
             members = df.join(member_ids, id_col, "left_semi")
-            sub = kmeans_assign(members, 2, n_iter, vec_col, id_col)
+            # Seeds: the cell's lowest id + the member at the 80th
+            # percentile of distance from the parent centroid (ties
+            # to the lowest id). The default adjacent-lowest-id seeds
+            # start inside the dense core and cannot bisect it; the
+            # FARTHEST member is the opposite failure (an outlier
+            # seed peels off a singleton and leaves the core hot —
+            # measured on the 100x skew twin). The q80 member is far
+            # enough to pull a real half away, dense enough to hold
+            # it.
+            cnt = counts[c]
+            lo = cell_rows.agg(F.min(id_col)).collect()[0][0]
+            rk = int(0.8 * (cnt - 1)) + 1  # 1-based row_number
+            far = (
+                cell_rows.withColumn(
+                    "rk",
+                    F.row_number().over(W.orderBy("dist2", id_col)),
+                )
+                .filter(F.col("rk") == rk)
+                .collect()[0][id_col]
+            )
+            sub = kmeans_assign(
+                members, 2, n_iter, vec_col, id_col,
+                seed_ids=[int(lo), int(far)] if far != lo else None,
+            )
             handles.extend(sub.cache_handles)
             relabeled = sub.select(
                 F.col(id_col),
