@@ -1334,6 +1334,22 @@ def test_read_netcdf_nc4_via_spark(spark, tmp_path):
     assert rows[0]["t2m"] == pytest.approx(271.0)
 
 
+def test_read_netcdf_fletcher32_via_spark(spark, tmp_path):
+    """The nccopy -F shape end-to-end: a fletcher32+deflate chunked
+    file through the consumer-facing ingest seam, not just the byte
+    decoder."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources import (
+        ingest,
+    )
+
+    p = tmp_path / "checksummed.nc4"
+    p.write_bytes(build_nc4(chunked_t2m=True, shuffle=True, fletcher="post"))
+    df = ingest.read_netcdf(spark, str(p))
+    rows = df.orderBy("time", "lat", "lon").collect()
+    assert len(rows) == 12
+    assert rows[0]["t2m"] == pytest.approx(271.0)
+
+
 def test_distributed_read_mixed_classic_and_nc4(spark, tmp_path):
     """One classic CDF-1 file + one chunked/deflate netCDF-4 file in
     the same archive: both decode in-task through the auto dispatch,
