@@ -163,3 +163,31 @@ def test_residual_pq_dominates_plain(spark, sf_oracle):
     r_plain_cl = recall(clustered, ivf_pq_topk)
     r_res_cl = recall(clustered, ivf_residual_pq_topk)
     assert r_res_cl >= max(0.6, r_plain_cl), (r_res_cl, r_plain_cl)
+
+
+def test_ivf_pq_rerank_beats_adc_on_registry_data(spark, sf_small):
+    """The re-rank stage (50-row exact refine) must recover most of
+    what ADC quantization loses at the registry parameters: measured
+    on the driver's own embeddings, ADC-ranked recall@10 is 0.3 and
+    re-ranked is 0.9. Floors sit below with slack."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    exact = {
+        r["vec_id"]
+        for r in qs["embedding_cosine_topk"].builder(spark, sf_small).collect()
+    }
+    adc = {
+        r["vec_id"] for r in qs["ivf_pq_topk"].builder(spark, sf_small).collect()
+    }
+    rr = {
+        r["vec_id"]
+        for r in qs["ivf_pq_rerank_topk"].builder(spark, sf_small).collect()
+    }
+    r_adc = len(exact & adc) / len(exact)
+    r_rr = len(exact & rr) / len(exact)
+    print(f"registry-data recall@10: adc={r_adc:.2f} rerank={r_rr:.2f}")
+    assert r_rr >= 0.7
+    assert r_rr > r_adc
