@@ -132,9 +132,11 @@ _PROMOTE = [
 _DEMOTE = [
     # -- ROUND-14 TIER A0: round-13 additions (never-rowed; lead the
     #    round-14 window per the cadence policy; FULL-oracled,
-    #    parity-green at sf0.01 on introduction). Registry is at
-    #    199/200 of the growth budget. --
+    #    parity-green at sf0.01 on introduction). Registry is now at
+    #    the FULL 200-entry growth budget: any further entry must
+    #    displace per the retirement order above. --
     "ivf_pq_rerank_topk",
+    "ann_recall_at_10",
     # -- ROUND-14 TIER A: the remaining r10-rowed tier --
     "quantity_moments",
     "frequent_triples",

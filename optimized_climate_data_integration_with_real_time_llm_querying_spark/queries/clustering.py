@@ -608,6 +608,89 @@ def ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_at_10",
+    _kmeans_cte(K, N_ITER)
+    + _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False)
+    + f"""
+    , qfull AS (SELECT dim, val FROM e WHERE vec_id = 0)
+    , qd AS (
+      SELECT c.cluster,
+             ROUND(SUM((q.val - c.cval) * (q.val - c.cval)), 6) AS d2
+      FROM c{N_ITER} c JOIN qfull q ON q.dim = c.dim
+      GROUP BY c.cluster
+    ), probe AS (SELECT cluster FROM qd ORDER BY d2, cluster LIMIT {NPROBE})
+    , cand AS (
+      SELECT vec_id FROM bfinal
+      WHERE cluster IN (SELECT cluster FROM probe) AND vec_id <> 0
+    ), pq_q AS (
+      SELECT CAST(dim // {PQ_DSUB} AS INT) AS sub,
+             CAST(dim % {PQ_DSUB} AS INT) AS sdim,
+             CAST(embedding[dim + 1] AS DOUBLE) AS qval
+      FROM (
+        SELECT embedding, UNNEST(range(0, len(embedding))) AS dim
+        FROM embeddings WHERE vec_id = 0
+      )
+    ), lut AS (
+      SELECT c.sub, c.code,
+             ROUND(SUM((q.qval - c.cval) * (q.qval - c.cval)), 6) AS lut_d
+      FROM pc{PQ_ITER} c JOIN pq_q q ON q.sub = c.sub AND q.sdim = c.sdim
+      GROUP BY c.sub, c.code
+    ), ivf AS (
+      SELECT b.vec_id, ROUND(SUM(l.lut_d), 6) AS adc_dist2
+      FROM pbfinal b
+      JOIN cand ON cand.vec_id = b.vec_id
+      JOIN lut l ON l.sub = b.sub AND l.code = b.code
+      GROUP BY b.vec_id
+      ORDER BY adc_dist2, b.vec_id
+      LIMIT 10
+    ), exact AS (
+      SELECT e2.vec_id
+      FROM embeddings e2, (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) q
+      WHERE e2.vec_id <> 0
+      ORDER BY ROUND(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
+                                            CAST(q.q_vec AS DOUBLE[])), 6) DESC,
+               e2.vec_id
+      LIMIT 10
+    )
+    SELECT ROUND(COUNT(*) / 10.0, 6) AS recall_at_10
+    FROM ivf JOIN exact ON exact.vec_id = ivf.vec_id
+    """,
+    doc="Index-quality EVAL as a first-class query — 'what recall is "
+    "my ANN index actually getting?' is a number a pipeline team "
+    "recomputes after every retrain: the IVF-PQ top-10 (the oracled "
+    "two-level search, replayed in full) joined against the exact "
+    "cosine top-10, one recall@10 row out. Both rankings are "
+    "deterministic, so the eval itself is hash-checkable — the same "
+    "falsifiability discipline the recall-floor pytest suite applies, "
+    "now inside the engine's own query surface. At corpus scale the "
+    "exact side is the brute-force baseline (one scan + heap top-k); "
+    "the eval is run on a sample in production, which is a parameter "
+    "of the caller, not a different plan.",
+)
+def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import ivf_pq_topk as ivfpq
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = cosine_topk(emb, q, k=10).select("vec_id")
+    approx = ivfpq(
+        emb, query_id=0, n_cells=K, nprobe=NPROBE,
+        m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
+    )
+    handles = list(approx.cache_handles)
+    out = (
+        approx.select("vec_id")
+        .join(exact, "vec_id", "left_semi")
+        .agg(F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_10"))
+    )
+    out.cache_handles = handles
+    return out
+
+
+@register(
     "ivf_residual_pq_topk",
     _kmeans_cte(K, N_ITER)
     + f"""
