@@ -205,30 +205,27 @@ def kmeans_assign_balanced(
         if not hot:
             break
         for c in hot:
-            from pyspark.sql import Window as W
-
             cell_rows = assign_df.filter(F.col("cluster") == c)
             member_ids = cell_rows.select(id_col)
             members = df.join(member_ids, id_col, "left_semi")
-            # Seeds: the cell's lowest id + the member at the 80th
-            # percentile of distance from the parent centroid (ties
-            # to the lowest id). The default adjacent-lowest-id seeds
-            # start inside the dense core and cannot bisect it; the
+            # Seeds: the cell's lowest id + the lowest-id member past
+            # the 80th percentile of distance from the parent
+            # centroid. The default adjacent-lowest-id seeds start
+            # inside the dense core and cannot bisect it; the
             # FARTHEST member is the opposite failure (an outlier
             # seed peels off a singleton and leaves the core hot —
             # measured on the 100x skew twin). The q80 member is far
             # enough to pull a real half away, dense enough to hold
-            # it.
-            cnt = counts[c]
-            lo = cell_rows.agg(F.min(id_col)).collect()[0][0]
-            rk = int(0.8 * (cnt - 1)) + 1  # 1-based row_number
+            # it. Percentile + min are distributed aggregates — no
+            # global window, so picking the seed never single-tasks
+            # the very hot list being split.
+            lo, thr = cell_rows.agg(
+                F.min(id_col), F.expr("percentile(dist2, 0.8)")
+            ).collect()[0]
             far = (
-                cell_rows.withColumn(
-                    "rk",
-                    F.row_number().over(W.orderBy("dist2", id_col)),
-                )
-                .filter(F.col("rk") == rk)
-                .collect()[0][id_col]
+                cell_rows.filter(F.col("dist2") >= thr)
+                .agg(F.min(id_col))
+                .collect()[0][0]
             )
             sub = kmeans_assign(
                 members, 2, n_iter, vec_col, id_col,
