@@ -192,6 +192,9 @@ HEADLINE = [
     "vocab_coverage_oov",       # per-source OOV vs corpus top-1k vocab
     "diurnal_anomaly_profile",  # periodic climatology + anomaly (ERA5 shape)
     "netcdf4_roundtrip",        # S4 sink/source grid roundtrip (HDF5 half)
+    # Round-13 additions:
+    "ivf_pq_rerank_topk",       # ADC shortlist + exact re-rank (FAISS refine)
+    "ann_recall_at_10",         # index-quality eval (IVF top-10 vs exact)
 ]
 
 
