@@ -46,6 +46,8 @@ STEPS = [
     ("k-means over embeddings", "kmeans_embedding_clusters"),
     ("SemDeDup prune", "semantic_dedup_prune"),
     ("int8 quantization", "embedding_quantize_int8"),
+    ("ANN search w/ exact re-rank", "ivf_pq_rerank_topk"),
+    ("index quality: recall@10", "ann_recall_at_10"),
 ]
 
 
