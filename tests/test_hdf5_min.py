@@ -2215,3 +2215,22 @@ def test_compact_layout_short_message_is_loud():
     blob[i + 2 : i + 4] = struct.pack("<H", 60000)
     with pytest.raises(ValueError, match="shorter than its size field"):
         decode_netcdf4_bytes(bytes(blob))
+
+
+def test_fletcher32_property_matches_transcription():
+    """Property test: the vectorized checksum equals the C
+    transcription on arbitrary byte strings (hypothesis drives sizes
+    across the 360-word fold boundary and odd/even lengths)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.sources.hdf5_min import (
+        _fletcher32,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=2048))
+    def check(data):
+        assert _fletcher32(data) == ref_fletcher32(data)
+
+    check()

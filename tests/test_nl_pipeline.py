@@ -701,3 +701,16 @@ def test_g17_plain_multi_city_compare_not_stolen(engine):
     a = engine.ask("Compare skin temperature in Dhaka and Delhi in 2020")
     assert "anomaly" not in " ".join(a.result.columns)
     assert {r["city"] for r in a.result.collect()} == {"Dhaka", "Delhi"}
+
+
+def test_g17_comparison_over_year_range(engine):
+    """Comparison + range compose: one row per (city, year) over the
+    clamped range, each summarized against the same climatology."""
+    a = engine.ask(
+        "Skin temperature from 2019 to 2020: more anomalous in Dhaka than in Delhi?"
+    )
+    rows = a.result.collect()
+    assert {(r["city"], r["year"]) for r in rows} == {
+        ("Dhaka", 2019), ("Dhaka", 2020), ("Delhi", 2019), ("Delhi", 2020)
+    }
+    assert all(r["n_months"] == 12 for r in rows)
