@@ -476,6 +476,7 @@ def ivf_pq_topk(
     topk: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    balanced: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the two-level ANN index structure billion-vector search
     actually deploys (FAISS IndexIVFPQ). Level 1 — the IVF coarse
@@ -494,7 +495,13 @@ def ivf_pq_topk(
     trainings, so the full two-level search replays exactly in
     DuckDB; recall floors live in tests/test_pq.py.
     """
-    cells = kmeans_assign(df, n_cells, n_iter, vec_col, id_col)
+    # balanced=True swaps in the hot-list-splitting quantizer
+    # (kmeans_assign_balanced) — same (id, cluster) + centroids
+    # contract, so the probe/semi-join pipeline is identical; pair it
+    # with a proportionally larger nprobe to hold scan share
+    # constant. The oracled registry path keeps the plain quantizer.
+    assign = kmeans_assign_balanced if balanced else kmeans_assign
+    cells = assign(df, n_cells, n_iter, vec_col=vec_col, id_col=id_col)
     spark = df.sparkSession
     cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
     qfull = (
@@ -548,6 +555,7 @@ def ivf_pq_rerank_topk(
     shortlist: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    balanced: bool = False,
 ) -> DataFrame:
     """IVF-PQ with an exact re-rank stage — the standard production
     remedy for PQ quantization error (FAISS's refine/RFlat pattern):
@@ -567,7 +575,8 @@ def ivf_pq_rerank_topk(
     so at 100 TB the exact stage touches 50 rows, not the corpus.
     """
     short = ivf_pq_topk(
-        df, query_id, n_cells, nprobe, m, k, n_iter, shortlist, vec_col, id_col
+        df, query_id, n_cells, nprobe, m, k, n_iter, shortlist, vec_col, id_col,
+        balanced=balanced,
     )
     e = _exploded(df, vec_col, id_col)
     q = (
