@@ -612,6 +612,7 @@ def ivf_residual_pq_topk(
     topk: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    balanced: bool = False,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the actual FAISS IndexIVFPQ
     formulation: PQ is trained on r_v = v - centroid(cell(v)) rather
@@ -629,7 +630,16 @@ def ivf_residual_pq_topk(
     over :func:`ivf_pq_topk`; LUTs stay (nprobe x m x k) broadcast
     rows.
     """
-    cells = kmeans_assign(df, n_cells, n_iter, vec_col, id_col)
+    # balanced=True swaps in the hot-list-splitting coarse quantizer —
+    # the composition matters MORE here than for plain IVF-PQ: the
+    # residual encoding is trained on v - centroid(cell(v)), so
+    # smaller, tighter hot cells shrink the residuals the m x k
+    # codebook must cover (the same quantization-distortion mechanism
+    # the re-rank remedies). Same (id, cluster) + centroids contract,
+    # so the per-cell LUT pipeline below is identical; registry
+    # defaults keep the plain quantizer (plans stay byte-stable).
+    assign = kmeans_assign_balanced if balanced else kmeans_assign
+    cells = assign(df, n_cells, n_iter, vec_col=vec_col, id_col=id_col)
     spark = df.sparkSession
     cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
     dim_first = df.select(F.size(vec_col).alias("d")).first()
