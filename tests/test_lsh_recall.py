@@ -485,3 +485,55 @@ def test_balanced_residual_ivf_composes(spark):
     print(f"residual ivf hot recall@10: plain={r_plain:.2f} balanced={r_bal:.2f}")
     assert r_bal >= r_plain  # measured 0.2 == 0.2; composition must not regress
     assert r_bal >= 0.1
+
+
+def test_rerank_shortlist_knee(spark):
+    """Floor at the measured shortlist knee (round 14, BASELINE.md
+    "Re-rank shortlist knee"): on the skew twin, hot-cluster queries
+    are DISTORTION-limited (probe-pool ceiling 1.0), and the exact
+    re-rank recovers recall@10 to 1.0 at shortlist=200 (0.917 at 100,
+    0.667 at 50; identical at nprobe 2 and 3). Floor sits below the
+    measured 1.0 with slack, via the real operator."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    import numpy as np
+    from gen_scale_data import gen_embeddings_skew
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_rerank_topk,
+    )
+
+    tbl = gen_embeddings_skew(600)
+    pdf = tbl.to_pandas()
+    pdf["embedding"] = pdf["embedding"].map(lambda v: [float(x) for x in v])
+    emb = spark.createDataFrame(pdf)
+    m = np.array(tbl.column("embedding").to_pylist())
+    rng = np.random.default_rng(48)
+    centers = rng.standard_normal((32, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    comp = (m @ centers.T).argmax(axis=1)
+    hot_q = int(np.flatnonzero(comp == np.bincount(comp).argmax())[0])
+
+    qrow = emb.filter(F.col("vec_id") == hot_q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        r["vec_id"] for r in similarity.cosine_topk(emb, qrow, k=10).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in ivf_pq_rerank_topk(
+            emb, query_id=hot_q, n_cells=8, nprobe=2, m=8, k=16, n_iter=2,
+            topk=10, shortlist=200,
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    print(f"rerank hot recall@10 at the s=200 knee: {recall:.2f}")
+    assert recall >= 0.9
