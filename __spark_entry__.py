@@ -131,8 +131,10 @@ _PROMOTE = [
     "bpe_fertility_by_source",
 ]
 _DEMOTE = [
-    # -- ROUND-15 TIER A0 SLOT: round-14 additions land here
-    #    (never-rowed lead the next window per the cadence policy) --
+    # -- ROUND-15 TIER A0: the round-14 addition (never-rowed; the
+    #    displacement-policy exercise — it displaced
+    #    simhash_near_dup_pairs per the pinned retirement order) --
+    "anomaly_compare_event_types",
     # -- ROUND-15 TIER A: the r11-rowed tier --
     "compaction_roundtrip",
     "jsonl_roundtrip",
@@ -201,7 +203,6 @@ _DEMOTE = [
     "document_chunks",
     "embedding_cosine_topk_int8",
     "minhash_near_dup_pairs",  # rows-only (by design)
-    "simhash_near_dup_pairs",  # rows-only (by design)
     "incremental_minhash_dedup",
     "minhash_estimate_vs_exact",
     "doc_winnow_fingerprints",

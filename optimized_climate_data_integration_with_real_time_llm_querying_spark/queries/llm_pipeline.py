@@ -585,15 +585,15 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_duplicates(d, min_jaccard=0.5)
 
 
-@register(
-    "simhash_near_dup_pairs",
-    None,
-    doc="64-bit SimHash near-dup pairs at Hamming distance <= 3 via "
-    "16-bit band candidates + exact popcount verify.",
-)
-def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", rebalance=True)
-    return dedup.simhash_near_duplicates(d, max_hamming=3)
+# RETIRED (round 14, first exercise of the displacement policy —
+# __spark_entry__.py): the rows-only "simhash_near_dup_pairs" entry
+# (64-bit xxhash SimHash, Hamming <= 3, 16-bit bands) was displaced
+# by the oracled anomaly_compare_event_types addition. The operator
+# itself (dedup.simhash_near_duplicates) stays: the FULL-oracled
+# simhash_near_dup_pairs_md5 twin below drives the identical plan
+# through DuckDB every round, and the production xxhash/64-bit
+# default keeps direct pytest coverage
+# (tests/test_lsh_recall.py::test_simhash_production_path).
 
 
 @register(

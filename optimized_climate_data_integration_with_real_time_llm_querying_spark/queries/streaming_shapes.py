@@ -841,3 +841,78 @@ def diurnal_anomaly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "anomaly_compare_event_types",
+    """
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             EXTRACT(day FROM ts) AS dom, value
+      FROM events WHERE event_type IN ('click', 'error')
+    ), clim AS (
+      SELECT event_type, hod, ROUND(AVG(value), 6) AS clim
+      FROM base WHERE dom <= 20 GROUP BY 1, 2
+    ), scored AS (
+      SELECT b.event_type, COUNT(*) AS n_events,
+             ROUND(AVG(ABS(b.value - c.clim)), 4) AS mean_abs_anomaly
+      FROM base b JOIN clim c
+        ON c.event_type = b.event_type AND c.hod = b.hod
+      WHERE b.dom > 20 GROUP BY 1
+    )
+    SELECT event_type, n_events, mean_abs_anomaly,
+           CAST(mean_abs_anomaly >= MAX(mean_abs_anomaly) OVER () AS INT)
+             AS more_anomalous
+    FROM scored
+    """,
+    doc="The g17 anomaly-COMPARISON composition (nl/pipeline.py: 'was "
+    "2020 more anomalous in Dhaka than in Delhi?') as a registry twin "
+    "over the events table — round 14's displacement-policy exercise. "
+    "ONE plan, both compared keys, the SAME frozen climatology: the "
+    "base window (days 1-20) trains a per-(type, hour) climatology "
+    "(|types| x 24 rows, broadcast at any scale), the target window "
+    "(days 21+) scores mean absolute anomaly per type in a single "
+    "pass, and the verdict flag is a window max over the AGGREGATED "
+    "frame — bounded at |compared types| = 2 rows at any corpus "
+    "scale, so the SinglePartition exchange it implies is a 2-row "
+    "exchange, and the events scan happens exactly once (a crossJoin "
+    "against a 1-row max would replay the whole aggregate lineage). "
+    "Climatology pinned to the 6-dp grid before differencing, scores "
+    "to 4-dp, so both engines compare identical doubles.",
+)
+def anomaly_compare_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    base = e.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.dayofmonth("ts").alias("dom"),
+        "value",
+    )
+    clim = (
+        base.filter(F.col("dom") <= 20)
+        .groupBy("event_type", "hod")
+        .agg(F.round(F.avg("value"), 6).alias("clim"))
+    )
+    scored = (
+        base.filter(F.col("dom") > 20)
+        .join(F.broadcast(clim), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("clim"))), 4).alias(
+                "mean_abs_anomaly"
+            ),
+        )
+    )
+    # window over the 2-row aggregate, not over data rows: bounded
+    w = W.partitionBy(F.lit(1))
+    return scored.select(
+        "event_type",
+        "n_events",
+        "mean_abs_anomaly",
+        (F.col("mean_abs_anomaly") >= F.max("mean_abs_anomaly").over(w))
+        .cast("int")
+        .alias("more_anomalous"),
+    )

@@ -1,0 +1,114 @@
+"""Self-verifying driver-window bookkeeping (VERDICT r13 ask #7).
+
+The rotation policy lives in __spark_entry__.py comments; this script
+derives the facts from the artifacts and asserts them, so the window
+plan cannot silently drift:
+
+1. PARTITION: _PROMOTE and _DEMOTE are disjoint, len(_PROMOTE) == 50,
+   and their union is EXACTLY the registry (all_queries() keys).
+2. ORDER: queries() yields _PROMOTE as its first 50 names in order —
+   what the driver actually hash-checks.
+3. CADENCE: every registry entry's last driver row, derived from the
+   CORRECTNESS_r*.json history (not from comments), is at most
+   ceil(len(registry)/50) rounds before the UPCOMING round; entries
+   in _PROMOTE are about to be rowed and satisfy it by construction.
+   Entries present in history but no longer in the registry are
+   RETIRED (displacement policy) and exempt.
+
+Exit 0 with a summary line when all hold; exit 1 naming each
+violation otherwise. Run it in the round-close checklist.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as ep
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    registry = set(all_queries().keys())
+    promote, demote = list(ep._PROMOTE), list(ep._DEMOTE)
+    errors: list[str] = []
+
+    if len(promote) != 50:
+        errors.append(f"len(_PROMOTE) = {len(promote)} != 50")
+    overlap = set(promote) & set(demote)
+    if overlap:
+        errors.append(f"_PROMOTE/_DEMOTE overlap: {sorted(overlap)}")
+    if len(set(promote)) != len(promote):
+        errors.append("_PROMOTE has duplicates")
+    if len(set(demote)) != len(demote):
+        errors.append("_DEMOTE has duplicates")
+    rotated = set(promote) | set(demote)
+    if rotated != registry:
+        missing = sorted(registry - rotated)
+        extra = sorted(rotated - registry)
+        if missing:
+            errors.append(f"registry entries not in rotation lists: {missing}")
+        if extra:
+            errors.append(f"rotation names not in registry: {extra}")
+
+    ordered = list(ep._ordered_queries().keys())
+    if ordered[:50] != promote:
+        errors.append("queries() first-50 order != _PROMOTE")
+
+    # last-rowed round per entry, from the shipped driver artifacts
+    last_rowed: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for name in json.load(open(path)):
+            last_rowed[name] = max(last_rowed.get(name, 0), rnd)
+
+    upcoming = max(rounds) + 1 if rounds else 1
+    cadence = math.ceil(len(registry) / 50)
+    never_rowed = sorted(registry - set(last_rowed))
+    next_window = set(demote[:50])
+    stale = []
+    for name in registry:
+        if name in promote:
+            continue  # about to be rowed in round `upcoming`
+        last = last_rowed.get(name)
+        if last is None:
+            # new additions queue at _DEMOTE's head (tier A0) and are
+            # rowed the NEXT round — legal iff inside _DEMOTE[:50]
+            if name not in next_window:
+                stale.append(f"{name} (never rowed, not queued in _DEMOTE[:50])")
+        elif upcoming - last > cadence:
+            stale.append(f"{name} (last rowed r{last}, gap {upcoming - last} > {cadence})")
+    if stale:
+        errors.append("cadence violations: " + "; ".join(sorted(stale)))
+
+    retired = sorted(set(last_rowed) - registry)
+    if errors:
+        for e in errors:
+            print(f"VIOLATION: {e}")
+        return 1
+    print(
+        f"rotation OK: registry {len(registry)}, window 50, cadence "
+        f"<= {cadence} rounds vs upcoming r{upcoming}; "
+        f"never-rowed-in-window {sum(1 for n in never_rowed if n in promote)}; "
+        f"retired {len(retired)}"
+        + (f" ({', '.join(retired)})" if retired else "")
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

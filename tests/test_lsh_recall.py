@@ -537,3 +537,39 @@ def test_rerank_shortlist_knee(spark):
     recall = len(exact & got) / len(exact)
     print(f"rerank hot recall@10 at the s=200 knee: {recall:.2f}")
     assert recall >= 0.9
+
+
+def test_simhash_production_path(spark):
+    """The production 64-bit xxhash SimHash path must stay covered
+    after its rows-only registry entry retired (round-14 displacement
+    — __spark_entry__.py retirement order #1): exact duplicates land
+    at Hamming 0, a lightly-edited near-dup is found within the
+    banded candidate set at Hamming <= 3, and an unrelated document
+    pairs with neither."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+        dedup,
+    )
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    ).split()
+    base = " ".join(words * 4)  # 120 tokens; majority votes are stable
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup -> Hamming 0
+            (3, base.replace("zulu", "zebra", 1)),  # one-token edit
+            (4, "completely different text about spark shuffle planning and parquet row groups"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0, pairs
+    assert all(4 not in p for p in pairs), pairs
+    near = [p for p in pairs if p in ((1, 3), (2, 3))]
+    assert near and all(0 < pairs[p] <= 3 for p in near), pairs
