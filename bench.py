@@ -41,7 +41,11 @@ HEADLINE = [
     "asof_last_event_before_order",  # as-of join (union+window)
     "revenue_quantiles",        # exact per-group quantiles
     "corpus_filter_pipeline",   # dedup + quality gate composition
-    "simhash_near_dup_pairs",   # SimHash banding near-dup
+    "simhash_near_dup_pairs",   # SimHash banding near-dup (registry
+    # entry retired in round 14 — displacement policy — but it is one
+    # of the graded r1-bar 18, whose membership must stay fixed for
+    # round-over-round comparability, so the identical plan stays
+    # benched via _LOCAL_BUILDERS below)
     "tfidf_top_terms",          # relational TF-IDF ranking
     "decontaminate_corpus",     # test-set overlap removal
     # Round-3/4 operators (VERDICT r3 next #2): benched so BENCH_r04+
@@ -195,6 +199,9 @@ HEADLINE = [
     # Round-13 additions:
     "ivf_pq_rerank_topk",       # ADC shortlist + exact re-rank (FAISS refine)
     "ann_recall_at_10",         # index-quality eval (IVF top-10 vs exact)
+    # Round-14 addition (displaced simhash_near_dup_pairs in the
+    # registry; see _LOCAL_BUILDERS for the retired plan's slot):
+    "anomaly_compare_event_types",  # g17 anomaly-comparison twin
 ]
 
 
@@ -237,9 +244,27 @@ def main() -> None:
     # cheapest robust estimator of steady-state throughput.
     timings: dict[str, float] = {}
 
+    # Plans whose registry entry retired (displacement policy) but
+    # whose bench slot is part of a fixed comparison set: build the
+    # identical plan from the operator directly.
+    def _simhash_retired(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+            load_table,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+            dedup,
+        )
+
+        return dedup.simhash_near_duplicates(
+            load_table(s, d, "documents", rebalance=True), max_hamming=3
+        )
+
+    local_builders = {"simhash_near_dup_pairs": _simhash_retired}
+
     def run_once(name: str) -> None:
         t0 = time.perf_counter()
-        df = registry[name].builder(spark, sf_dir)
+        builder = local_builders.get(name) or registry[name].builder
+        df = builder(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = min(timings.get(name, dt), dt)

@@ -149,6 +149,17 @@ def main() -> None:
         docs = load_table(s, d, "documents", rebalance=True)
         return dedup.allpairs_jaccard_pairs(docs, k=3, threshold=0.6)
 
+    def _simhash_xxhash(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+            load_table,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+            dedup,
+        )
+
+        docs = load_table(s, d, "documents", rebalance=True)
+        return dedup.simhash_near_duplicates(docs, max_hamming=3)
+
     # Both knob settings use the 64-bit xxhash64 family so the ONLY
     # difference is band width (md5_hash64 is 32-bit-valued and would
     # silently truncate the 48-bit signature — the builder guards it).
@@ -163,6 +174,10 @@ def main() -> None:
         # 8-byte xxhash64 shingle keys instead of the oracle-able md5
         # string transform.
         "allpairs_xxhash": lambda s, d: _allpairs_xxhash(s, d),
+        # The registry entry retired in round 14 (displacement
+        # policy); the PLAN keeps its scale row via the operator
+        # directly, so the alpha tables stay regenerable.
+        "simhash_near_dup_pairs": lambda s, d: _simhash_xxhash(s, d),
     }
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()
