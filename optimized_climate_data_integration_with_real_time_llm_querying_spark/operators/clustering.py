@@ -43,6 +43,29 @@ def _exploded(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     ).select(F.col(id_col), "dim", F.col("val").cast("double").alias("val"))
 
 
+def _train_sample_pred(id_col: str, stride: int):
+    """The bounded-training-set keep predicate: md5-bucket(id) ==
+    0 (mod stride). A HASH of the id, not the raw id: real corpora
+    assign ids in ingestion order, so ``id % stride`` would correlate
+    the sample with sources/time (measured pathology: on a corpus
+    whose cluster equals id % 8, a stride-4 raw-modulo sample
+    contains 2 of the 8 clusters). The md5/conv form is the repo's
+    rule-6 cross-engine hash (operators/sampling.md5_bucket), so the
+    DuckDB oracle replays the exact sample:
+    CAST(('0x' || substr(md5('tcap:' || CAST(id AS VARCHAR)), 1, 8))
+    AS BIGINT) % stride = 0."""
+    hexpart = F.substring(
+        F.md5(
+            F.concat_ws(":", F.lit("tcap"), F.col(id_col).cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        8,
+    )
+    return F.pmod(F.conv(hexpart, 16, 10).cast("long"), F.lit(int(stride))) == 0
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,
@@ -50,6 +73,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed_ids: list[int] | None = None,
+    train_stride: int = 1,
 ) -> DataFrame:
     """Deterministic k-means: returns (id, cluster, dist2) — the
     assignment of every vector to its nearest centroid after
@@ -62,6 +86,19 @@ def kmeans_assign(
     Clusters that lose all members simply disappear (both engines
     drop them identically).
 
+    ``train_stride`` bounds the TRAINING set the FAISS way (FAISS
+    trains quantizers on a capped sample — ``max_points_per_centroid``
+    defaults to 256 — never the corpus): seeds and every Lloyd
+    iteration see only the ~1/stride of rows whose md5-bucket is 0
+    mod stride (:func:`_train_sample_pred` — a HASH sample, so id
+    order/source structure cannot bias it), while the FINAL
+    assignment still covers every vector. At corpus scale this turns
+    the per-iteration scan + shuffle from O(corpus) into
+    O(corpus / stride) with the same k x dim driver traffic; the
+    deterministic hash (not Bernoulli RNG) is what keeps the
+    trajectory DuckDB-replayable. ``train_stride=1`` is exactly the
+    historical full-corpus training.
+
     The returned frame carries ``cache_handles`` (the persisted
     exploded-vector frame) for post-materialization release.
     """
@@ -69,13 +106,22 @@ def kmeans_assign(
 
     spark = df.sparkSession
     e = _exploded(df, vec_col, id_col).persist()
+    # Training view: a deterministic hash-sample of the persisted
+    # exploded frame (a filter over the cache, no second persist).
+    et = (
+        e.filter(_train_sample_pred(id_col, train_stride))
+        if train_stride > 1
+        else e
+    )
 
-    def assign(cent_rows: list[tuple[int, int, float]]) -> DataFrame:
+    def assign(
+        cent_rows: list[tuple[int, int, float]], frame: DataFrame | None = None
+    ) -> DataFrame:
         cent = spark.createDataFrame(
             cent_rows, "cluster int, dim int, cval double"
         )
         dist = (
-            e.join(F.broadcast(cent), "dim")
+            (frame if frame is not None else e).join(F.broadcast(cent), "dim")
             .groupBy(id_col, "cluster")
             .agg(
                 F.round(
@@ -106,6 +152,10 @@ def kmeans_assign(
         base = df.select(F.col(id_col), F.col(vec_col))
         if seed_ids is not None:
             base = base.filter(F.col(id_col).isin([int(s) for s in seed_ids]))
+        elif train_stride > 1:
+            # Seeds come from the training sample (the k lowest
+            # sampled ids) so the whole trajectory is sample-local.
+            base = base.filter(_train_sample_pred(id_col, train_stride))
         seeded = (
             base.orderBy(id_col)
             .limit(k)
@@ -129,11 +179,11 @@ def kmeans_assign(
         ]
 
         for _ in range(n_iter):
-            a = assign(centroids)
+            a = assign(centroids, et)
             centroids = [
                 (int(r["cluster"]), int(r["dim"]), float(r["cval"]))
                 for r in (
-                    a.join(e, id_col)
+                    a.join(et, id_col)
                     .groupBy("cluster", "dim")
                     .agg(F.round(F.avg("val"), 6).alias("cval"))
                     .collect()
@@ -159,6 +209,7 @@ def kmeans_assign_balanced(
     max_rounds: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_stride: int = 1,
 ) -> DataFrame:
     """:func:`kmeans_assign` with HOT-LIST SPLITTING — the straggler
     remedy for skewed corpora. On clustered Zipf-occupancy data the
@@ -180,7 +231,11 @@ def kmeans_assign_balanced(
     for imbalanced IVF (the probe audit script measures the improved
     imbalance on the skew twin).
     """
-    cells = kmeans_assign(df, k, n_iter, vec_col, id_col)
+    # train_stride bounds the INITIAL coarse training only (see
+    # kmeans_assign); the split stage already trains on single-cell
+    # member sets, which are the bounded hot fraction by construction.
+    cells = kmeans_assign(df, k, n_iter, vec_col, id_col,
+                          train_stride=train_stride)
     handles = list(cells.cache_handles)
     assign_df = cells.select(id_col, "cluster", "dist2")
     centroids = {c: {} for c in {r[0] for r in cells.centroids}}
@@ -272,6 +327,7 @@ def pq_assign(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_stride: int = 1,
 ) -> DataFrame:
     """Product quantization (Jégou et al., TPAMI 2011): split each
     vector into ``m`` contiguous subspaces and k-means each subspace
@@ -311,29 +367,47 @@ def pq_assign(
         )
         .persist()
     )
-    out, centroids = _pq_lloyd(e, id_col, k, n_iter, spark)
+    out, centroids = _pq_lloyd(e, id_col, k, n_iter, spark, train_stride)
     out.cache_handles = [e]
     out.centroids = centroids
     return out
 
 
 def _pq_lloyd(
-    e: DataFrame, id_col: str, k: int, n_iter: int, spark
+    e: DataFrame,
+    id_col: str,
+    k: int,
+    n_iter: int,
+    spark,
+    train_stride: int = 1,
 ) -> tuple[DataFrame, list[tuple[int, int, int, float]]]:
     """The shared multi-subspace Lloyd core: ``e`` is a PERSISTED
     (id, sub, sdim, val) frame (raw subvectors for plain PQ, residual
     subvectors for IVF residual PQ). Seeds = the k lowest ids in
     ``e``; same 6-dp grid and lowest-code tie-break as
     :func:`kmeans_assign`. Returns (final assignment, codebook rows).
-    On failure the caller's persist is released here."""
+    ``train_stride`` restricts SEEDS + Lloyd iterations to the
+    md5-bucket hash sample (:func:`_train_sample_pred`; the FAISS
+    bounded-training-set pattern — see :func:`kmeans_assign`); the
+    final assignment always codes every vector. On failure the caller's persist is released
+    here."""
     from pyspark.sql import Window as W
 
-    def assign(cent_rows: list[tuple[int, int, int, float]]) -> DataFrame:
+    et = (
+        e.filter(_train_sample_pred(id_col, train_stride))
+        if train_stride > 1
+        else e
+    )
+
+    def assign(
+        cent_rows: list[tuple[int, int, int, float]],
+        frame: DataFrame | None = None,
+    ) -> DataFrame:
         cent = spark.createDataFrame(
             cent_rows, "code int, sub int, sdim int, cval double"
         )
         dist = (
-            e.join(F.broadcast(cent), ["sub", "sdim"])
+            (frame if frame is not None else e).join(F.broadcast(cent), ["sub", "sdim"])
             .groupBy(id_col, "sub", "code")
             .agg(
                 F.round(
@@ -357,7 +431,7 @@ def _pq_lloyd(
 
     try:
         seeded = (
-            e.select(F.col(id_col))
+            et.select(F.col(id_col))
             .distinct()
             .orderBy(id_col)
             .limit(k)
@@ -368,17 +442,17 @@ def _pq_lloyd(
         centroids = [
             (int(r["code"]), int(r["sub"]), int(r["sdim"]), float(r["cval"]))
             for r in (
-                seeded.join(e, id_col)
+                seeded.join(et, id_col)
                 .select("code", "sub", "sdim", F.round("val", 6).alias("cval"))
                 .collect()
             )
         ]
         for _ in range(n_iter):
-            a = assign(centroids)
+            a = assign(centroids, et)
             centroids = [
                 (int(r["code"]), int(r["sub"]), int(r["sdim"]), float(r["cval"]))
                 for r in (
-                    a.join(e, [id_col, "sub"])
+                    a.join(et, [id_col, "sub"])
                     .groupBy("code", "sub", "sdim")
                     .agg(F.round(F.avg("val"), 6).alias("cval"))
                     .collect()
@@ -400,6 +474,7 @@ def pq_adc_topk(
     topk: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_stride: int = 1,
 ) -> DataFrame:
     """Asymmetric distance computation (ADC) search over PQ codes:
     the query stays a full vector; every database vector is
@@ -416,7 +491,7 @@ def pq_adc_topk(
     given the PQ training, so exact-oracle-able; its RECALL vs exact
     search is a separate measured floor (tests/test_pq.py).
     """
-    codes = pq_assign(df, m, k, n_iter, vec_col, id_col)
+    codes = pq_assign(df, m, k, n_iter, vec_col, id_col, train_stride)
     lut = _adc_lut(df, codes.centroids, query_id, m, vec_col, id_col)
     out = (
         codes.join(F.broadcast(lut), ["sub", "code"])
@@ -477,6 +552,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     balanced: bool = False,
+    train_stride: int = 1,
 ) -> DataFrame:
     """IVF-PQ: the two-level ANN index structure billion-vector search
     actually deploys (FAISS IndexIVFPQ). Level 1 — the IVF coarse
@@ -501,7 +577,10 @@ def ivf_pq_topk(
     # with a proportionally larger nprobe to hold scan share
     # constant. The oracled registry path keeps the plain quantizer.
     assign = kmeans_assign_balanced if balanced else kmeans_assign
-    cells = assign(df, n_cells, n_iter, vec_col=vec_col, id_col=id_col)
+    cells = assign(
+        df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
+        train_stride=train_stride,
+    )
     spark = df.sparkSession
     cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
     qfull = (
@@ -527,7 +606,7 @@ def ivf_pq_topk(
         .filter(F.col(id_col) != query_id)
         .select(id_col)
     )
-    codes = pq_assign(df, m, k, n_iter, vec_col, id_col)
+    codes = pq_assign(df, m, k, n_iter, vec_col, id_col, train_stride)
     lut = _adc_lut(df, codes.centroids, query_id, m, vec_col, id_col)
     # Semi-join the codes to the probed cells BEFORE scoring: at
     # corpus scale only nprobe/n_cells of the rows ever touch the LUT.
@@ -556,6 +635,7 @@ def ivf_pq_rerank_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     balanced: bool = False,
+    train_stride: int = 1,
 ) -> DataFrame:
     """IVF-PQ with an exact re-rank stage — the standard production
     remedy for PQ quantization error (FAISS's refine/RFlat pattern):
@@ -576,7 +656,7 @@ def ivf_pq_rerank_topk(
     """
     short = ivf_pq_topk(
         df, query_id, n_cells, nprobe, m, k, n_iter, shortlist, vec_col, id_col,
-        balanced=balanced,
+        balanced=balanced, train_stride=train_stride,
     )
     e = _exploded(df, vec_col, id_col)
     q = (
@@ -613,6 +693,7 @@ def ivf_residual_pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     balanced: bool = False,
+    train_stride: int = 1,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the actual FAISS IndexIVFPQ
     formulation: PQ is trained on r_v = v - centroid(cell(v)) rather
@@ -639,7 +720,10 @@ def ivf_residual_pq_topk(
     # so the per-cell LUT pipeline below is identical; registry
     # defaults keep the plain quantizer (plans stay byte-stable).
     assign = kmeans_assign_balanced if balanced else kmeans_assign
-    cells = assign(df, n_cells, n_iter, vec_col=vec_col, id_col=id_col)
+    cells = assign(
+        df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
+        train_stride=train_stride,
+    )
     spark = df.sparkSession
     cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
     dim_first = df.select(F.size(vec_col).alias("d")).first()
@@ -659,7 +743,7 @@ def ivf_residual_pq_topk(
         )
         .persist()
     )
-    codes, codebook = _pq_lloyd(res, id_col, k, n_iter, spark)
+    codes, codebook = _pq_lloyd(res, id_col, k, n_iter, spark, train_stride)
     cb = spark.createDataFrame(codebook, "code int, sub int, sdim int, cval double")
 
     qfull = (

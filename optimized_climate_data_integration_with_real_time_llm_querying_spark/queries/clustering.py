@@ -26,24 +26,57 @@ N_ITER = 2
 SEMDEDUP_THRESHOLD = 0.45
 
 
-def _kmeans_cte(k: int, n_iter: int) -> str:
+def _sample_pred_sql(stride: int | str) -> str:
+    """DuckDB twin of operators/clustering._train_sample_pred: the
+    md5-bucket hash-sample keep predicate (rule-6 md5/conv trick, so
+    the sample is identical in both engines and uncorrelated with id
+    structure). ``stride`` is an int literal or a SQL scalar
+    expression (``_STRIDE_SQL``)."""
+    return (
+        "CAST(('0x' || substr(md5('tcap:' || CAST(vec_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {stride} = 0"
+    )
+
+
+def _kmeans_cte(k: int, n_iter: int, stride: int | str = 1) -> str:
     """The WITH-chain computing ``n_iter`` deterministic Lloyd
     iterations over the embeddings table, ending at ``bfinal`` =
     (vec_id, cluster, dist2), the assignment under the final
     centroids. Mirrors operators/clustering.kmeans_assign exactly:
-    same seeds, same 6-dp rounding, same tie-break."""
+    same seeds, same 6-dp rounding, same tie-break.
+
+    ``stride`` mirrors the operator's ``train_stride`` (bounded
+    training set, FAISS-style): seeds and Lloyd iterations read only
+    the ``vec_id % stride = 0`` sample (CTE ``et``); the final
+    assignment (``afinal``/``bfinal``) still covers every vector.
+    ``stride`` may be an int literal or a SQL scalar expression
+    (``_STRIDE_SQL`` — the count-derived cap form the registry uses).
+    ``stride=1`` emits the historical full-corpus SQL byte-for-byte,
+    so entries that keep full training keep byte-stable plans."""
+    if isinstance(stride, str) or stride > 1:
+        # "et e": the sampled CTE aliased to e, so every downstream
+        # expression text is shared with the stride=1 branch.
+        train = "et e"
+        sample = f""", et AS MATERIALIZED (
+      SELECT vec_id, dim, val FROM e WHERE {_sample_pred_sql(stride)}
+    )"""
+        seed_src = f"embeddings WHERE {_sample_pred_sql(stride)}"
+    else:
+        train = "e"
+        sample = ""
+        seed_src = "embeddings"
     parts = [
         f"""e0 AS (
       SELECT vec_id, embedding, UNNEST(range(0, len(embedding))) AS dim
       FROM embeddings
     ), e AS (
       SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM e0
-    ), seeds AS (
+    ){sample}, seeds AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+      FROM (SELECT vec_id FROM {seed_src} ORDER BY vec_id LIMIT {k})
     ), c0 AS (
       SELECT s.cluster, e.dim, ROUND(e.val, 6) AS cval
-      FROM seeds s JOIN e ON e.vec_id = s.vec_id
+      FROM seeds s JOIN {train} ON e.vec_id = s.vec_id
     )"""
     ]
     for i in range(1, n_iter + 1):
@@ -51,14 +84,14 @@ def _kmeans_cte(k: int, n_iter: int) -> str:
             f""", a{i} AS (
       SELECT e.vec_id, c.cluster,
              ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist2
-      FROM e JOIN c{i - 1} c ON e.dim = c.dim
+      FROM {train} JOIN c{i - 1} c ON e.dim = c.dim
       GROUP BY e.vec_id, c.cluster
     ), b{i} AS (
       SELECT vec_id, cluster, dist2 FROM a{i}
       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) = 1
     ), c{i} AS (
       SELECT b.cluster, e.dim, ROUND(AVG(e.val), 6) AS cval
-      FROM b{i} b JOIN e ON e.vec_id = b.vec_id
+      FROM b{i} b JOIN {train} ON e.vec_id = b.vec_id
       GROUP BY b.cluster, e.dim
     )"""
         )
@@ -332,6 +365,50 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_M, PQ_K, PQ_ITER, PQ_DSUB = 8, 16, 2, 8
+# Bounded-sample quantizer training for the PQ/IVF index family
+# (round 14): FAISS never trains a quantizer on the corpus — it CAPS
+# the training set (max_points_per_centroid=256 by default; sampling
+# engages only when the corpus exceeds the cap) because codebooks
+# converge on a sample and the corpus-sized training scan is pure
+# waste. Our equivalent: stride = ceil(n / TRAIN_CAP), training reads
+# only the deterministic md5-bucket hash sample (_sample_pred_sql /
+# operators' _train_sample_pred — a HASH of the id so ingestion-order
+# id structure cannot bias the sample; RNG-free, so DuckDB replays
+# the exact trajectory, with the oracle computing the SAME stride
+# from a scalar COUNT(*) subquery); the final
+# assignment/coding still covers every vector. At 100 TB this turns
+# the dominant index-build cost — per-iteration training scans +
+# shuffles — into O(cap) while the search path is unchanged.
+# Cap semantics (not a fixed fraction) matter at BOTH ends: at
+# sf0.01 (500 rows <= cap) the stride is 1 and results are
+# bit-identical to full training — a fixed stride there would
+# undertrain a 125-row sample under the m x k codebook (measured:
+# single-query re-rank recall 0.9 -> 0.5) exactly where FAISS would
+# refuse to sample; at sf0.1+ sampling engages and the measured mean
+# recall@10 over 20 queries is statistically unchanged (ADC
+# 0.145 -> 0.175, re-rank 0.385 -> 0.350, SE ~0.05; BASELINE.md
+# round-14 table). TRAIN_CAP=500 puts the demonstration knee between
+# the two test scales; production would set FAISS's 256 x k (~4k) —
+# a parameter, not a different plan. The clustering-as-deliverable
+# entries (kmeans_embedding_clusters, semantic_dedup_prune) keep
+# full-data training: their OUTPUT is the clustering, not an index
+# in front of an exact re-rank.
+TRAIN_CAP = 500
+# The oracle-side stride: identical arithmetic to the builders'
+# max(1, ceil(n / TRAIN_CAP)) on the driver.
+_STRIDE_SQL = (
+    f"(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {TRAIN_CAP}.0) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
+def _train_stride(emb) -> int:
+    """max(1, ceil(n / TRAIN_CAP)) — the driver-side twin of
+    _STRIDE_SQL (one metadata-cheap count; at cluster scale the
+    pipeline knows its corpus size)."""
+    import math
+
+    return max(1, math.ceil(emb.count() / TRAIN_CAP))
 
 
 def _pq_cte(
@@ -342,6 +419,7 @@ def _pq_cte(
     prefix: str = "",
     standalone: bool = True,
     source: str | None = None,
+    stride: int | str = 1,
 ) -> str:
     """WITH-chain training all ``m`` subspace k-means of product
     quantization at once, ending at {prefix}bfinal = (vec_id, sub,
@@ -355,7 +433,11 @@ def _pq_cte(
     ``standalone=False`` emits a continuation (leading comma) instead
     of the WITH keyword; ``source`` trains over an existing
     (vec_id, sub, sdim, val) CTE (the residual-PQ oracle) instead of
-    exploding the embeddings table."""
+    exploding the embeddings table. ``stride`` mirrors the operator's
+    ``train_stride`` (seeds + iterations over the
+    ``vec_id % stride = 0`` sample, final coding over every vector);
+    int literal or SQL scalar expression (``_STRIDE_SQL``);
+    ``stride=1`` emits the historical SQL byte-for-byte."""
     P = prefix
     if source is not None:
         head = f"""{P}e AS MATERIALIZED (
@@ -370,14 +452,25 @@ def _pq_cte(
              CAST(dim % {d_sub} AS INT) AS sdim,
              CAST(embedding[dim + 1] AS DOUBLE) AS val FROM {P}e0
     )"""
+    if isinstance(stride, str) or stride > 1:
+        train = f"{P}et e"
+        head += f""", {P}et AS MATERIALIZED (
+      SELECT vec_id, sub, sdim, val FROM {P}e WHERE {_sample_pred_sql(stride)}
+    )"""
+        # Seeds = the k lowest ids IN THE TRAINING SAMPLE — exactly
+        # _pq_lloyd's et.select(id).distinct().orderBy().limit(k).
+        seed_rel = f"(SELECT DISTINCT vec_id FROM {P}et ORDER BY vec_id LIMIT {k})"
+    else:
+        train = f"{P}e e"
+        seed_rel = f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})"
     parts = [
         head
         + f""", {P}seeds AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+      FROM {seed_rel}
     ), {P}c0 AS MATERIALIZED (
       SELECT s.code, e.sub, e.sdim, ROUND(e.val, 6) AS cval
-      FROM {P}seeds s JOIN {P}e e ON e.vec_id = s.vec_id
+      FROM {P}seeds s JOIN {train} ON e.vec_id = s.vec_id
     )"""
     ]
     for i in range(1, n_iter + 1):
@@ -385,14 +478,14 @@ def _pq_cte(
             f""", {P}a{i} AS (
       SELECT e.vec_id, e.sub, c.code,
              ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist2
-      FROM {P}e e JOIN {P}c{i - 1} c ON c.sub = e.sub AND c.sdim = e.sdim
+      FROM {train} JOIN {P}c{i - 1} c ON c.sub = e.sub AND c.sdim = e.sdim
       GROUP BY e.vec_id, e.sub, c.code
     ), {P}b{i} AS (
       SELECT vec_id, sub, code, dist2 FROM {P}a{i}
       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) = 1
     ), {P}c{i} AS MATERIALIZED (
       SELECT b.code, e.sub, e.sdim, ROUND(AVG(e.val), 6) AS cval
-      FROM {P}b{i} b JOIN {P}e e ON e.vec_id = b.vec_id AND e.sub = b.sub
+      FROM {P}b{i} b JOIN {train} ON e.vec_id = b.vec_id AND e.sub = b.sub
       GROUP BY b.code, e.sub, e.sdim
     )"""
         )
@@ -412,7 +505,7 @@ def _pq_cte(
 
 @register(
     "pq_codes",
-    _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB)
+    _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB, stride=_STRIDE_SQL)
     + """
     SELECT vec_id, sub, code, dist2 FROM bfinal
     """,
@@ -424,18 +517,24 @@ def _pq_cte(
     "by (sub, sdim): per iteration one broadcast codebook join + two "
     "scalar aggregates TOTAL, not per subspace; same determinism "
     "contract as kmeans_embedding_clusters, so the DuckDB oracle "
-    "unrolls the full multi-subspace training trajectory.",
+    "unrolls the full multi-subspace training trajectory. Training "
+    "is capped at TRAIN_CAP points — stride = ceil(n/cap), reading "
+    "only the deterministic vec_id % stride = 0 sample (the FAISS "
+    "bounded-training-set pattern; the oracle derives the same "
+    "stride from COUNT(*)); the final coding covers every vector.",
 )
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import pq_assign
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    return pq_assign(emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITER)
+    return pq_assign(
+        emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITER, train_stride=_train_stride(emb)
+    )
 
 
 @register(
     "pq_adc_topk",
-    _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB)
+    _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB, stride=_STRIDE_SQL)
     + f"""
     , q AS (
       SELECT CAST(dim // {PQ_DSUB} AS INT) AS sub,
@@ -466,13 +565,17 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan never touches a float vector. Deterministic given the "
     "(oracled) PQ training, so the top-10 is exactly replayable in "
     "DuckDB; recall vs exact search is separately floored in "
-    "tests/test_pq.py.",
+    "tests/test_pq.py. Codebook training capped at TRAIN_CAP "
+    "points, stride = ceil(n/cap) (FAISS bounded-training pattern).",
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import pq_adc_topk as adc
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    return adc(emb, query_id=0, m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10)
+    return adc(
+        emb, query_id=0, m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
+        train_stride=_train_stride(emb),
+    )
 
 
 NPROBE = 2
@@ -480,8 +583,11 @@ NPROBE = 2
 
 @register(
     "ivf_pq_topk",
-    _kmeans_cte(K, N_ITER)
-    + _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False)
+    _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)
+    + _pq_cte(
+        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False,
+        stride=_STRIDE_SQL,
+    )
     + f"""
     , qfull AS (SELECT dim, val FROM e WHERE vec_id = 0)
     , qd AS (
@@ -524,7 +630,10 @@ NPROBE = 2
     "oracled: DuckDB replays BOTH training trajectories (the "
     "_kmeans_cte chain and the p-prefixed _pq_cte chain composed in "
     "one statement), the cell probe, and the candidate-restricted "
-    "ADC ranking. Recall floors in tests/test_pq.py.",
+    "ADC ranking. Recall floors in tests/test_pq.py. Both quantizer "
+    "trainings are capped at TRAIN_CAP points (stride = ceil(n/cap), "
+    "FAISS bounded-training pattern — recall measured unchanged, "
+    "BASELINE.md r14).",
 )
 def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import ivf_pq_topk as ivfpq
@@ -533,6 +642,7 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq(
         emb, query_id=0, n_cells=K, nprobe=NPROBE,
         m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
+        train_stride=_train_stride(emb),
     )
 
 
@@ -541,8 +651,11 @@ SHORTLIST = 50
 
 @register(
     "ivf_pq_rerank_topk",
-    _kmeans_cte(K, N_ITER)
-    + _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False)
+    _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)
+    + _pq_cte(
+        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False,
+        stride=_STRIDE_SQL,
+    )
     + f"""
     , qfull AS (SELECT dim, val FROM e WHERE vec_id = 0)
     , qd AS (
@@ -595,7 +708,9 @@ SHORTLIST = 50
     "0.7 (tests/test_lsh_recall.py pins both). The exact stage "
     f"touches exactly {SHORTLIST} vectors at ANY corpus scale. "
     "Fully oracled: DuckDB replays both trainings, the probe, the "
-    "ADC shortlist, and the exact re-rank in one statement.",
+    "ADC shortlist, and the exact re-rank in one statement. Both "
+    "quantizer trainings are capped at TRAIN_CAP points "
+    "(stride = ceil(n/cap), FAISS bounded-training pattern).",
 )
 def ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import ivf_pq_rerank_topk as rerank
@@ -604,13 +719,17 @@ def ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank(
         emb, query_id=0, n_cells=K, nprobe=NPROBE,
         m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10, shortlist=SHORTLIST,
+        train_stride=_train_stride(emb),
     )
 
 
 @register(
     "ann_recall_at_10",
-    _kmeans_cte(K, N_ITER)
-    + _pq_cte(PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False)
+    _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)
+    + _pq_cte(
+        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False,
+        stride=_STRIDE_SQL,
+    )
     + f"""
     , qfull AS (SELECT dim, val FROM e WHERE vec_id = 0)
     , qd AS (
@@ -679,6 +798,7 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivfpq(
         emb, query_id=0, n_cells=K, nprobe=NPROBE,
         m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
+        train_stride=_train_stride(emb),
     )
     handles = list(approx.cache_handles)
     out = (
@@ -692,7 +812,7 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_residual_pq_topk",
-    _kmeans_cte(K, N_ITER)
+    _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)
     + f"""
     , re AS MATERIALIZED (
       -- residual subvectors: v - centroid(cell(v)); cval is the same
@@ -705,7 +825,8 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN c{N_ITER} c ON c.cluster = b.cluster AND c.dim = e.dim
     )"""
     + _pq_cte(
-        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False, source="re"
+        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False, source="re",
+        stride=_STRIDE_SQL,
     )
     + f"""
     , qfull AS (SELECT dim, val FROM e WHERE vec_id = 0)
@@ -748,7 +869,9 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coarse training, the residual construction, the residual-PQ "
     "training (the source-parameterized _pq_cte chain), the per-cell "
     "LUTs, and the ranked cut — every stage of the flagship ANN "
-    "structure is now falsifiable.",
+    "structure is now falsifiable. Coarse + residual codebook "
+    "trainings are capped at TRAIN_CAP points (stride = ceil(n/cap), "
+    "FAISS bounded-training pattern).",
 )
 def ivf_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import ivf_residual_pq_topk as ivfrpq
@@ -757,6 +880,7 @@ def ivf_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfrpq(
         emb, query_id=0, n_cells=K, nprobe=NPROBE,
         m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
+        train_stride=_train_stride(emb),
     )
 
 
