@@ -47,6 +47,15 @@ def main() -> None:
         help="use kmeans_assign_balanced (hot-list splitting) instead "
         "of the plain coarse quantizer",
     )
+    ap.add_argument(
+        "--train-cap",
+        type=int,
+        default=None,
+        help="bound the quantizer TRAINING set at ~N points "
+        "(stride = ceil(n/N), the registry's TRAIN_CAP mechanism) — "
+        "measures whether capped training preserves the list "
+        "structure the skew findings rest on",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -67,10 +76,15 @@ def main() -> None:
         d = os.path.abspath(d)
         emb = load_table(spark, d, "embeddings", rebalance=True)
         n = emb.count()
+        import math
+
+        stride = (
+            max(1, math.ceil(n / args.train_cap)) if args.train_cap else 1
+        )
         cells = (
-            kmeans_assign_balanced(emb, K, N_ITER)
+            kmeans_assign_balanced(emb, K, N_ITER, train_stride=stride)
             if args.balanced
-            else kmeans_assign(emb, K, N_ITER)
+            else kmeans_assign(emb, K, N_ITER, train_stride=stride)
         )
         occ_rows = cells.groupBy("cluster").count().collect()
         for h in getattr(cells, "cache_handles", []):
@@ -133,6 +147,7 @@ def main() -> None:
                     "k": K,
                     "n_cells": len(occ),
                     "balanced": bool(args.balanced),
+                    "train_stride": stride,
                     "nprobe": NPROBE,
                     "list_sizes": sizes,
                     "imbalance_factor": round(imbalance, 3),

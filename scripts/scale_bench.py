@@ -91,7 +91,12 @@ QUERIES = [
 # per-band n^2 / 2^(bits) collision term controls. 16-bit bands are
 # the registry query's setting; 24-bit bands (n_bits=48) are the
 # next decade's, dividing the random-collision term by 256.
-KNOB_QUERIES = ["simhash_cand_16b", "simhash_cand_24b", "allpairs_xxhash"]
+KNOB_QUERIES = [
+    "simhash_cand_16b",
+    "simhash_cand_24b",
+    "allpairs_xxhash",
+    "ivf_pq_fulltrain",
+]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with
 # gen_scale_data --mult 100 --out .scale/sf10): pass --three to
@@ -149,6 +154,20 @@ def main() -> None:
         docs = load_table(s, d, "documents", rebalance=True)
         return dedup.allpairs_jaccard_pairs(docs, k=3, threshold=0.6)
 
+    def _ivf_fulltrain(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+            load_table,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+            ivf_pq_topk,
+        )
+
+        emb = load_table(s, d, "embeddings", rebalance=True)
+        return ivf_pq_topk(
+            emb, query_id=0, n_cells=8, nprobe=2, m=8, k=16, n_iter=2,
+            topk=10, train_stride=1,
+        )
+
     def _simhash_xxhash(s, d):
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
             load_table,
@@ -178,6 +197,12 @@ def main() -> None:
         # policy); the PLAN keeps its scale row via the operator
         # directly, so the alpha tables stay regenerable.
         "simhash_near_dup_pairs": lambda s, d: _simhash_xxhash(s, d),
+        # Full-corpus-training control for the round-14 TRAIN_CAP
+        # change: identical plan to ivf_pq_topk's registry defaults
+        # but train_stride forced to 1, so the alpha delta between
+        # this row and ivf_pq_topk is attributable to the capped
+        # training alone (same session, same host, same twins).
+        "ivf_pq_fulltrain": lambda s, d: _ivf_fulltrain(s, d),
     }
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()
