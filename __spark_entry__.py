@@ -62,7 +62,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      twin simhash_near_dup_pairs_md5 stays oracled and the xxhash
 #      production path stays pytest-proven in
 #      tests/test_hash_equivalence.py)
-#   2. minhash_near_dup_pairs        (twin: minhash_near_dup_pairs_md5)
+#   2. minhash_near_dup_pairs        — RETIRED in round 14 (second
+#      exercise; displaced by the oracled ivf_pq_batch_topk addition;
+#      twin minhash_near_dup_pairs_md5 stays oracled, the xxhash
+#      production path keeps direct pytests — recall floor in
+#      tests/test_lsh_recall.py, full-vs-incremental equivalence in
+#      tests/test_incremental_dedup.py — and the plan keeps its
+#      r1-bar-18 bench slot + scale-bench rows via local builders)
 #   3. embedding_cosine_near_dups_lsh (twin: embedding_cosine_near_dups
 #      + recall floors in tests/test_lsh_recall.py)
 #   4. ann_projected_topk            (twin: ann_projected_coarse)
@@ -131,10 +137,12 @@ _PROMOTE = [
     "bpe_fertility_by_source",
 ]
 _DEMOTE = [
-    # -- ROUND-15 TIER A0: the round-14 addition (never-rowed; the
-    #    displacement-policy exercise — it displaced
-    #    simhash_near_dup_pairs per the pinned retirement order) --
+    # -- ROUND-15 TIER A0: the round-14 additions (never-rowed; the
+    #    displacement-policy exercises — they displaced
+    #    simhash_near_dup_pairs and minhash_near_dup_pairs per the
+    #    pinned retirement order) --
     "anomaly_compare_event_types",
+    "ivf_pq_batch_topk",
     # -- ROUND-15 TIER A: the r11-rowed tier --
     "compaction_roundtrip",
     "jsonl_roundtrip",
@@ -202,7 +210,6 @@ _DEMOTE = [
     "exact_dedup_docs",
     "document_chunks",
     "embedding_cosine_topk_int8",
-    "minhash_near_dup_pairs",  # rows-only (by design)
     "incremental_minhash_dedup",
     "minhash_estimate_vs_exact",
     "doc_winnow_fingerprints",

@@ -681,6 +681,140 @@ def ivf_pq_rerank_topk(
     return out
 
 
+def ivf_pq_batch_topk(
+    df: DataFrame,
+    n_queries: int = 8,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_stride: int = 1,
+) -> DataFrame:
+    """BATCHED IVF-PQ search — how production actually drives an ANN
+    index (FAISS's ``Index.search(xq, k)`` takes a query MATRIX):
+    ``n_queries`` queries (the lowest-id vectors, deterministic — the
+    registry's single-query entries use query 0, this generalizes the
+    same convention) share ONE coarse training, ONE PQ training, and
+    ONE coding pass over the corpus; per-query marginal cost is an
+    (m x k)-row LUT and a probe. Returns (q_id, vec_id, adc_dist2) —
+    the per-query ADC top-k, queries excluded from their own results
+    — ordered by (q_id, adc_dist2, vec_id). Per-query results are
+    EXACTLY ivf_pq_topk(query_id=q) (equivalence pinned in
+    tests/test_train_cap.py).
+
+    Scale shape: probes and LUTs stay broadcast-sized (Q x n_cells
+    scalar rows, Q x m x k LUT rows); candidates are a shuffle join
+    of the code table against the (q_id, id) probe fan-out (scalars,
+    fan-out <= Q x nprobe / n_cells per row). The per-query top-k is
+    TWO-PHASE — a partial top-k inside each scan partition
+    (row_number over (q_id, spark_partition_id()), a bounded
+    superset that contains the true top-k under ANY partitioning)
+    then the final rank over <= Q x partitions x topk survivors — so
+    no single task ever sorts a whole query's candidate set (the
+    batched twin of the TakeOrderedAndProject heap the single-query
+    ORDER BY + LIMIT plan gets for free).
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    cells = kmeans_assign(
+        df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
+        train_stride=train_stride,
+    )
+    cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
+    dim_first = df.select(F.size(vec_col).alias("d")).first()
+    d_sub = int(dim_first["d"]) // m
+
+    qset = (
+        df.orderBy(id_col)
+        .limit(n_queries)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.posexplode(F.col(vec_col)).alias("dim", "qval"),
+        )
+        .select("q_id", "dim", F.col("qval").cast("double").alias("qval"))
+    )
+    # Per-query probe: Q x n_cells scalar rows, ranked per q_id.
+    qd = (
+        qset.join(F.broadcast(cent), "dim")
+        .groupBy("q_id", "cluster")
+        .agg(
+            F.round(
+                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    probe = (
+        qd.withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("q_id").orderBy("d2", "cluster")),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("q_id", "cluster")
+    )
+    cand = (
+        cells.select(F.col(id_col), "cluster")
+        .join(F.broadcast(probe), "cluster")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", id_col)
+    )
+    codes = pq_assign(df, m, k, n_iter, vec_col, id_col, train_stride)
+    # Batched LUT: Q x m x k rows, still broadcast-sized.
+    cb = spark.createDataFrame(
+        codes.centroids, "code int, sub int, sdim int, cval double"
+    )
+    qsub = qset.select(
+        "q_id",
+        (F.col("dim") / d_sub).cast("int").alias("sub"),
+        (F.col("dim") % d_sub).cast("int").alias("sdim"),
+        "qval",
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), ["sub", "sdim"])
+        .groupBy("q_id", "sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
+                6,
+            ).alias("lut_d")
+        )
+    )
+    scored = (
+        codes.join(cand, id_col)
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("lut_d"), 6).alias("adc_dist2"))
+    )
+    # Two-phase per-query top-k (see docstring). Phase 1 is a pruning
+    # superset, so the FINAL output is partitioning-independent.
+    part = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id", F.spark_partition_id()).orderBy(
+                "adc_dist2", id_col
+            )
+        ),
+    ).filter(F.col("rk") <= topk)
+    out = (
+        part.withColumn(
+            "rk2",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy("adc_dist2", id_col)
+            ),
+        )
+        .filter(F.col("rk2") <= topk)
+        .select("q_id", id_col, "adc_dist2")
+        .orderBy("q_id", "adc_dist2", id_col)
+    )
+    out.cache_handles = list(cells.cache_handles) + list(codes.cache_handles)
+    return out
+
+
 def ivf_residual_pq_topk(
     df: DataFrame,
     query_id: int = 0,

@@ -810,6 +810,78 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+BATCH_Q = 8
+
+
+@register(
+    "ivf_pq_batch_topk",
+    _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)
+    + _pq_cte(
+        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False,
+        stride=_STRIDE_SQL,
+    )
+    + f"""
+    , qset AS (
+      SELECT vec_id AS q_id, dim, val AS qval FROM e
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {BATCH_Q})
+    ), qd AS (
+      SELECT q.q_id, c.cluster,
+             ROUND(SUM((q.qval - c.cval) * (q.qval - c.cval)), 6) AS d2
+      FROM c{N_ITER} c JOIN qset q ON q.dim = c.dim
+      GROUP BY q.q_id, c.cluster
+    ), probe AS (
+      SELECT q_id, cluster FROM qd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cluster) <= {NPROBE}
+    ), cand AS (
+      SELECT p.q_id, b.vec_id
+      FROM bfinal b JOIN probe p ON p.cluster = b.cluster
+      WHERE b.vec_id <> p.q_id
+    ), qsub AS (
+      SELECT q_id, CAST(dim // {PQ_DSUB} AS INT) AS sub,
+             CAST(dim % {PQ_DSUB} AS INT) AS sdim, qval
+      FROM qset
+    ), lut AS (
+      SELECT q.q_id, c.sub, c.code,
+             ROUND(SUM((q.qval - c.cval) * (q.qval - c.cval)), 6) AS lut_d
+      FROM pc{PQ_ITER} c JOIN qsub q ON q.sub = c.sub AND q.sdim = c.sdim
+      GROUP BY q.q_id, c.sub, c.code
+    ), scored AS (
+      SELECT cand.q_id, b.vec_id, ROUND(SUM(l.lut_d), 6) AS adc_dist2
+      FROM pbfinal b
+      JOIN cand ON cand.vec_id = b.vec_id
+      JOIN lut l ON l.q_id = cand.q_id AND l.sub = b.sub AND l.code = b.code
+      GROUP BY cand.q_id, b.vec_id
+    )
+    SELECT q_id, vec_id, adc_dist2 FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist2, vec_id) <= 10
+    ORDER BY q_id, adc_dist2, vec_id
+    """,
+    doc=f"BATCHED IVF-PQ search — production drives an ANN index with "
+    f"a query MATRIX (FAISS Index.search(xq, k)): {BATCH_Q} queries "
+    "(lowest ids; the single-query entries' query-0 convention "
+    "generalized) share ONE coarse training, ONE PQ training, and ONE "
+    "coding pass; per-query marginal cost is an (m x k)-row broadcast "
+    "LUT and a probe. Per-query results are exactly "
+    "ivf_pq_topk(query_id=q) — equivalence pinned in tests. The "
+    "per-query top-k is TWO-PHASE (partial top-k inside each scan "
+    "partition, then the final rank over the bounded survivor set), "
+    "so no task sorts a whole query's candidates — the batched twin "
+    "of the TakeOrderedAndProject heap single-query ORDER BY+LIMIT "
+    "gets for free. Quantizer training capped at TRAIN_CAP points "
+    "(stride = ceil(n/cap)); fully oracled: DuckDB replays both "
+    "trainings, all probes, the batched LUT, and the per-query cut.",
+)
+def ivf_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import ivf_pq_batch_topk as batch
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return batch(
+        emb, n_queries=BATCH_Q, n_cells=K, nprobe=NPROBE,
+        m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
+        train_stride=_train_stride(emb),
+    )
+
+
 @register(
     "ivf_residual_pq_topk",
     _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)

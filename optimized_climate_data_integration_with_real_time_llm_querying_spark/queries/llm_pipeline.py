@@ -574,15 +574,19 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_near_dup_pairs",
-    None,  # hash-based LSH banding is not ANSI-SQL-expressible -> rows-only
-    doc="MinHash(32 hashes)+LSH(8 bands) candidate generation with "
-    "exact-Jaccard verification at >= 0.5. Deterministic xxhash64 seeds.",
-)
-def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", rebalance=True)
-    return dedup.minhash_near_duplicates(d, min_jaccard=0.5)
+# RETIRED (round 14, second exercise of the displacement policy —
+# __spark_entry__.py): the rows-only "minhash_near_dup_pairs" entry
+# (MinHash 32 hashes + LSH 8 bands, exact-Jaccard verify >= 0.5,
+# xxhash64 seeds) was displaced by the oracled ivf_pq_batch_topk
+# addition, per the retirement order pinned in round 13 (it was #2,
+# after simhash). The operator (dedup.minhash_near_duplicates)
+# stays: the FULL-oracled minhash_near_dup_pairs_md5 twin below
+# drives the identical plan through DuckDB every round, and the
+# production xxhash path keeps direct pytest coverage
+# (tests/test_lsh_recall.py recall floor,
+# tests/test_incremental_dedup.py full-vs-incremental equivalence).
+# The plan keeps its fixed r1-bar-18 bench slot and its scale-bench
+# alpha rows via local builders (bench.py / scripts/scale_bench.py).
 
 
 # RETIRED (round 14, first exercise of the displacement policy —
@@ -1028,7 +1032,8 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "REGIME BOUNDARY (measured, BASELINE.md 100x table): the "
     "ABSOLUTE df cap bounds COST but collapses RECALL once nearly "
     "every fingerprint exceeds it at vocabulary saturation — in that "
-    "density regime use the MinHash bands (minhash_near_dup_pairs) "
+    "density regime use the MinHash bands (the retired-entry plan, "
+    "still benched; oracled twin minhash_near_dup_pairs_md5) "
     "or tfidf_simhash_topk, whose candidate generation does not "
     "depend on content rarity.",
 )

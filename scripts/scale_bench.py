@@ -154,6 +154,17 @@ def main() -> None:
         docs = load_table(s, d, "documents", rebalance=True)
         return dedup.allpairs_jaccard_pairs(docs, k=3, threshold=0.6)
 
+    def _minhash_xxhash(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+            load_table,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+            dedup,
+        )
+
+        docs = load_table(s, d, "documents", rebalance=True)
+        return dedup.minhash_near_duplicates(docs, min_jaccard=0.5)
+
     def _ivf_fulltrain(s, d):
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
             load_table,
@@ -193,10 +204,11 @@ def main() -> None:
         # 8-byte xxhash64 shingle keys instead of the oracle-able md5
         # string transform.
         "allpairs_xxhash": lambda s, d: _allpairs_xxhash(s, d),
-        # The registry entry retired in round 14 (displacement
-        # policy); the PLAN keeps its scale row via the operator
-        # directly, so the alpha tables stay regenerable.
+        # Registry entries retired in round 14 (displacement policy);
+        # the PLANS keep their scale rows via the operators directly,
+        # so the alpha tables stay regenerable.
         "simhash_near_dup_pairs": lambda s, d: _simhash_xxhash(s, d),
+        "minhash_near_dup_pairs": lambda s, d: _minhash_xxhash(s, d),
         # Full-corpus-training control for the round-14 TRAIN_CAP
         # change: identical plan to ivf_pq_topk's registry defaults
         # but train_stride forced to 1, so the alpha delta between

@@ -191,3 +191,36 @@ def test_ivf_pq_rerank_beats_adc_on_registry_data(spark, sf_small):
     print(f"registry-data recall@10: adc={r_adc:.2f} rerank={r_rr:.2f}")
     assert r_rr >= 0.7
     assert r_rr > r_adc
+
+
+def test_ivf_pq_batch_matches_single_query(spark, sf_oracle):
+    """The batched search (one shared training, Q queries) must
+    return EXACTLY ivf_pq_topk(query_id=q) for every query in the
+    batch — the amortization cannot change any result. Uses
+    train_stride=2 so the equivalence also covers the capped-training
+    path (both sides sample identically)."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_batch_topk,
+        ivf_pq_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    out = ivf_pq_batch_topk(
+        emb, n_queries=3, n_cells=8, nprobe=2, m=M, k=K, topk=10,
+        train_stride=2,
+    )
+    rows = out.collect()
+    _release(out)
+    assert len(rows) == 30
+    got = {}
+    for r in rows:
+        got.setdefault(r.q_id, []).append((r.vec_id, r.adc_dist2))
+    assert sorted(got) == [0, 1, 2]  # the 3 lowest ids
+    for q in sorted(got):
+        single = ivf_pq_topk(
+            emb, query_id=q, n_cells=8, nprobe=2, m=M, k=K, topk=10,
+            train_stride=2,
+        )
+        want = [(r.vec_id, r.adc_dist2) for r in single.collect()]
+        _release(single)
+        assert got[q] == want, f"batch != single for query {q}"
