@@ -47,6 +47,11 @@ QUERIES = [
     # recall cliff; the exact stage is 50 rows at any scale, so its
     # curve must track ivf_pq_topk's.
     "ivf_pq_rerank_topk",
+    # Round-14: the batched search (8 queries, one shared training +
+    # coding pass). Its curve must track ivf_pq_topk's — the
+    # amortization claim IS that per-query marginal cost is a
+    # broadcast LUT + probe, not another corpus pass.
+    "ivf_pq_batch_topk",
     "unigram_lm_segments",
     "similarity_pagerank",
     "entity_resolution_clusters",
