@@ -224,3 +224,31 @@ def test_ivf_pq_batch_matches_single_query(spark, sf_oracle):
         want = [(r.vec_id, r.adc_dist2) for r in single.collect()]
         _release(single)
         assert got[q] == want, f"batch != single for query {q}"
+
+
+def test_ivf_pq_batch_partitioning_independent(spark, sf_oracle):
+    """The batch search's phase-1 partial top-k partitions by
+    (q_id, spark_partition_id()) — a pruning SUPERSET: any true
+    top-k row beats all but < topk rows globally, hence < topk rows
+    in its own partition, so it survives phase 1 under ANY physical
+    partitioning. If that argument were wrong, results would vary
+    with partitioning and the driver hash would flake intermittently
+    — this pins it: 1-partition and 13-partition inputs must produce
+    identical batch results."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_batch_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+
+    def run(frame):
+        out = ivf_pq_batch_topk(
+            frame, n_queries=3, n_cells=8, nprobe=2, m=M, k=K, topk=10
+        )
+        rows = [(r.q_id, r.vec_id, r.adc_dist2) for r in out.collect()]
+        _release(out)
+        return rows
+
+    a = run(emb.repartition(1))
+    b = run(emb.repartition(13, "vec_id"))
+    assert a == b and len(a) == 30
