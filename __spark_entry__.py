@@ -28,16 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 registry entries in insertion
-# order. Round-14 rotation: promote the round-13 _DEMOTE[:50] exactly
-# as the round-13 window plan pre-ordered (confirmed by VERDICT r13
-# "Next round" #1) — the two round-13 additions first (never-rowed;
-# both FULL-oracled, judge-parity-green on introduction), then the
-# 48 remaining r10-rowed names.
+# order. Round-15 rotation: promote the round-14 _DEMOTE[:50] exactly
+# as the round-14 window plan pre-ordered (confirmed by VERDICT r14
+# "Next round" #1) — the two round-14 additions first (never-rowed;
+# both FULL-oracled, judge-parity-green on introduction at sf0.01 AND
+# sf0.1), then the r11-rowed tier.
 #
-# EXPECTED HASH COUNT, written down BEFORE the round (the r11-r13
-# discipline): exactly two of the 8 by-design rows-only entries fall
-# in this slice (approx_distinct_custkeys, approx_revenue_quantiles).
-# Expected CORRECTNESS_r14: 48 hash-green + 2 rows-only, 0 broken.
+# EXPECTED HASH COUNT, written down BEFORE the round (the r11-r14
+# discipline): exactly three of the by-design rows-only entries fall
+# in this slice (sequence_packing, ann_projected_topk,
+# curation_end_to_end). Expected CORRECTNESS_r15: 47 hash-green +
+# 3 rows-only, 0 broken.
 #
 # CADENCE POLICY (decided in round 11, VERDICT r10 ask #2): the
 # standard is ceil(registry / 50) rounds between driver rows for
@@ -58,89 +59,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracled twin proves the identical plan shape — retiring one loses
 # no oracle coverage, only a duplicate driver row of a weaker kind:
 #   1. simhash_near_dup_pairs        — RETIRED in round 14 (first
-#      exercise of the policy; displaced by the round-14 addition;
-#      twin simhash_near_dup_pairs_md5 stays oracled and the xxhash
-#      production path stays pytest-proven in
+#      exercise of the policy; twin simhash_near_dup_pairs_md5 stays
+#      oracled, xxhash production path pytest-proven in
 #      tests/test_hash_equivalence.py)
 #   2. minhash_near_dup_pairs        — RETIRED in round 14 (second
-#      exercise; displaced by the oracled ivf_pq_batch_topk addition;
-#      twin minhash_near_dup_pairs_md5 stays oracled, the xxhash
-#      production path keeps direct pytests — recall floor in
-#      tests/test_lsh_recall.py, full-vs-incremental equivalence in
-#      tests/test_incremental_dedup.py — and the plan keeps its
-#      r1-bar-18 bench slot + scale-bench rows via local builders)
+#      exercise; twin minhash_near_dup_pairs_md5 stays oracled, the
+#      xxhash production path keeps its recall-floor + incremental-
+#      equivalence pytests, and the plan keeps its r1-bar-18 bench
+#      slot + scale-bench rows via local builders)
 #   3. embedding_cosine_near_dups_lsh (twin: embedding_cosine_near_dups
-#      + recall floors in tests/test_lsh_recall.py)
+#      + recall floors in tests/test_lsh_recall.py) — next up: the
+#      planned round-15 batched-re-rank entry displaces it
 #   4. ann_projected_topk            (twin: ann_projected_coarse)
 #   5. curation_end_to_end           (twin: curation_end_to_end_exact)
 # approx_* sketch entries and sequence_packing are NOT candidates:
 # their rows-only driver row is the only driver-side signal for a
 # distinct numeric contract (error bounds).
 #
-# ROUND-15 WINDOW PLAN (write it down while it's true): _DEMOTE
-# below is ALREADY in round-15 priority order — any round-14
-# additions first (never-rowed), then the r11-rowed tier, then the
-# r12-rowed tier head. Round 15 = promote _DEMOTE[:50].
+# ROUND-16 WINDOW PLAN (write it down while it's true): _DEMOTE
+# below is ALREADY in round-16 priority order — any round-15
+# additions first (never-rowed), then the two remaining r11-rowed
+# names, then the r12-rowed tier. Round 16 = promote _DEMOTE[:50].
 _PROMOTE = [
-    # -- ROUND-14 TIER A0: the 2 round-13 additions (first driver
-    #    rows; both judge-verified green in the r13 VERDICT) --
-    "ivf_pq_rerank_topk",
-    "ann_recall_at_10",
-    # -- ROUND-14 TIER A: the 48 remaining r10-rowed names --
-    "quantity_moments",
-    "frequent_triples",
-    "media_dedup_report",
-    "covariance_power_iteration",
-    "revenue_percentile_disc",
-    "holt_forecast_daily",
-    "sequence_packing_canonical",
-    "tfidf_simhash_topk",
-    "null_safe_equality",
-    "json_extract_props",
-    "queryspec_group_agg",
-    "token_stats",
-    "quality_scores",
-    "doc_length_buckets",
-    "pricing_summary",
-    "count_with_filter",
-    "scalar_sum_year",
-    "group_mean_monthly",
-    "eq_filter_project",
-    "case_insensitive_eq",
-    "comparison_predicates",
-    "year_range_between",
-    "in_list_filter",
-    "month_bucket_prefix",
-    "distinct_single_column",
-    "distinct_pairs",
-    "topk_orders",
-    "first_n_preview",
-    "asof_last_event_before_order",
-    "count_distinct_custkeys",
-    "approx_distinct_custkeys",  # rows-only (by design)
-    "revenue_quantiles",
-    "approx_revenue_quantiles",  # rows-only (by design)
-    "cube_status_priority",
-    "etl_scalar_functions",
-    "scalar_subquery_small_orders",
-    "ann_projected_coarse",
-    "embedding_covariance",
-    "queryspec_filter_topk",
-    "corpus_filter_pipeline",
-    "salted_agg_equivalence",
-    "dedup_clusters",
-    "unigram_logprob_scores",
-    "bpe_pair_counts",
-    "source_mix_sample",
-    "bpe_encode_docs",
-    "temperature_mix_sample",
-    "bpe_fertility_by_source",
-]
-_DEMOTE = [
-    # -- ROUND-15 TIER A0: the round-14 additions (never-rowed; the
-    #    displacement-policy exercises — they displaced
-    #    simhash_near_dup_pairs and minhash_near_dup_pairs per the
-    #    pinned retirement order) --
+    # -- ROUND-15 TIER A0: the 2 round-14 additions (first driver
+    #    rows; both judge-verified green in the r14 VERDICT at
+    #    sf0.01 AND sf0.1 engaged stride) --
     "anomaly_compare_event_types",
     "ivf_pq_batch_topk",
     # -- ROUND-15 TIER A: the r11-rowed tier --
@@ -192,9 +135,14 @@ _DEMOTE = [
     "embedding_random_projection",
     "ann_projected_topk",  # rows-only (by design)
     "curation_end_to_end",  # rows-only (by design)
+]
+_DEMOTE = [
+    # -- ROUND-16 TIER A0: round-15 additions land here (never-rowed
+    #    first, per the standing rotation rule) --
+    # -- ROUND-16 TIER A: the remaining r11-rowed names --
     "curation_end_to_end_exact",
     "length_curriculum_stages",
-    # -- ROUND-15 TIER B: the r12-rowed tier (the round-12 window) --
+    # -- ROUND-16 TIER B: the r12-rowed tier (the round-12 window) --
     "retrieval_mrr_at_10",
     "minhash_band_plan",
     "quality_budget_select",
@@ -243,7 +191,7 @@ _DEMOTE = [
     "wordpiece_greedy_segments",
     "epoch_shuffle_shards",
     "gopher_quality_flags",
-    # -- ROUND-15 TIER C: the r13-rowed tier (the round-13 window) --
+    # -- ROUND-16 TIER C: the r13-rowed tier (the round-13 window) --
     "cluster_cap_sample",
     "rho_loss_select",
     "ngram_novelty_decay",
@@ -294,7 +242,59 @@ _DEMOTE = [
     "unigram_lm_segments",
     "chi2_lang_source",
     "ols_order_size_price",
+    # -- ROUND-16 TIER D: the r14-rowed tier (the round-14 window) --
+    "ivf_pq_rerank_topk",
+    "ann_recall_at_10",
+    "quantity_moments",
+    "frequent_triples",
+    "media_dedup_report",
+    "covariance_power_iteration",
+    "revenue_percentile_disc",
+    "holt_forecast_daily",
+    "sequence_packing_canonical",
+    "tfidf_simhash_topk",
+    "null_safe_equality",
+    "json_extract_props",
+    "queryspec_group_agg",
+    "token_stats",
+    "quality_scores",
+    "doc_length_buckets",
+    "pricing_summary",
+    "count_with_filter",
+    "scalar_sum_year",
+    "group_mean_monthly",
+    "eq_filter_project",
+    "case_insensitive_eq",
+    "comparison_predicates",
+    "year_range_between",
+    "in_list_filter",
+    "month_bucket_prefix",
+    "distinct_single_column",
+    "distinct_pairs",
+    "topk_orders",
+    "first_n_preview",
+    "asof_last_event_before_order",
+    "count_distinct_custkeys",
+    "approx_distinct_custkeys",  # rows-only (by design)
+    "revenue_quantiles",
+    "approx_revenue_quantiles",  # rows-only (by design)
+    "cube_status_priority",
+    "etl_scalar_functions",
+    "scalar_subquery_small_orders",
+    "ann_projected_coarse",
+    "embedding_covariance",
+    "queryspec_filter_topk",
+    "corpus_filter_pipeline",
+    "salted_agg_equivalence",
+    "dedup_clusters",
+    "unigram_logprob_scores",
+    "bpe_pair_counts",
+    "source_mix_sample",
+    "bpe_encode_docs",
+    "temperature_mix_sample",
+    "bpe_fertility_by_source",
 ]
+
 
 
 def _ordered_queries():
