@@ -67,9 +67,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      xxhash production path keeps its recall-floor + incremental-
 #      equivalence pytests, and the plan keeps its r1-bar-18 bench
 #      slot + scale-bench rows via local builders)
-#   3. embedding_cosine_near_dups_lsh (twin: embedding_cosine_near_dups
-#      + recall floors in tests/test_lsh_recall.py) — next up: the
-#      planned round-15 batched-re-rank entry displaces it
+#   3. embedding_cosine_near_dups_lsh — RETIRED in round 15 (third
+#      exercise; displaced by the FULL-oracled ivf_pq_batch_rerank_topk
+#      addition per VERDICT r14 ask #2; twin embedding_cosine_near_dups
+#      stays oracled, the LSH production path keeps its recall-floor
+#      pytest at the registered parameters in tests/test_lsh_recall.py,
+#      and the plan keeps its bench slot via a local builder in
+#      bench.py)
 #   4. ann_projected_topk            (twin: ann_projected_coarse)
 #   5. curation_end_to_end           (twin: curation_end_to_end_exact)
 # approx_* sketch entries and sequence_packing are NOT candidates:
@@ -137,8 +141,11 @@ _PROMOTE = [
     "curation_end_to_end",  # rows-only (by design)
 ]
 _DEMOTE = [
-    # -- ROUND-16 TIER A0: round-15 additions land here (never-rowed
-    #    first, per the standing rotation rule) --
+    # -- ROUND-16 TIER A0: the round-15 addition (never-rowed; the
+    #    third displacement-policy exercise — it displaced
+    #    embedding_cosine_near_dups_lsh per the pinned retirement
+    #    order) --
+    "ivf_pq_batch_rerank_topk",
     # -- ROUND-16 TIER A: the remaining r11-rowed names --
     "curation_end_to_end_exact",
     "length_curriculum_stages",
@@ -166,7 +173,6 @@ _DEMOTE = [
     "embedding_lsh_topk",
     "stratified_sample_corpus",
     "corpus_train_val_test",
-    "embedding_cosine_near_dups_lsh",  # rows-only (by design)
     "pii_redact",
     "repetition_stats",
     "vocab_top_terms",

@@ -172,7 +172,10 @@ HEADLINE = [
     # Round-9: re-included non-trivial absentees (VERDICT r8 item 3)
     # and the round's one new query.
     "ann_ivf_topk",             # IVF coarse-quantizer ANN (float resid)
-    "embedding_cosine_near_dups_lsh",  # LSH-bucketed near-dup scale path
+    "embedding_cosine_near_dups_lsh",  # LSH-bucketed near-dup scale
+    # path (registry entry retired in round 15 — third
+    # displacement-policy exercise — identical plan stays benched via
+    # _LOCAL_BUILDERS below for round-over-round comparability)
     "salted_agg_equivalence",   # two-phase salted skew aggregation
     "sequence_packing",         # partition-local best-fit packing
     "sequence_packing_canonical",  # md5-bucket next-fit, FULL-oracled
@@ -207,6 +210,9 @@ HEADLINE = [
     # the retired plans' slots):
     "anomaly_compare_event_types",  # g17 anomaly-comparison twin
     "ivf_pq_batch_topk",        # batched IVF-PQ (one training, Q queries)
+    # Round-15 addition (displaced embedding_cosine_near_dups_lsh in
+    # the registry; see _LOCAL_BUILDERS for the retired plan's slot):
+    "ivf_pq_batch_rerank_topk",  # batch search + exact refine (FAISS RFlat)
 ]
 
 
@@ -276,9 +282,23 @@ def main() -> None:
             load_table(s, d, "documents", rebalance=True), min_jaccard=0.5
         )
 
+    def _cosine_lsh_retired(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+            load_table,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
+            similarity,
+        )
+
+        return similarity.cosine_near_dup_pairs(
+            load_table(s, d, "embeddings", rebalance=True),
+            threshold=0.45, use_lsh=True, dim=64, n_planes=4,
+        )
+
     local_builders = {
         "simhash_near_dup_pairs": _simhash_retired,
         "minhash_near_dup_pairs": _minhash_retired,
+        "embedding_cosine_near_dups_lsh": _cosine_lsh_retired,
     }
 
     def run_once(name: str) -> None:

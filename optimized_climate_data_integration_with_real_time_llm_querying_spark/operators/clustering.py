@@ -704,7 +704,7 @@ def ivf_pq_batch_topk(
     the per-query ADC top-k, queries excluded from their own results
     — ordered by (q_id, adc_dist2, vec_id). Per-query results are
     EXACTLY ivf_pq_topk(query_id=q) (equivalence pinned in
-    tests/test_train_cap.py).
+    tests/test_pq.py::test_ivf_pq_batch_matches_single_query).
 
     Scale shape: probes and LUTs stay broadcast-sized (Q x n_cells
     scalar rows, Q x m x k LUT rows); candidates are a shuffle join
@@ -812,6 +812,90 @@ def ivf_pq_batch_topk(
         .orderBy("q_id", "adc_dist2", id_col)
     )
     out.cache_handles = list(cells.cache_handles) + list(codes.cache_handles)
+    return out
+
+
+def ivf_pq_batch_rerank_topk(
+    df: DataFrame,
+    n_queries: int = 8,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    topk: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_stride: int = 1,
+) -> DataFrame:
+    """Batched IVF-PQ search WITH the exact re-rank stage — the
+    composition production FAISS actually calls
+    (``IndexRefineFlat.search(xq, k)`` takes the same query matrix as
+    the underlying index): :func:`ivf_pq_batch_topk` keeps a
+    per-query SHORTLIST (default 5x topk) by ADC distance, then only
+    those (q_id, vec_id) pairs' full vectors are scored exactly
+    against the query matrix and each query's true top-k is taken.
+    This is the call path where the skew remedy applies to batched
+    search: PQ distortion on hot clusters is recovered per query at a
+    bounded exact cost (the round-13/14 shortlist-knee finding —
+    hot queries are distortion-limited and recover under re-rank;
+    cold tails are probe-limited and need nprobe, not shortlist).
+
+    Returns (q_id, vec_id, dist2) ordered by (q_id, dist2, vec_id);
+    per-query rows are EXACTLY ivf_pq_rerank_topk(query_id=q)
+    (equivalence pinned in
+    tests/test_pq.py::test_ivf_pq_batch_rerank_matches_single_query).
+
+    Scale shape: the exact stage's input is bounded by construction —
+    Q x shortlist id pairs (broadcast) semi-filter the exploded
+    corpus, the query matrix joins as Q x dim broadcast scalars, and
+    the per-query rank windows over at most Q x shortlist surviving
+    rows REGARDLESS of corpus size (no two-phase top-k needed here:
+    unlike the ADC candidate set, the re-rank input cannot grow with
+    the corpus), so the final output is partitioning-independent
+    (pinned in tests/test_pq.py alongside the batch-search pin).
+    """
+    from pyspark.sql import Window as W
+
+    short = ivf_pq_batch_topk(
+        df, n_queries, n_cells, nprobe, m, k, n_iter, shortlist,
+        vec_col, id_col, train_stride,
+    )
+    pairs = short.select("q_id", id_col)
+    qset = (
+        df.orderBy(id_col)
+        .limit(n_queries)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.posexplode(F.col(vec_col)).alias("dim", "qval"),
+        )
+        .select("q_id", "dim", F.col("qval").cast("double").alias("qval"))
+    )
+    e = _exploded(df, vec_col, id_col)
+    scored = (
+        e.join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(qset), ["q_id", "dim"])
+        .groupBy("q_id", id_col)
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))),
+                6,
+            ).alias("dist2")
+        )
+    )
+    out = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy("dist2", id_col)
+            ),
+        )
+        .filter(F.col("rk") <= topk)
+        .select("q_id", id_col, "dist2")
+        .orderBy("q_id", "dist2", id_col)
+    )
+    out.cache_handles = list(short.cache_handles)
     return out
 
 

@@ -812,15 +812,12 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BATCH_Q = 8
 
-
-@register(
-    "ivf_pq_batch_topk",
-    _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)
-    + _pq_cte(
-        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False,
-        stride=_STRIDE_SQL,
-    )
-    + f"""
+# The batched-search CTE chain (qset -> probes -> batched LUT ->
+# scored), shared VERBATIM by ivf_pq_batch_topk and its re-rank
+# composition so the two entries cannot drift apart (the batch entry's
+# historical SQL is byte-stable under this factoring —
+# tests/test_pq.py::test_batch_sql_byte_stable pins it).
+_BATCH_SEARCH_CTES = f"""
     , qset AS (
       SELECT vec_id AS q_id, dim, val AS qval FROM e
       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {BATCH_Q})
@@ -851,7 +848,18 @@ BATCH_Q = 8
       JOIN cand ON cand.vec_id = b.vec_id
       JOIN lut l ON l.q_id = cand.q_id AND l.sub = b.sub AND l.code = b.code
       GROUP BY cand.q_id, b.vec_id
+    )"""
+
+
+@register(
+    "ivf_pq_batch_topk",
+    _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)
+    + _pq_cte(
+        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False,
+        stride=_STRIDE_SQL,
     )
+    + _BATCH_SEARCH_CTES
+    + """
     SELECT q_id, vec_id, adc_dist2 FROM scored
     QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist2, vec_id) <= 10
     ORDER BY q_id, adc_dist2, vec_id
@@ -878,6 +886,60 @@ def ivf_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch(
         emb, n_queries=BATCH_Q, n_cells=K, nprobe=NPROBE,
         m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
+        train_stride=_train_stride(emb),
+    )
+
+
+@register(
+    "ivf_pq_batch_rerank_topk",
+    _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)
+    + _pq_cte(
+        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False,
+        stride=_STRIDE_SQL,
+    )
+    + _BATCH_SEARCH_CTES
+    + f"""
+    , short AS (
+      SELECT q_id, vec_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist2, vec_id) <= {SHORTLIST}
+    ), ex AS (
+      SELECT s.q_id, e.vec_id,
+             ROUND(SUM((e.val - q.qval) * (e.val - q.qval)), 6) AS dist2
+      FROM e
+      JOIN short s ON s.vec_id = e.vec_id
+      JOIN qset q ON q.q_id = s.q_id AND q.dim = e.dim
+      GROUP BY s.q_id, e.vec_id
+    )
+    SELECT q_id, vec_id, dist2 FROM ex
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2, vec_id) <= 10
+    ORDER BY q_id, dist2, vec_id
+    """,
+    doc=f"Batched IVF-PQ search COMPOSED with the exact re-rank — the "
+    f"production FAISS call path (IndexRefineFlat.search(xq, k) takes "
+    f"the same query matrix as the index): the {BATCH_Q}-query batch "
+    f"search keeps a {SHORTLIST}-row ADC shortlist per query (one "
+    "coarse training, one PQ training, one coding pass shared), then "
+    "only those (q_id, vec_id) pairs' full vectors are scored exactly "
+    "against the broadcast query matrix and each query's true top-10 "
+    "is taken. This applies the skew remedy to batched search: hot-"
+    "cluster PQ distortion is recovered per query at a bounded exact "
+    f"cost — Q x {SHORTLIST} vectors are ever read at ANY corpus "
+    "scale, and the per-query rank windows over at most Q x "
+    f"{SHORTLIST} rows, so no stage grows with the corpus beyond the "
+    "shared ADC search. Per-query rows are exactly "
+    "ivf_pq_rerank_topk(query_id=q) (equivalence + partitioning-"
+    "independence pinned in tests/test_pq.py). Fully oracled in one "
+    "statement: both trainings (TRAIN_CAP stride from COUNT(*)), all "
+    "probes, the batched LUT, the per-query shortlist cut, and the "
+    "exact re-rank.",
+)
+def ivf_pq_batch_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import ivf_pq_batch_rerank_topk as brr
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return brr(
+        emb, n_queries=BATCH_Q, n_cells=K, nprobe=NPROBE,
+        m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10, shortlist=SHORTLIST,
         train_stride=_train_stride(emb),
     )
 

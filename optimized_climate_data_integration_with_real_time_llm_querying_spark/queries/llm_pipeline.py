@@ -1397,16 +1397,16 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(e, threshold=0.45)
 
 
-@register(
-    "embedding_cosine_near_dups_lsh",
-    None,  # recall < 1 by construction -> rows-only
-    doc="Embedding-cosine near-dups via hyperplane-LSH buckets: pairs "
-    "generated by equi-join on bucket id (never all-pairs), verified "
-    "exactly — the 100 TB dedup path for embedding space.",
-)
-def embedding_cosine_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    return similarity.cosine_near_dup_pairs(e, threshold=0.45, use_lsh=True, dim=64, n_planes=4)
+# embedding_cosine_near_dups_lsh: registry entry RETIRED in round 15
+# (third exercise of the pinned displacement policy — displaced by the
+# FULL-oracled ivf_pq_batch_rerank_topk). The LSH-bucketed production
+# path (similarity.cosine_near_dup_pairs(use_lsh=True)) keeps its
+# direct recall-floor pytest (tests/test_lsh_recall.py::
+# test_cosine_lsh_near_dup_recall at the registered parameters), the
+# exact twin embedding_cosine_near_dups above stays FULL-oracled, and
+# the retired plan keeps its graded bench slot via a local builder in
+# bench.py (same treatment as the round-14 minhash/simhash
+# retirements).
 
 
 @register(

@@ -252,3 +252,87 @@ def test_ivf_pq_batch_partitioning_independent(spark, sf_oracle):
     a = run(emb.repartition(1))
     b = run(emb.repartition(13, "vec_id"))
     assert a == b and len(a) == 30
+
+
+def test_ivf_pq_batch_rerank_matches_single_query(spark, sf_oracle):
+    """The batch + exact-refine composition (the FAISS
+    IndexRefineFlat.search call path) must return EXACTLY
+    ivf_pq_rerank_topk(query_id=q) for every query in the batch.
+    Uses train_stride=2 so the equivalence also covers the
+    capped-training path (both sides sample identically)."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_batch_rerank_topk,
+        ivf_pq_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    out = ivf_pq_batch_rerank_topk(
+        emb, n_queries=3, n_cells=8, nprobe=2, m=M, k=K, topk=10,
+        shortlist=50, train_stride=2,
+    )
+    rows = out.collect()
+    _release(out)
+    assert len(rows) == 30
+    got = {}
+    for r in rows:
+        got.setdefault(r.q_id, []).append((r.vec_id, r.dist2))
+    assert sorted(got) == [0, 1, 2]  # the 3 lowest ids
+    for q in sorted(got):
+        single = ivf_pq_rerank_topk(
+            emb, query_id=q, n_cells=8, nprobe=2, m=M, k=K, topk=10,
+            shortlist=50, train_stride=2,
+        )
+        want = [(r.vec_id, r.dist2) for r in single.collect()]
+        _release(single)
+        assert got[q] == want, f"batch rerank != single for query {q}"
+
+
+def test_ivf_pq_batch_rerank_partitioning_independent(spark, sf_oracle):
+    """The re-rank stage's per-query rank windows over at most
+    Q x shortlist rows (the broadcast shortlist bounds the input by
+    construction — unlike the ADC candidate set it cannot grow with
+    the corpus), so the final output must be identical under any
+    physical partitioning; 1-partition vs 13-partition inputs pin
+    it, same discipline as the batch-search pin above."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_batch_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+
+    def run(frame):
+        out = ivf_pq_batch_rerank_topk(
+            frame, n_queries=3, n_cells=8, nprobe=2, m=M, k=K, topk=10,
+            shortlist=50,
+        )
+        rows = [(r.q_id, r.vec_id, r.dist2) for r in out.collect()]
+        _release(out)
+        return rows
+
+    a = run(emb.repartition(1))
+    b = run(emb.repartition(13, "vec_id"))
+    assert a == b and len(a) == 30
+
+
+def test_batch_sql_byte_stable():
+    """Factoring the batched-search CTE chain into _BATCH_SEARCH_CTES
+    (shared by ivf_pq_batch_topk and ivf_pq_batch_rerank_topk) must
+    not change the batch entry's historical oracle SQL by a byte —
+    untouched registry entries keep byte-stable plans (the
+    registry-change discipline). The md5 below is the round-14 SQL."""
+    import hashlib
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    batch = qs["ivf_pq_batch_topk"].oracle
+    assert (
+        hashlib.md5(batch.encode()).hexdigest()
+        == "c8529b16e991e5df5b4d01e5b563c6e8"
+    )
+    # and the rerank entry composes on the IDENTICAL shared chain
+    rerank = qs["ivf_pq_batch_rerank_topk"].oracle
+    prefix = batch[: batch.index("    SELECT q_id, vec_id, adc_dist2 FROM scored")]
+    assert rerank.startswith(prefix)

@@ -136,6 +136,37 @@ def test_engaged_sampled_training_cross_engine(spark, sf_oracle):
         assert gi == wi and gc == wc and abs(gd - wd) < 1e-9
 
 
+def test_engaged_sampled_pq_training_cross_engine(spark, sf_oracle):
+    """The PQ twin of the kmeans test above (ADVICE r14): the engaged
+    sampled-PQ oracle (_pq_cte with stride>1 — sampled et CTE,
+    DISTINCT-seed subquery) must be cell-exact vs pq_assign at the
+    same explicit stride. The registry parity sweep at sf0.01
+    resolves stride=1, so without this pin a regression in the
+    sampled-PQ SQL would only surface in manual sf0.1 parity runs."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        pq_assign,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    out = pq_assign(emb, m=8, k=16, n_iter=2, train_stride=2)
+    got = sorted((r.vec_id, r.sub, r.code, r.dist2) for r in out.collect())
+    _release(out)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_oracle}/embeddings.parquet')"
+    )
+    want = sorted(
+        con.execute(
+            _pq_cte(8, 16, 2, 8, stride=2)
+            + " SELECT vec_id, sub, code, dist2 FROM bfinal"
+        ).fetchall()
+    )
+    assert len(got) == len(want)
+    for (gi, gs, gc, gd), (wi, ws, wc, wd) in zip(got, want):
+        assert gi == wi and gs == ws and gc == wc and abs(gd - wd) < 1e-9
+
+
 def test_sampled_final_assignment_covers_every_vector(spark, sf_oracle):
     emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
     n = emb.count()
