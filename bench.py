@@ -316,6 +316,30 @@ def main() -> None:
         if single is not None:
             single.unpersist()
 
+    # DRIFT SENTINEL (VERDICT r14 ask #5): this host's throughput
+    # drifts 7-26% between phases of a session, which keeps forcing
+    # manual attribution arguments about round-over-round deltas. A
+    # fixed 3-query probe timed at bench START and again at bench END
+    # turns the intra-run drift into a recorded number:
+    # bench_compare prints the band next to any flagged regression,
+    # the same-session-pairing idea generalized to the whole bench.
+    SENTINEL = ["pricing_summary", "broadcast_dim_join", "token_stats"]
+
+    def _sentinel_probe() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in SENTINEL:
+            t0 = time.perf_counter()
+            registry[name].builder(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # Warm the sentinel plans (codegen + table touch) so the START
+    # probe measures host phase, not first-compile costs.
+    _sentinel_probe()
+    sentinel_start = _sentinel_probe()
+
     for _pass in range(2):
         for name in HEADLINE:
             run_once(name)
@@ -325,7 +349,10 @@ def main() -> None:
         if timings[name] > 10.0:
             run_once(name)
 
+    sentinel_end = _sentinel_probe()
+
     total = round(sum(timings.values()), 3)
+    sent_s, sent_e = sum(sentinel_start.values()), sum(sentinel_end.values())
     telemetry = {
         # Contention telemetry: loadavg is host-wide, so a
         # before/after pair far above this process's own
@@ -337,6 +364,13 @@ def main() -> None:
         "driver_cpu_sec": round(time.process_time() - cpu_t0, 3),
         "wall_sec": round(time.perf_counter() - wall_t0, 3),
         "load_flag": load_flag,
+        # Intra-run drift sentinel: identical 3-query probe at start
+        # and end of the timed region; the pct is the host's measured
+        # phase drift WITHIN this run (code is constant by
+        # construction), the noise floor for any cross-run read.
+        "sentinel_start": sentinel_start,
+        "sentinel_end": sentinel_end,
+        "sentinel_drift_pct": round((sent_e - sent_s) / sent_s * 100, 1),
     }
     print(
         json.dumps(

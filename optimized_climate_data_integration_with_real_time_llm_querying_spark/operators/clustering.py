@@ -1025,6 +1025,7 @@ def semantic_dedup(
     threshold: float = 0.92,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_stride: int = 1,
 ) -> DataFrame:
     """SemDeDup: (id, cluster, is_kept) — k-means partition, then
     exact cosine pairs within each cluster only; any pair at or above
@@ -1035,8 +1036,23 @@ def semantic_dedup(
     is sum over clusters of size^2, not corpus^2 — the SemDeDup
     bargain. Cosines run through the codegen'd posexplode twin, and
     the drop set is tiny (broadcast anti-join shape).
+
+    ``train_stride`` (round 15) offers the TRAIN_CAP bounded-sample
+    training to this clustering-OUTPUT operator behind a flag: the
+    Lloyd iterations read only the md5-bucket hash sample while the
+    final assignment and the pair stage still cover every vector —
+    at 100 TB the per-iteration training scan was the operator's one
+    remaining corpus-proportional stage besides the required final
+    pass. Default 1 keeps the historical full-corpus training (the
+    registry entry's byte-stable plan); the capped trajectory stays
+    DuckDB-replayable (tests/test_train_cap.py pins the stride-2
+    SemDeDup replay), and the output-quality cost at 100x is
+    measured by scripts/kmeans_cap_probe.py (inertia delta,
+    optimally-matched assignment churn) + the paired scale_bench
+    `kmeans_capped` control row.
     """
-    assign = kmeans_assign(df, k, n_iter, vec_col, id_col)
+    assign = kmeans_assign(df, k, n_iter, vec_col, id_col,
+                           train_stride=train_stride)
     m = assign.select(id_col, "cluster").join(
         df.select(F.col(id_col), F.col(vec_col)), id_col
     )

@@ -98,14 +98,31 @@ def main() -> None:
         return
     if len(sys.argv) < 3:
         sys.exit(__doc__)
-    prev = _load_clean(sys.argv[1])["queries"]
-    curr = _load_clean(sys.argv[2])["queries"]
+    prev_rec = _load_clean(sys.argv[1])
+    curr_rec = _load_clean(sys.argv[2])
+    prev, curr = prev_rec["queries"], curr_rec["queries"]
     shared = sorted(set(prev) & set(curr))
     tp, tc = sum(prev[q] for q in shared), sum(curr[q] for q in shared)
     print(
         f"shared {len(shared)} queries: {tp:.1f}s -> {tc:.1f}s "
         f"({(tc - tp) / tp * 100:+.1f}%)"
     )
+    # Intra-run drift band (round-15 sentinel): each file's own
+    # measured host-phase drift over the identical 3-query probe at
+    # bench start vs end. Any cross-file delta inside this band is
+    # host phase, not code.
+    drifts = [
+        r.get("sentinel_drift_pct")
+        for r in (prev_rec, curr_rec)
+        if r.get("sentinel_drift_pct") is not None
+    ]
+    if drifts:
+        band = max(abs(d) for d in drifts)
+        print(
+            "intra-run drift sentinel: "
+            + ", ".join(f"{d:+.1f}%" for d in drifts)
+            + f" — deltas within ±{band:.1f}% are host phase, not code"
+        )
     reg = [(q, prev[q], curr[q]) for q in shared if curr[q] > prev[q] * 1.3 + 0.3]
     imp = [(q, prev[q], curr[q]) for q in shared if curr[q] < prev[q] * 0.7 - 0.3]
     print(f"regressions past >30%+0.3s: {len(reg)}")

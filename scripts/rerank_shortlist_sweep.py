@@ -45,6 +45,12 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     ap.add_argument("--shortlists", type=int, nargs="+", default=[50, 100, 200, 400])
     ap.add_argument("--nprobes", type=int, nargs="+", default=[2, 3])
+    ap.add_argument(
+        "--tags", nargs="+", default=["hot", "cold"],
+        choices=["hot", "cold"],
+        help="query samples to sweep (round-15 cold-tail nprobe "
+        "extension runs --tags cold with --nprobes 2 3 4 6 8)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -93,6 +99,8 @@ def main() -> None:
     smax = max(args.shortlists)
     rows = []
     for tag, ids in (("hot", hot_ids), ("cold", cold_ids)):
+        if tag not in args.tags:
+            continue
         for nprobe in args.nprobes:
             curve = {s: [] for s in args.shortlists}
             ceilings = []

@@ -101,6 +101,7 @@ KNOB_QUERIES = [
     "simhash_cand_24b",
     "allpairs_xxhash",
     "ivf_pq_fulltrain",
+    "kmeans_capped",
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with
@@ -184,6 +185,23 @@ def main() -> None:
             topk=10, train_stride=1,
         )
 
+    def _kmeans_capped(s, d):
+        import math as _math
+
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+            load_table,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+            kmeans_assign,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.clustering import (
+            TRAIN_CAP,
+        )
+
+        emb = load_table(s, d, "embeddings", rebalance=True)
+        stride = max(1, _math.ceil(emb.count() / TRAIN_CAP))
+        return kmeans_assign(emb, k=8, n_iter=2, train_stride=stride)
+
     def _simhash_xxhash(s, d):
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
             load_table,
@@ -220,6 +238,15 @@ def main() -> None:
         # this row and ivf_pq_topk is attributable to the capped
         # training alone (same session, same host, same twins).
         "ivf_pq_fulltrain": lambda s, d: _ivf_fulltrain(s, d),
+        # The round-15 mirror image for the clustering-OUTPUT family:
+        # kmeans_embedding_clusters' registry entry keeps FULL
+        # training (its output IS the clustering; byte-stable plan),
+        # so here the knob is the CAPPED variant — pair this row with
+        # kmeans_embedding_clusters in ONE invocation and the wall
+        # delta is attributable to train_stride alone; output-quality
+        # deltas (inertia, matched churn) come from
+        # scripts/kmeans_cap_probe.py on the same twins.
+        "kmeans_capped": lambda s, d: _kmeans_capped(s, d),
     }
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()

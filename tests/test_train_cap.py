@@ -167,6 +167,60 @@ def test_engaged_sampled_pq_training_cross_engine(spark, sf_oracle):
         assert gi == wi and gs == ws and gc == wc and abs(gd - wd) < 1e-9
 
 
+def test_semantic_dedup_capped_training_cross_engine(spark, sf_oracle):
+    """The round-15 train_stride flag on semantic_dedup (the
+    clustering-OUTPUT family's opt-in TRAIN_CAP): the capped
+    trajectory must stay DuckDB-replayable end-to-end — sampled
+    k-means, within-cluster pair stage, drop set, and keep flags.
+    The registry entry keeps stride=1 (byte-stable plan); this pins
+    the flag path at an explicit stride=2."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        semantic_dedup,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.clustering import (
+        SEMDEDUP_THRESHOLD,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    out = semantic_dedup(
+        emb, k=K, n_iter=N_ITER, threshold=SEMDEDUP_THRESHOLD, train_stride=2
+    )
+    got = sorted((r.vec_id, r.cluster, r.is_kept) for r in out.collect())
+    _release(out)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_oracle}/embeddings.parquet')"
+    )
+    want = sorted(
+        con.execute(
+            _kmeans_cte(K, N_ITER, stride=2)
+            + f"""
+            , p AS (
+              SELECT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM bfinal x JOIN bfinal y
+                ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+            ), d AS (
+              SELECT p.id_a, p.id_b,
+                     ROUND(SUM(ea.val * eb.val)
+                           / SQRT(SUM(ea.val * ea.val) * SUM(eb.val * eb.val)), 6) AS cos
+              FROM p
+              JOIN e ea ON ea.vec_id = p.id_a
+              JOIN e eb ON eb.vec_id = p.id_b AND eb.dim = ea.dim
+              GROUP BY p.id_a, p.id_b
+            ), drops AS (
+              SELECT DISTINCT id_b FROM d WHERE cos >= {SEMDEDUP_THRESHOLD}
+            )
+            SELECT m.vec_id, m.cluster,
+                   CAST(m.vec_id NOT IN (SELECT id_b FROM drops) AS INT) AS is_kept
+            FROM bfinal m
+            """
+        ).fetchall()
+    )
+    assert got == [(int(i), int(c), int(k_)) for i, c, k_ in want]
+    assert len(got) == emb.count()
+
+
 def test_sampled_final_assignment_covers_every_vector(spark, sf_oracle):
     emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
     n = emb.count()
