@@ -539,6 +539,77 @@ def test_rerank_shortlist_knee(spark):
     assert recall >= 0.9
 
 
+def test_cold_tail_nprobe_endpoint(spark):
+    """Floor at the measured cold-tail nprobe ENDPOINT (round 15,
+    BASELINE.md "Cold-tail nprobe curve"): cold/outlier queries are
+    PROBE-limited — recall saturates at the probe-pool ceiling
+    (0.467 / 0.633 / 0.783 / 0.933 at nprobe 2/3/4/6) and shortlist
+    growth cannot cross it — and the measured endpoint is nprobe=6
+    with shortlist=200, where cold recall@10 first reaches >= 0.9
+    (mean 0.917 over the 6-query cold sample; per-query 0.8-1.0).
+    Deployment rule: spend nprobe on tail queries — 6 of 8 cells
+    (75% scan share on this twin's geometry) buys cold 0.917 where
+    nprobe=2 caps at 0.467. Floor sits below the measured mean with
+    slack, via the real operator on the first 3 cold queries
+    (measured 0.9 each)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    import numpy as np
+    from gen_scale_data import gen_embeddings_skew
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_rerank_topk,
+    )
+
+    tbl = gen_embeddings_skew(600)
+    pdf = tbl.to_pandas()
+    pdf["embedding"] = pdf["embedding"].map(lambda v: [float(x) for x in v])
+    emb = spark.createDataFrame(pdf)
+    m = np.array(tbl.column("embedding").to_pylist())
+    rng = np.random.default_rng(48)
+    centers = rng.standard_normal((32, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    comp = (m @ centers.T).argmax(axis=1)
+    occ = np.bincount(comp, minlength=32)
+    # the sweep's cold sample: members of the smallest non-empty
+    # components, in occupancy order (scripts/rerank_shortlist_sweep)
+    pool: list[int] = []
+    for c in np.argsort(occ):
+        if occ[c] == 0:
+            continue
+        pool.extend(np.flatnonzero(comp == c).tolist())
+        if len(pool) >= 3:
+            break
+    recalls = []
+    for qid in pool[:3]:
+        qid = int(qid)
+        qrow = emb.filter(F.col("vec_id") == qid).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        exact = {
+            r["vec_id"]
+            for r in similarity.cosine_topk(emb, qrow, k=10).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in ivf_pq_rerank_topk(
+                emb, query_id=qid, n_cells=8, nprobe=6, m=8, k=16,
+                n_iter=2, topk=10, shortlist=200,
+            ).collect()
+        }
+        recalls.append(len(exact & got) / len(exact))
+    mean = sum(recalls) / len(recalls)
+    print(f"cold-tail recall@10 at nprobe=6, s=200: {recalls} mean={mean:.2f}")
+    assert mean >= 0.8, recalls
+
+
 def test_simhash_production_path(spark):
     """The production 64-bit xxhash SimHash path must stay covered
     after its rows-only registry entry retired (round-14 displacement
