@@ -52,6 +52,14 @@ QUERIES = [
     # amortization claim IS that per-query marginal cost is a
     # broadcast LUT + probe, not another corpus pass.
     "ivf_pq_batch_topk",
+    # Round-15: the batch + exact-refine composition. The refine
+    # stage reads Q x shortlist vectors at ANY scale, so its curve
+    # must track ivf_pq_batch_topk's.
+    "ivf_pq_batch_rerank_topk",
+    # Round-15 (VERDICT r14 ask #6): scan-bound by construction (one
+    # events pass + broadcast climatology) — the alpha row is cheap
+    # insurance that it stays so.
+    "anomaly_compare_event_types",
     "unigram_lm_segments",
     "similarity_pagerank",
     "entity_resolution_clusters",
