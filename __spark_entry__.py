@@ -81,9 +81,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # distinct numeric contract (error bounds).
 #
 # ROUND-16 WINDOW PLAN (write it down while it's true): _DEMOTE
-# below is ALREADY in round-16 priority order — any round-15
-# additions first (never-rowed), then the two remaining r11-rowed
+# below is ALREADY in round-16 priority order — the round-15
+# addition first (never-rowed), then the two remaining r11-rowed
 # names, then the r12-rowed tier. Round 16 = promote _DEMOTE[:50].
+# PREDICTION for that slice, computed now: it contains ZERO
+# by-design rows-only entries (the r12 tier's only rows-only row,
+# embedding_cosine_near_dups_lsh, retired this round), so expected
+# CORRECTNESS_r16 = 50 hash-green + 0 rows-only, 0 broken.
 _PROMOTE = [
     # -- ROUND-15 TIER A0: the 2 round-14 additions (first driver
     #    rows; both judge-verified green in the r14 VERDICT at
