@@ -604,3 +604,25 @@ def test_ivf_pq_rerank_exact_stage_is_semi_join(spark, sf_oracle):
     assert re.search(r"LeftSemi", plan), "shortlist must gate via semi-join"
     assert re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
     assert re.search(r"TakeOrderedAndProject", plan)
+
+
+def test_batch_rerank_refine_stays_broadcast(spark, sf_oracle):
+    # The round-15 batch + exact-refine composition: the refine
+    # stage's (q_id, vec_id) shortlist pairs and the Q x dim query
+    # matrix are broadcast-sized by construction, so they must join
+    # as BroadcastHashJoin (never a fact-side shuffle for either),
+    # with no cartesian product and no Python anywhere in the plan.
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    df = all_queries()["ivf_pq_batch_rerank_topk"].builder(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for h in getattr(df, "cache_handles", []):
+        h.unpersist()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "lambdafunction" not in plan.lower()
+    # map-side partial aggregation ahead of every (q_id, ...) shuffle
+    assert "partial" in plan
