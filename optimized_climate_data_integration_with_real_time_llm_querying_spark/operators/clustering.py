@@ -692,6 +692,7 @@ def ivf_pq_batch_topk(
     topk: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    balanced: bool = False,
     train_stride: int = 1,
 ) -> DataFrame:
     """BATCHED IVF-PQ search — how production actually drives an ANN
@@ -721,7 +722,13 @@ def ivf_pq_batch_topk(
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
-    cells = kmeans_assign(
+    # balanced=True swaps in the hot-list-splitting quantizer — same
+    # (id, cluster) + centroids contract, so the probe/candidate
+    # pipeline is identical (the single-query entries' composition,
+    # now available to the batch call path; registry defaults keep
+    # the plain quantizer so plans stay byte-stable).
+    assign = kmeans_assign_balanced if balanced else kmeans_assign
+    cells = assign(
         df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
         train_stride=train_stride,
     )
@@ -827,6 +834,7 @@ def ivf_pq_batch_rerank_topk(
     shortlist: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    balanced: bool = False,
     train_stride: int = 1,
 ) -> DataFrame:
     """Batched IVF-PQ search WITH the exact re-rank stage — the
@@ -860,7 +868,7 @@ def ivf_pq_batch_rerank_topk(
 
     short = ivf_pq_batch_topk(
         df, n_queries, n_cells, nprobe, m, k, n_iter, shortlist,
-        vec_col, id_col, train_stride,
+        vec_col, id_col, balanced, train_stride,
     )
     pairs = short.select("q_id", id_col)
     qset = (

@@ -336,3 +336,52 @@ def test_batch_sql_byte_stable():
     rerank = qs["ivf_pq_batch_rerank_topk"].oracle
     prefix = batch[: batch.index("    SELECT q_id, vec_id, adc_dist2 FROM scored")]
     assert rerank.startswith(prefix)
+
+
+def test_balanced_batch_rerank_composes(spark):
+    """balanced=True (the hot-list-splitting quantizer) now plugs
+    into the BATCH call path too — completing the remedy stack for
+    skewed corpora: batched search + balanced cells + exact refine.
+    Contract pin: per-query rows of the balanced batch composition
+    equal ivf_pq_rerank_topk(query_id=q, balanced=True) exactly on
+    the skew twin (same trainings, same splits, same refine)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    from gen_scale_data import gen_embeddings_skew
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_batch_rerank_topk,
+        ivf_pq_rerank_topk,
+    )
+
+    tbl = gen_embeddings_skew(600)
+    pdf = tbl.to_pandas()
+    pdf["embedding"] = pdf["embedding"].map(lambda v: [float(x) for x in v])
+    emb = spark.createDataFrame(pdf)
+
+    out = ivf_pq_batch_rerank_topk(
+        emb, n_queries=2, n_cells=8, nprobe=3, m=M, k=K, topk=10,
+        shortlist=50, balanced=True,
+    )
+    rows = out.collect()
+    _release(out)
+    assert len(rows) == 20
+    got = {}
+    for r in rows:
+        got.setdefault(r.q_id, []).append((r.vec_id, r.dist2))
+    assert sorted(got) == [0, 1]
+    for q in sorted(got):
+        single = ivf_pq_rerank_topk(
+            emb, query_id=q, n_cells=8, nprobe=3, m=M, k=K, topk=10,
+            shortlist=50, balanced=True,
+        )
+        want = [(r.vec_id, r.dist2) for r in single.collect()]
+        _release(single)
+        assert got[q] == want, f"balanced batch rerank != single for query {q}"
