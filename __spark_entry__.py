@@ -88,6 +88,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # by-design rows-only entries (the r12 tier's only rows-only row,
 # embedding_cosine_near_dups_lsh, retired this round), so expected
 # CORRECTNESS_r16 = 50 hash-green + 0 rows-only, 0 broken.
+#
+# PLANNED ROUND-16 ADDITION (pre-registered, the r13-r15 pattern):
+# ann_batch_recall_at_10 — the batched index-quality eval (per-query
+# recall@10 of the batch search vs the exact batched baseline,
+# (q_id, recall) rows, fully oracled). Its exact side,
+# operators/similarity.cosine_topk_batch, landed in round 15 with
+# equivalence + partitioning pins. It will displace
+# ann_projected_topk (#4 in the pinned retirement order; twin
+# ann_projected_coarse stays FULL-oracled, the recall floor stays in
+# tests/test_clustering_retrieval.py, bench slot via local builder).
+# It could NOT land in round 15: ann_projected_topk sits IN the
+# round-15 driver window, and retiring a windowed entry mid-round
+# would break the prediction above — the rotation discipline
+# outranks the addition. By round 16 it has rotated out (tier D).
 _PROMOTE = [
     # -- ROUND-15 TIER A0: the 2 round-14 additions (first driver
     #    rows; both judge-verified green in the r14 VERDICT at

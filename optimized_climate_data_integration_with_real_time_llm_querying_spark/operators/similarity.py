@@ -62,6 +62,67 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact per-query top-k by cosine against a MULTI-row query
+    frame (q_id, q_vec) — the batched brute-force ANN baseline, the
+    exact twin of :func:`operators.clustering.ivf_pq_batch_topk`'s
+    approximate search (and the exact side a batched recall eval
+    joins against). Returns (q_id, vec_id, cosine_sim) ordered by
+    (q_id, cosine_sim desc, vec_id); per-query rows are EXACTLY
+    :func:`cosine_topk` with that query (pinned in
+    tests/test_clustering_retrieval.py).
+
+    Scale shape: the query frame broadcasts (Q rows), so the corpus
+    scans ONCE with fan-out Q; the per-query top-k is the same
+    TWO-PHASE rank as the batch search (partition-local prune over
+    (q_id, spark_partition_id()) — a superset containing the true
+    top-k under ANY partitioning — then the final rank over
+    <= Q x partitions x k survivors), so no task ever sorts a whole
+    query's score column. 6-dp rounding + vec_id tie-break keep it
+    deterministic and SQL-replayable.
+    """
+    from pyspark.sql import Window as W
+
+    scored = (
+        df.crossJoin(F.broadcast(query_df))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    part = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id", F.spark_partition_id()).orderBy(
+                F.col("cosine_sim").desc(), F.col(id_col)
+            )
+        ),
+    ).filter(F.col("rk") <= k)
+    return (
+        part.withColumn(
+            "rk2",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    F.col("cosine_sim").desc(), F.col(id_col)
+                )
+            ),
+        )
+        .filter(F.col("rk2") <= k)
+        .select("q_id", F.col(id_col), "cosine_sim")
+        .orderBy("q_id", F.col("cosine_sim").desc(), F.col(id_col))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side tiny,
     shipped as literals into the plan)."""

@@ -305,3 +305,47 @@ def test_balanced_kmeans_splits_hot_lists(spark):
     # determinism: a second run reproduces the assignment
     again = occupancy(kmeans_assign_balanced(emb, 8, 2))
     assert again == bal
+
+
+def test_cosine_topk_batch_matches_single_query(spark, sf_oracle):
+    """The batched brute-force baseline (round 15): per-query rows
+    must be EXACTLY cosine_topk with that query — batching cannot
+    change any result — and the two-phase per-query rank must be
+    partitioning-independent (1 vs 13 partitions identical), the
+    same pins the batched IVF-PQ search carries."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    qset = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+    out = cosine_topk_batch(emb, qset, k=10)
+    rows = out.collect()
+    assert len(rows) == 30
+    got = {}
+    for r in rows:
+        got.setdefault(r.q_id, []).append((r.vec_id, r.cosine_sim))
+    assert sorted(got) == [0, 1, 2]
+    for q in sorted(got):
+        qv = qset.filter(F.col("q_id") == q)
+        want = [
+            (r.vec_id, r.cosine_sim)
+            for r in cosine_topk(emb, qv, k=10).collect()
+        ]
+        assert got[q] == want, f"batch != single for query {q}"
+    # partitioning independence
+    a = [tuple(r) for r in cosine_topk_batch(emb.repartition(1), qset, k=10).collect()]
+    b = [
+        tuple(r)
+        for r in cosine_topk_batch(
+            emb.repartition(13, "vec_id"), qset, k=10
+        ).collect()
+    ]
+    assert a == b == [tuple(r) for r in rows]
