@@ -110,6 +110,7 @@ KNOB_QUERIES = [
     "allpairs_xxhash",
     "ivf_pq_fulltrain",
     "kmeans_capped",
+    "cosine_batch_exact",
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with
@@ -210,6 +211,20 @@ def main() -> None:
         stride = max(1, _math.ceil(emb.count() / TRAIN_CAP))
         return kmeans_assign(emb, k=8, n_iter=2, train_stride=stride)
 
+    def _cosine_batch_exact(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+            load_table,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.similarity import (
+            cosine_topk_batch,
+        )
+
+        emb = load_table(s, d, "embeddings", rebalance=True)
+        qset = emb.orderBy("vec_id").limit(8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return cosine_topk_batch(emb, qset, k=10)
+
     def _simhash_xxhash(s, d):
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
             load_table,
@@ -255,6 +270,11 @@ def main() -> None:
         # deltas (inertia, matched churn) come from
         # scripts/kmeans_cap_probe.py on the same twins.
         "kmeans_capped": lambda s, d: _kmeans_capped(s, d),
+        # Batched brute-force exact baseline (round 15): the exact
+        # side of the planned ann_batch_recall_at_10 eval. Expected
+        # corpus-LINEAR (one scan, fan-out Q) — the row documents the
+        # eval's cost so "run the eval on a sample" has a number.
+        "cosine_batch_exact": lambda s, d: _cosine_batch_exact(s, d),
     }
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()
