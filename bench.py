@@ -77,6 +77,9 @@ HEADLINE = [
     "embedding_random_projection",  # JL dim reduction 64->16
     "events_sliding_3d_daily",  # sliding-window rollup
     "ann_projected_topk",       # coarse search in projected space
+    # (registry entry retired in round 16 — fourth displacement-policy
+    # exercise — identical plan stays benched via _LOCAL_BUILDERS
+    # below for round-over-round comparability)
     "sensor_locf_fill",         # LOCF gap filling per stream
     "time_weighted_daily_mean", # irregular-interval resampling
     "source_pareto_share",      # corpus composition Pareto
@@ -213,6 +216,9 @@ HEADLINE = [
     # Round-15 addition (displaced embedding_cosine_near_dups_lsh in
     # the registry; see _LOCAL_BUILDERS for the retired plan's slot):
     "ivf_pq_batch_rerank_topk",  # batch search + exact refine (FAISS RFlat)
+    # Round-16 addition (displaced ann_projected_topk in the registry;
+    # see _LOCAL_BUILDERS for the retired plan's slot):
+    "ann_batch_recall_at_10",   # batched index-quality eval (per-query)
 ]
 
 
@@ -295,10 +301,18 @@ def main() -> None:
             threshold=0.45, use_lsh=True, dim=64, n_planes=4,
         )
 
+    def _ann_projected_retired(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.clustering import (
+            ann_projected_topk,
+        )
+
+        return ann_projected_topk(s, d)
+
     local_builders = {
         "simhash_near_dup_pairs": _simhash_retired,
         "minhash_near_dup_pairs": _minhash_retired,
         "embedding_cosine_near_dups_lsh": _cosine_lsh_retired,
+        "ann_projected_topk": _ann_projected_retired,
     }
 
     def run_once(name: str) -> None:
@@ -329,10 +343,17 @@ def main() -> None:
         out: dict[str, float] = {}
         for name in SENTINEL:
             t0 = time.perf_counter()
-            registry[name].builder(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
+            df = registry[name].builder(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
             out[name] = round(time.perf_counter() - t0, 3)
+            # Mirror run_once's handle release so a future handle-
+            # attaching SENTINEL query can't leak persisted frames
+            # into the timed bench region.
+            for handle in getattr(df, "cache_handles", []):
+                handle.unpersist()
+            single = getattr(df, "cache_handle", None)
+            if single is not None:
+                single.unpersist()
         return out
 
     # Warm the sentinel plans (codegen + table touch) so the START

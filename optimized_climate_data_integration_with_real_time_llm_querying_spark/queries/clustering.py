@@ -213,23 +213,24 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(emb, in_dim=64, out_dim=16, seed=11)
 
 
-@register(
-    "ann_projected_topk",
-    None,  # approximate by construction (JL distortion) -> rows-only;
-    # recall vs the full-dimension exact twin is pinned in
-    # tests/test_clustering_retrieval.py
-    doc="Two-stage ANN: coarse top-100 by cosine in the 16-dim "
-    "JL-projected space (4x fewer bytes per distance), then exact "
-    "full-dimension re-rank of only those candidates for the final "
-    "top-10 — the standard coarse-search + re-rank recipe. The "
-    "corpus-wide scan touches projected vectors only; full vectors "
-    "are read for 100 rows. recall@10 vs the exact twin is measured "
-    "and floored in tests. NOTE the synthetic table is isotropic "
-    "noise (top cosines ~0.3, barely above bulk) — the theoretical "
-    "worst case for coarse ranking; random 100-of-500 candidates "
-    "would capture 2/10 in expectation, the projection captures 6.",
-)
 def ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: coarse top-100 by cosine in the 16-dim
+    JL-projected space (4x fewer bytes per distance), then exact
+    full-dimension re-rank of only those candidates for the final
+    top-10 — the standard coarse-search + re-rank recipe. The
+    corpus-wide scan touches projected vectors only; full vectors
+    are read for 100 rows.
+
+    REGISTRY ROW RETIRED in round 16 (#4 in the pinned displacement
+    order in __spark_entry__.py), displaced by the FULL-oracled
+    ann_batch_recall_at_10: this entry was rows-only by construction
+    (JL distortion), while its coarse stage has the oracled twin
+    ann_projected_coarse and its re-rank stage is the already-oracled
+    exact-cosine shape — retiring the row loses no oracle coverage.
+    The plan itself stays: recall@10 vs the exact twin stays floored
+    in tests/test_clustering_retrieval.py at these exact parameters,
+    and the r1-bar-18 bench slot survives via the local builder in
+    bench.py."""
     from ..operators.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
@@ -942,6 +943,94 @@ def ivf_pq_batch_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10, shortlist=SHORTLIST,
         train_stride=_train_stride(emb),
     )
+
+
+@register(
+    "ann_batch_recall_at_10",
+    _kmeans_cte(K, N_ITER, stride=_STRIDE_SQL)
+    + _pq_cte(
+        PQ_M, PQ_K, PQ_ITER, PQ_DSUB, prefix="p", standalone=False,
+        stride=_STRIDE_SQL,
+    )
+    + _BATCH_SEARCH_CTES
+    + f"""
+    , ivf AS (
+      SELECT q_id, vec_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist2, vec_id) <= 10
+    ), qvec AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {BATCH_Q})
+    ), exact AS (
+      SELECT q.q_id, e2.vec_id
+      FROM embeddings e2 JOIN qvec q ON e2.vec_id <> q.q_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.q_id
+        ORDER BY ROUND(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), q.q_vec), 6) DESC,
+                 e2.vec_id
+      ) <= 10
+    )
+    SELECT i.q_id,
+           ROUND(SUM(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END) / 10.0, 6) AS recall_at_10
+    FROM ivf i LEFT JOIN exact x ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+    GROUP BY i.q_id
+    ORDER BY i.q_id
+    """,
+    doc=f"BATCHED index-quality eval — the round-16 addition, "
+    "pre-registered in round 15: per-query recall@10 of the batched "
+    f"IVF-PQ search against the batched exact baseline, one "
+    f"(q_id, recall_at_10) row per query ({BATCH_Q} rows). This is "
+    "ann_recall_at_10 generalized the same way ivf_pq_batch_topk "
+    "generalizes ivf_pq_topk: the per-query recall a pipeline team "
+    "recomputes after every index retrain, now measured for a whole "
+    "query matrix in one plan — ONE coarse training, ONE PQ training, "
+    "ONE coding pass, ONE exact-baseline corpus scan (fan-out Q "
+    "against the broadcast query frame, two-phase per-query top-k) "
+    "shared across all queries. The recall join is bounded by "
+    "construction (Q x 10 rows a side, broadcast) at any corpus "
+    "size. Fully oracled in one statement: both trainings (TRAIN_CAP "
+    "stride from COUNT(*)), all probes, the batched LUT, the "
+    "per-query ADC cut, the exact per-query cosine ranking, and the "
+    "per-query hit count. Exact side = operators/similarity."
+    "cosine_topk_batch (per-query equality to cosine_topk and "
+    "partitioning-independence pinned in "
+    "tests/test_clustering_retrieval.py); approx side = "
+    "ivf_pq_batch_topk (per-query equality to ivf_pq_topk pinned in "
+    "tests/test_pq.py).",
+)
+def ann_batch_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import ivf_pq_batch_topk as batch
+    from ..operators.similarity import cosine_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    qset = (
+        emb.orderBy("vec_id")
+        .limit(BATCH_Q)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+    exact = cosine_topk_batch(emb, qset, k=10).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    approx = batch(
+        emb, n_queries=BATCH_Q, n_cells=K, nprobe=NPROBE,
+        m=PQ_M, k=PQ_K, n_iter=PQ_ITER, topk=10,
+        train_stride=_train_stride(emb),
+    )
+    handles = list(approx.cache_handles)
+    out = (
+        approx.select("q_id", "vec_id")
+        .join(F.broadcast(exact), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(10.0), 6
+            ).alias("recall_at_10")
+        )
+        .orderBy("q_id")
+    )
+    out.cache_handles = handles
+    return out
 
 
 @register(

@@ -60,6 +60,12 @@ QUERIES = [
     # events pass + broadcast climatology) — the alpha row is cheap
     # insurance that it stays so.
     "anomaly_compare_event_types",
+    # Round-16: the batched index-quality eval. Its curve is the
+    # batch search + the exact batched baseline in one plan, so it
+    # must track max(ivf_pq_batch_topk, cosine_batch_exact) — the
+    # exact side's corpus-linear scan dominates at scale, which is
+    # exactly the crossover the BASELINE.md eval-pricing note prices.
+    "ann_batch_recall_at_10",
     "unigram_lm_segments",
     "similarity_pagerank",
     "entity_resolution_clusters",
@@ -271,9 +277,10 @@ def main() -> None:
         # scripts/kmeans_cap_probe.py on the same twins.
         "kmeans_capped": lambda s, d: _kmeans_capped(s, d),
         # Batched brute-force exact baseline (round 15): the exact
-        # side of the planned ann_batch_recall_at_10 eval. Expected
-        # corpus-LINEAR (one scan, fan-out Q) — the row documents the
-        # eval's cost so "run the eval on a sample" has a number.
+        # side of the ann_batch_recall_at_10 eval (landed round 16).
+        # Expected corpus-LINEAR (one scan, fan-out Q) — the row
+        # documents the eval's cost so "run the eval on a sample" has
+        # a number.
         "cosine_batch_exact": lambda s, d: _cosine_batch_exact(s, d),
     }
     spark = get_spark("scale-bench", cpus=args.cpus)

@@ -338,6 +338,30 @@ def test_batch_sql_byte_stable():
     assert rerank.startswith(prefix)
 
 
+def test_batch_recall_eval_matches_single_query_eval(spark, sf_oracle):
+    """The round-16 registry addition ann_batch_recall_at_10 must be
+    the batched generalization of ann_recall_at_10, not a different
+    metric: its q_id=0 row equals the single-query eval's one value
+    (identical index parameters, identical exact baseline), every
+    query gets exactly one row, and recalls are valid fractions of
+    tenths."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    batch_df = qs["ann_batch_recall_at_10"].builder(spark, sf_oracle)
+    rows = {r.q_id: r.recall_at_10 for r in batch_df.collect()}
+    _release(batch_df)
+    assert sorted(rows) == list(range(8))  # the 8 lowest vec_ids
+    assert all(0.0 <= v <= 1.0 and round(v * 10) == v * 10 for v in rows.values())
+
+    single_df = qs["ann_recall_at_10"].builder(spark, sf_oracle)
+    [single] = [r.recall_at_10 for r in single_df.collect()]
+    _release(single_df)
+    assert rows[0] == single
+
+
 def test_balanced_batch_rerank_composes(spark):
     """balanced=True (the hot-list-splitting quantizer) now plugs
     into the BATCH call path too — completing the remedy stack for
