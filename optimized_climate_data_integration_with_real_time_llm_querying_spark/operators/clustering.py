@@ -74,6 +74,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     seed_ids: list[int] | None = None,
     train_stride: int = 1,
+    init_centroids: list[tuple[int, int, float]] | None = None,
 ) -> DataFrame:
     """Deterministic k-means: returns (id, cluster, dist2) — the
     assignment of every vector to its nearest centroid after
@@ -98,6 +99,15 @@ def kmeans_assign(
     deterministic hash (not Bernoulli RNG) is what keeps the
     trajectory DuckDB-replayable. ``train_stride=1`` is exactly the
     historical full-corpus training.
+
+    ``init_centroids`` WARM-STARTS Lloyd from an explicit
+    (cluster, dim, cval) codebook instead of the lowest-id seeds —
+    the refine move for capped training of the clustering-OUTPUT
+    family: train cheaply on the hash sample, then run ONE full-data
+    iteration from that codebook (the cap probe's measured remedy for
+    assignment churn at near-tied optima; scripts/kmeans_cap_probe.py
+    --warm-start). Deterministic given the codebook; registry entries
+    never pass it (plans stay byte-stable).
 
     The returned frame carries ``cache_handles`` (the persisted
     exploded-vector frame) for post-materialization release.
@@ -149,34 +159,39 @@ def kmeans_assign(
         # the second centroid at the cell's farthest member so it can
         # bisect a dense core); the oracle-able registry paths never
         # pass it.
-        base = df.select(F.col(id_col), F.col(vec_col))
-        if seed_ids is not None:
-            base = base.filter(F.col(id_col).isin([int(s) for s in seed_ids]))
-        elif train_stride > 1:
-            # Seeds come from the training sample (the k lowest
-            # sampled ids) so the whole trajectory is sample-local.
-            base = base.filter(_train_sample_pred(id_col, train_stride))
-        seeded = (
-            base.orderBy(id_col)
-            .limit(k)
-            .withColumn(
-                "cluster", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
-            )
-        )
-        centroids = [
-            (int(r["cluster"]), int(r["dim"]), float(r["cval"]))
-            for r in (
-                seeded.select(
-                    "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+        if init_centroids is not None:
+            centroids = [
+                (int(c), int(d), float(v)) for c, d, v in init_centroids
+            ]
+        else:
+            base = df.select(F.col(id_col), F.col(vec_col))
+            if seed_ids is not None:
+                base = base.filter(F.col(id_col).isin([int(s) for s in seed_ids]))
+            elif train_stride > 1:
+                # Seeds come from the training sample (the k lowest
+                # sampled ids) so the whole trajectory is sample-local.
+                base = base.filter(_train_sample_pred(id_col, train_stride))
+            seeded = (
+                base.orderBy(id_col)
+                .limit(k)
+                .withColumn(
+                    "cluster", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
                 )
-                .select(
-                    "cluster",
-                    "dim",
-                    F.round(F.col("val").cast("double"), 6).alias("cval"),
-                )
-                .collect()
             )
-        ]
+            centroids = [
+                (int(r["cluster"]), int(r["dim"]), float(r["cval"]))
+                for r in (
+                    seeded.select(
+                        "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+                    )
+                    .select(
+                        "cluster",
+                        "dim",
+                        F.round(F.col("val").cast("double"), 6).alias("cval"),
+                    )
+                    .collect()
+                )
+            ]
 
         for _ in range(n_iter):
             a = assign(centroids, et)
@@ -694,6 +709,7 @@ def ivf_pq_batch_topk(
     id_col: str = "vec_id",
     balanced: bool = False,
     train_stride: int = 1,
+    query_ids: list[int] | None = None,
 ) -> DataFrame:
     """BATCHED IVF-PQ search — how production actually drives an ANN
     index (FAISS's ``Index.search(xq, k)`` takes a query MATRIX):
@@ -706,6 +722,12 @@ def ivf_pq_batch_topk(
     — ordered by (q_id, adc_dist2, vec_id). Per-query results are
     EXACTLY ivf_pq_topk(query_id=q) (equivalence pinned in
     tests/test_pq.py::test_ivf_pq_batch_matches_single_query).
+
+    ``query_ids`` overrides the lowest-id default with an explicit
+    query set (production batches are arbitrary; the recall sweeps
+    batch the skew twin's hot/cold samples) — ``n_queries`` is then
+    ignored. The index itself (training, coding, cells) is identical
+    either way; only the broadcast query frame changes.
 
     Scale shape: probes and LUTs stay broadcast-sized (Q x n_cells
     scalar rows, Q x m x k LUT rows); candidates are a shuffle join
@@ -736,10 +758,13 @@ def ivf_pq_batch_topk(
     dim_first = df.select(F.size(vec_col).alias("d")).first()
     d_sub = int(dim_first["d"]) // m
 
+    qbase = (
+        df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        if query_ids is not None
+        else df.orderBy(id_col).limit(n_queries)
+    )
     qset = (
-        df.orderBy(id_col)
-        .limit(n_queries)
-        .select(
+        qbase.select(
             F.col(id_col).alias("q_id"),
             F.posexplode(F.col(vec_col)).alias("dim", "qval"),
         )
@@ -836,6 +861,7 @@ def ivf_pq_batch_rerank_topk(
     id_col: str = "vec_id",
     balanced: bool = False,
     train_stride: int = 1,
+    query_ids: list[int] | None = None,
 ) -> DataFrame:
     """Batched IVF-PQ search WITH the exact re-rank stage — the
     composition production FAISS actually calls
@@ -854,6 +880,10 @@ def ivf_pq_batch_rerank_topk(
     per-query rows are EXACTLY ivf_pq_rerank_topk(query_id=q)
     (equivalence pinned in
     tests/test_pq.py::test_ivf_pq_batch_rerank_matches_single_query).
+    ``query_ids`` overrides the lowest-id default with an explicit
+    query set (see :func:`ivf_pq_batch_topk`); the recall sweeps use
+    it to batch the skew twin's hot/cold samples through the full
+    remedy stack.
 
     Scale shape: the exact stage's input is bounded by construction —
     Q x shortlist id pairs (broadcast) semi-filter the exploded
@@ -867,14 +897,19 @@ def ivf_pq_batch_rerank_topk(
     from pyspark.sql import Window as W
 
     short = ivf_pq_batch_topk(
-        df, n_queries, n_cells, nprobe, m, k, n_iter, shortlist,
-        vec_col, id_col, balanced, train_stride,
+        df, n_queries=n_queries, n_cells=n_cells, nprobe=nprobe, m=m,
+        k=k, n_iter=n_iter, topk=shortlist, vec_col=vec_col,
+        id_col=id_col, balanced=balanced, train_stride=train_stride,
+        query_ids=query_ids,
     )
     pairs = short.select("q_id", id_col)
+    qbase = (
+        df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        if query_ids is not None
+        else df.orderBy(id_col).limit(n_queries)
+    )
     qset = (
-        df.orderBy(id_col)
-        .limit(n_queries)
-        .select(
+        qbase.select(
             F.col(id_col).alias("q_id"),
             F.posexplode(F.col(vec_col)).alias("dim", "qval"),
         )

@@ -49,7 +49,19 @@ def main() -> None:
     )
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--n-iter", type=int, default=2)
+    ap.add_argument(
+        "--warm-start",
+        action="store_true",
+        help="also measure capped-train + N full-data Lloyd pass(es) "
+        "from the capped codebook (VERDICT r15 ask #5): churn/inertia "
+        "vs full, wall vs capped",
+    )
+    ap.add_argument("--warm-iters", type=int, default=1)
     args = ap.parse_args()
+    # The optimal label matching below brute-forces size! permutations
+    # (exact and fine at the default k=8: 8! = 40320); k >= 11 would be
+    # infeasible — guard rather than hang.
+    assert args.k <= 10, f"--k {args.k} > 10: permutation matching is size! work"
 
     from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
         load_table,
@@ -70,68 +82,97 @@ def main() -> None:
     n = emb.count()
     stride = max(1, math.ceil(n / TRAIN_CAP))
 
-    def run(train_stride: int):
+    def run(train_stride: int, init_centroids=None, n_iter=None):
         t0 = time.monotonic()
         out = kmeans_assign(
-            emb, k=args.k, n_iter=args.n_iter, train_stride=train_stride
+            emb,
+            k=args.k,
+            n_iter=args.n_iter if n_iter is None else n_iter,
+            train_stride=train_stride,
+            init_centroids=init_centroids,
         )
         rows = {r.vec_id: (r.cluster, r.dist2) for r in out.collect()}
         wall = time.monotonic() - t0
         for h in getattr(out, "cache_handles", []):
             h.unpersist()
-        return rows, wall
+        return rows, wall, out.centroids
+
+    def matched_churn(a: dict, b: dict) -> float:
+        """Assignment disagreement under the exact optimal cluster-
+        label matching (labels may be permuted between trainings)."""
+        cont: dict[tuple[int, int], int] = {}
+        for vid, (ca, _) in a.items():
+            cb = b[vid][0]
+            cont[(ca, cb)] = cont.get((ca, cb), 0) + 1
+        a_labels = sorted({x for x, _ in cont})
+        b_labels = sorted({y for _, y in cont})
+        # pad to a square assignment over the larger label set
+        size = max(len(a_labels), len(b_labels))
+        best = 0
+        for perm in itertools.permutations(range(size)):
+            tot = 0
+            for i, al in enumerate(a_labels):
+                j = perm[i]
+                if j < len(b_labels):
+                    tot += cont.get((al, b_labels[j]), 0)
+            best = max(best, tot)
+        return 1.0 - best / n
 
     # Warm-up pass so the full-vs-capped pair compares steady state,
     # not parquet cold-read + codegen compile of whoever runs first.
     run(1)
-    full, wall_full = run(1)
-    capped, wall_capped = run(stride)
+    full, wall_full, _ = run(1)
+    capped, wall_capped, capped_centroids = run(stride)
     assert set(full) == set(capped) and len(full) == n
 
     inertia_full = sum(d for _, d in full.values())
     inertia_capped = sum(d for _, d in capped.values())
+    churn = matched_churn(full, capped)
 
-    # 8 x 8 contingency, then exact optimal label matching.
-    cont: dict[tuple[int, int], int] = {}
-    for vid, (cf, _) in full.items():
-        cc = capped[vid][0]
-        cont[(cf, cc)] = cont.get((cf, cc), 0) + 1
-    f_labels = sorted({a for a, _ in cont})
-    c_labels = sorted({b for _, b in cont})
-    # pad to a square assignment over the larger label set
-    size = max(len(f_labels), len(c_labels))
-    best = 0
-    for perm in itertools.permutations(range(size)):
-        tot = 0
-        for i, fl in enumerate(f_labels):
-            j = perm[i]
-            if j < len(c_labels):
-                tot += cont.get((fl, c_labels[j]), 0)
-        best = max(best, tot)
-    churn = 1.0 - best / n
+    rec = {
+        "metric": "kmeans_train_cap_probe",
+        "dir": args.dir,
+        "n": n,
+        "k": args.k,
+        "n_iter": args.n_iter,
+        "train_cap": TRAIN_CAP,
+        "stride": stride,
+        "wall_full_sec": round(wall_full, 2),
+        "wall_capped_sec": round(wall_capped, 2),
+        "inertia_full": round(inertia_full, 3),
+        "inertia_capped": round(inertia_capped, 3),
+        "inertia_delta_pct": round(
+            100.0 * (inertia_capped - inertia_full) / inertia_full, 2
+        ),
+        "matched_churn_frac": round(churn, 4),
+        "load_1m": round(os.getloadavg()[0], 2),
+    }
 
-    print(
-        json.dumps(
+    if args.warm_start:
+        # VERDICT r15 ask #5: can ONE full-data Lloyd pass from the
+        # CAPPED codebook recover the full-training partition at a
+        # fraction of full cost? (The 83% churn at +0.61% inertia
+        # suggested near-tied optima — if the basins really are
+        # adjacent, a single corrective pass should collapse the
+        # churn; if they are genuinely different optima, it won't.)
+        warm, wall_warm, _ = run(
+            1, init_centroids=capped_centroids, n_iter=args.warm_iters
+        )
+        inertia_warm = sum(d for _, d in warm.values())
+        rec.update(
             {
-                "metric": "kmeans_train_cap_probe",
-                "dir": args.dir,
-                "n": n,
-                "k": args.k,
-                "n_iter": args.n_iter,
-                "train_cap": TRAIN_CAP,
-                "stride": stride,
-                "wall_full_sec": round(wall_full, 2),
-                "wall_capped_sec": round(wall_capped, 2),
-                "inertia_full": round(inertia_full, 3),
-                "inertia_capped": round(inertia_capped, 3),
-                "inertia_delta_pct": round(
-                    100.0 * (inertia_capped - inertia_full) / inertia_full, 2
+                "warm_iters": args.warm_iters,
+                "wall_warm_sec": round(wall_warm, 2),
+                "wall_capped_plus_warm_sec": round(wall_capped + wall_warm, 2),
+                "inertia_warm": round(inertia_warm, 3),
+                "inertia_warm_delta_pct": round(
+                    100.0 * (inertia_warm - inertia_full) / inertia_full, 2
                 ),
-                "matched_churn_frac": round(churn, 4),
-                "load_1m": round(os.getloadavg()[0], 2),
+                "matched_churn_warm_frac": round(matched_churn(full, warm), 4),
             }
         )
-    )
+
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

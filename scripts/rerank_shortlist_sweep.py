@@ -51,6 +51,17 @@ def main() -> None:
         help="query samples to sweep (round-15 cold-tail nprobe "
         "extension runs --tags cold with --nprobes 2 3 4 6 8)",
     )
+    ap.add_argument(
+        "--composed",
+        action="store_true",
+        help="measure the COMPOSED remedy stack instead of the "
+        "single-query prefix method: one ivf_pq_batch_rerank_topk("
+        "query_ids=<tag sample>, balanced=True) call per (tag, "
+        "nprobe, shortlist) — the production call shape whose "
+        "per-query equality is pinned in tests/test_pq.py, here "
+        "measured for RECALL on the same 6+6 samples (VERDICT r15 "
+        "ask #3)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -95,6 +106,62 @@ def main() -> None:
         d = mat @ mat[qid] / (norms * norms[qid])
         d[qid] = -np.inf
         return set(np.argsort(-d)[:10].tolist())
+
+    if args.composed:
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+            ivf_pq_batch_rerank_topk,
+        )
+
+        rows = []
+        for tag, ids in (("hot", hot_ids), ("cold", cold_ids)):
+            if tag not in args.tags:
+                continue
+            truth = {int(q): exact_top10(int(q)) for q in ids}
+            for nprobe in args.nprobes:
+                rec = {
+                    "tag": tag,
+                    "nprobe": nprobe,
+                    "queries": len(ids),
+                    "stack": "batched+balanced+refine",
+                    "recall_at_10_by_shortlist": {},
+                }
+                for s in args.shortlists:
+                    out = ivf_pq_batch_rerank_topk(
+                        emb, n_cells=8, nprobe=nprobe, m=8, k=16,
+                        n_iter=2, topk=10, shortlist=s, balanced=True,
+                        query_ids=[int(q) for q in ids],
+                    )
+                    res = out.collect()
+                    for h in getattr(out, "cache_handles", []):
+                        h.unpersist()
+                    got: dict[int, set[int]] = {}
+                    for r in res:
+                        got.setdefault(r.q_id, set()).add(r.vec_id)
+                    rec["recall_at_10_by_shortlist"][str(s)] = round(
+                        float(
+                            np.mean(
+                                [
+                                    len(truth[q] & got.get(q, set())) / 10
+                                    for q in truth
+                                ]
+                            )
+                        ),
+                        3,
+                    )
+                rows.append(rec)
+                print(json.dumps(rec))
+        print(
+            "\ntag   nprobe  "
+            + "  ".join(f"s={s:<4d}" for s in args.shortlists)
+            + "  (composed batched+balanced+refine)"
+        )
+        for r in rows:
+            vals = "  ".join(
+                f"{r['recall_at_10_by_shortlist'][str(s)]:<6.3f}"
+                for s in args.shortlists
+            )
+            print(f"{r['tag']:<5s} {r['nprobe']:<7d} {vals}")
+        return
 
     smax = max(args.shortlists)
     rows = []

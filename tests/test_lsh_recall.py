@@ -610,6 +610,85 @@ def test_cold_tail_nprobe_endpoint(spark):
     assert mean >= 0.8, recalls
 
 
+def test_composed_stack_recall_floor(spark):
+    """Recall floor for the FULL composed skew-remedy stack —
+    batched search + balanced cells + exact refine in ONE operator
+    call (round 16, VERDICT r15 ask #3). Per-query equality to the
+    single-query stack is pinned in tests/test_pq.py; this pins the
+    RECALL of the production call shape itself on the skew twin's
+    6 hot + 6 cold samples, batched together (the sweep's samples,
+    scripts/rerank_shortlist_sweep.py --composed). Measured at
+    nprobe=6, shortlist=200: hot 1.000, cold 0.917 — matching the
+    plain single-query endpoint (cold is probe-limited either way).
+    The sweep's new finding lives at LOW nprobe: balanced splitting
+    shrinks each probe's share of a hot cluster, so composed hot
+    recall at nprobe=2/s=200 reads 0.850 vs plain 1.000 and recovers
+    by nprobe=3 (0.983) — deployment note in BASELINE.md. Floors sit
+    below the endpoint measurements with slack."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    import numpy as np
+    from gen_scale_data import gen_embeddings_skew
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_batch_rerank_topk,
+    )
+
+    tbl = gen_embeddings_skew(600)
+    pdf = tbl.to_pandas()
+    pdf["embedding"] = pdf["embedding"].map(lambda v: [float(x) for x in v])
+    emb = spark.createDataFrame(pdf)
+    m = np.array(tbl.column("embedding").to_pylist())
+    rng = np.random.default_rng(48)
+    centers = rng.standard_normal((32, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    comp = (m @ centers.T).argmax(axis=1)
+    occ = np.bincount(comp, minlength=32)
+    hot_ids = [int(q) for q in np.flatnonzero(comp == occ.argmax())[:6]]
+    pool: list[int] = []
+    for c in np.argsort(occ):
+        if occ[c] == 0:
+            continue
+        pool.extend(int(x) for x in np.flatnonzero(comp == c).tolist())
+        if len(pool) >= 6:
+            break
+    cold_ids = pool[:6]
+
+    norms = np.linalg.norm(m, axis=1)
+
+    def exact_top10(qid: int) -> set[int]:
+        d = m @ m[qid] / (norms * norms[qid])
+        d[qid] = -np.inf
+        return set(np.argsort(-d)[:10].tolist())
+
+    out = ivf_pq_batch_rerank_topk(
+        emb, n_cells=8, nprobe=6, m=8, k=16, n_iter=2, topk=10,
+        shortlist=200, balanced=True, query_ids=hot_ids + cold_ids,
+    )
+    rows = out.collect()
+    for h in getattr(out, "cache_handles", []):
+        h.unpersist()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    assert sorted(got) == sorted(hot_ids + cold_ids)
+
+    def mean_recall(ids: list[int]) -> float:
+        return sum(len(exact_top10(q) & got[q]) / 10 for q in ids) / len(ids)
+
+    hot, cold = mean_recall(hot_ids), mean_recall(cold_ids)
+    print(f"composed-stack recall@10 (nprobe=6, s=200): hot={hot:.3f} cold={cold:.3f}")
+    assert hot >= 0.9, hot
+    assert cold >= 0.8, cold
+
+
 def test_simhash_production_path(spark):
     """The production 64-bit xxhash SimHash path must stay covered
     after its rows-only registry entry retired (round-14 displacement
