@@ -98,6 +98,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # approx_* sketch entries and sequence_packing are NOT candidates:
 # their rows-only driver row is the only driver-side signal for a
 # distinct numeric contract (error bounds).
+# NOTE: #5 is the LAST name in the pinned order. After it retires,
+# the by-design rows-only twins are exhausted (the remaining 4
+# rows-only entries are the protected error-bound contracts above),
+# so any addition beyond round 17 requires a NEW displacement
+# decision — decide it BEFORE building the entry, per the round-13
+# discipline.
+#
+# PLANNED ROUND-17 ADDITION (pre-registered, the r13-r16 pattern):
+# embedding_cosine_batch_topk — the batched exact baseline as a
+# first-class FULL-oracled entry ((q_id, vec_id, cosine_sim) rows,
+# the batched twin of embedding_cosine_topk the way
+# ivf_pq_batch_topk twins ivf_pq_topk). Its operator landed in
+# round 15 (operators/similarity.cosine_topk_batch, per-query
+# equality to cosine_topk + partitioning-independence pinned in
+# tests/test_clustering_retrieval.py) and round 16's
+# ann_batch_recall_at_10 already exercises it inside the eval; the
+# oracle is the per-query exact-cosine ranking with QUALIFY, the
+# 6-dp round, and the vec_id tie-break. It will displace
+# curation_end_to_end (#5, the final name in the pinned order; twin
+# curation_end_to_end_exact stays FULL-oracled, the MinHash-variant
+# DAG keeps its r1-bar bench slot via a local builder). Its target
+# sits OUTSIDE both the r16 and r17 windows, so landing it in round
+# 17 breaks no prediction.
 #
 # ROUND-16 ADDITION (landed as pre-registered in round 15):
 # ann_batch_recall_at_10 — the batched index-quality eval (per-query

@@ -626,3 +626,24 @@ def test_batch_rerank_refine_stays_broadcast(spark, sf_oracle):
     assert "lambdafunction" not in plan.lower()
     # map-side partial aggregation ahead of every (q_id, ...) shuffle
     assert "partial" in plan
+
+
+def test_batch_recall_eval_plan_shape(spark, sf_oracle):
+    # The round-16 batched index-quality eval: the exact baseline's
+    # query frame rides as a broadcast (its cross join must be the
+    # broadcast nested-loop form, never CartesianProduct), the final
+    # recall join is Q x 10 rows a side and broadcast-hashed, and no
+    # Python/HOF-lambda appears anywhere in the executed plan — the
+    # eval inherits the JVM-only discipline of both sides it composes.
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    df = all_queries()["ann_batch_recall_at_10"].builder(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for h in getattr(df, "cache_handles", []):
+        h.unpersist()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "partial" in plan
