@@ -226,6 +226,37 @@ def test_ivf_pq_batch_matches_single_query(spark, sf_oracle):
         assert got[q] == want, f"batch != single for query {q}"
 
 
+def test_ivf_pq_batch_query_ids_override(spark, sf_oracle):
+    """query_ids (round 16) swaps the lowest-id default for an
+    explicit query set without touching the index: per-query rows
+    must still be EXACTLY ivf_pq_topk(query_id=q) for arbitrary,
+    non-contiguous ids (the recall sweeps batch hot/cold samples
+    this way)."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        ivf_pq_batch_topk,
+        ivf_pq_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    ids = [5, 17, 203]
+    out = ivf_pq_batch_topk(
+        emb, n_cells=8, nprobe=2, m=M, k=K, topk=10, query_ids=ids
+    )
+    rows = out.collect()
+    _release(out)
+    got = {}
+    for r in rows:
+        got.setdefault(r.q_id, []).append((r.vec_id, r.adc_dist2))
+    assert sorted(got) == sorted(ids)
+    for q in ids:
+        single = ivf_pq_topk(
+            emb, query_id=q, n_cells=8, nprobe=2, m=M, k=K, topk=10
+        )
+        want = [(r.vec_id, r.adc_dist2) for r in single.collect()]
+        _release(single)
+        assert got[q] == want, f"query_ids batch != single for query {q}"
+
+
 def test_ivf_pq_batch_partitioning_independent(spark, sf_oracle):
     """The batch search's phase-1 partial top-k partitions by
     (q_id, spark_partition_id()) — a pruning SUPERSET: any true
