@@ -48,6 +48,7 @@ STEPS = [
     ("int8 quantization", "embedding_quantize_int8"),
     ("ANN search w/ exact re-rank", "ivf_pq_rerank_topk"),
     ("index quality: recall@10", "ann_recall_at_10"),
+    ("batched index quality (8 queries)", "ann_batch_recall_at_10"),
 ]
 
 
