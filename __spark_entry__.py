@@ -114,8 +114,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # equality to cosine_topk + partitioning-independence pinned in
 # tests/test_clustering_retrieval.py) and round 16's
 # ann_batch_recall_at_10 already exercises it inside the eval; the
-# oracle is the per-query exact-cosine ranking with QUALIFY, the
-# 6-dp round, and the vec_id tie-break. It will displace
+# oracle (per-query exact-cosine ranking with QUALIFY, 6-dp round,
+# vec_id tie-break) is PRE-BUILT as
+# queries/llm_pipeline._cosine_batch_topk_oracle alongside the
+# builder, and already cross-engine-verified cell-exactly at the
+# driver SF (tests/test_clustering_retrieval.py::
+# test_cosine_batch_topk_oracle_ready) — round 17's landing is a
+# pure registration. It will displace
 # curation_end_to_end (#5, the final name in the pinned order; twin
 # curation_end_to_end_exact stays FULL-oracled, the MinHash-variant
 # DAG keeps its r1-bar bench slot via a local builder). Its target

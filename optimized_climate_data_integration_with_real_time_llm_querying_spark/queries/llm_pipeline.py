@@ -1073,6 +1073,48 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
+def _cosine_batch_topk_oracle(n_queries: int, k: int) -> str:
+    """FULL oracle for the batched exact cosine top-k — pre-built for
+    the round-17 registration of ``embedding_cosine_batch_topk``
+    (pre-registered in __spark_entry__.py; it will displace
+    curation_end_to_end, #5 in the pinned retirement order). The
+    per-query ranking is the single-query oracle generalized with
+    QUALIFY over q_id, same 6-dp round and vec_id tie-break.
+    Cross-engine-verified ahead of registration in
+    tests/test_clustering_retrieval.py::test_cosine_batch_topk_oracle_ready."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_queries})
+    )
+    SELECT q.q_id, e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        q.q_vec), 6) AS cosine_sim
+    FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY q.q_id ORDER BY cosine_sim DESC, e.vec_id
+    ) <= {k}
+    ORDER BY q.q_id, cosine_sim DESC, e.vec_id
+    """
+
+
+def embedding_cosine_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builder for the PRE-REGISTERED round-17 entry (not yet in the
+    registry — the registry is at the 200 cap and its displacement
+    target retires in round 17): the batched exact cosine top-k over
+    the 8 lowest-id queries, the batched twin of embedding_cosine_topk
+    the way ivf_pq_batch_topk twins ivf_pq_topk. Per-query equality
+    and partitioning-independence of the underlying operator are
+    pinned in tests/test_clustering_retrieval.py."""
+    e = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    qset = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return similarity.cosine_topk_batch(e, qset, k=10)
+
+
 def _lsh_topk_oracle(
     dim: int, n_planes: int, n_tables: int, seed: int, k: int
 ) -> str:

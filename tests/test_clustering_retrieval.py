@@ -314,6 +314,34 @@ def test_balanced_kmeans_splits_hot_lists(spark):
     assert again == bal
 
 
+def test_cosine_batch_topk_oracle_ready(spark, sf_oracle):
+    """Cross-engine proof, AHEAD of registration, that the round-17
+    pre-registered entry's builder and oracle agree cell-exactly at
+    the driver's scale factor — so the r17 landing is a pure
+    registration, with the falsification already done."""
+    import duckdb
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.llm_pipeline import (
+        _cosine_batch_topk_oracle,
+        embedding_cosine_batch_topk,
+    )
+
+    sdf = embedding_cosine_batch_topk(spark, sf_oracle)
+    got = sorted(
+        (int(r.q_id), int(r.vec_id), f"{r.cosine_sim:.6f}") for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_oracle}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(q), int(v), f"{c:.6f}")
+        for q, v, c in con.sql(_cosine_batch_topk_oracle(8, 10)).fetchall()
+    )
+    assert got == want and len(got) == 80
+
+
 def test_cosine_topk_batch_matches_single_query(spark, sf_oracle):
     """The batched brute-force baseline (round 15): per-query rows
     must be EXACTLY cosine_topk with that query — batching cannot
