@@ -57,7 +57,10 @@ HEADLINE = [
     "embedding_quantize_int8",  # int8 quantization (scalar shape)
     "corpus_train_val_test",    # md5-bucket train/val/test split
     "media_feature_extract",    # mapInPandas multimodal featurizer
-    "curation_end_to_end",      # full curation DAG (MinHash variant)
+    "curation_end_to_end",      # full curation DAG (MinHash variant;
+    # registry entry retired in round 17 — fifth displacement-policy
+    # exercise — but it is one of the graded r1-bar 18, so the
+    # identical plan stays benched via _LOCAL_BUILDERS below)
     "curation_end_to_end_exact",  # deterministic DAG under oracle
     # Round-5 operators:
     "dedup_clusters",           # connected components over near-dup pairs
@@ -219,6 +222,9 @@ HEADLINE = [
     # Round-16 addition (displaced ann_projected_topk in the registry;
     # see _LOCAL_BUILDERS for the retired plan's slot):
     "ann_batch_recall_at_10",   # batched index-quality eval (per-query)
+    # Round-17 addition (displaced curation_end_to_end in the
+    # registry; see _LOCAL_BUILDERS for the retired plan's slot):
+    "embedding_cosine_batch_topk",  # batched exact cosine baseline
 ]
 
 
@@ -308,11 +314,19 @@ def main() -> None:
 
         return ann_projected_topk(s, d)
 
+    def _curation_retired(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.composed import (
+            curation_end_to_end,
+        )
+
+        return curation_end_to_end(s, d)
+
     local_builders = {
         "simhash_near_dup_pairs": _simhash_retired,
         "minhash_near_dup_pairs": _minhash_retired,
         "embedding_cosine_near_dups_lsh": _cosine_lsh_retired,
         "ann_projected_topk": _ann_projected_retired,
+        "curation_end_to_end": _curation_retired,
     }
 
     def run_once(name: str) -> None:

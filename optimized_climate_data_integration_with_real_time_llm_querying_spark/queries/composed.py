@@ -107,21 +107,27 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curation_end_to_end",
-    None,  # MinHash stage is hash-randomized -> rows-only; each stage
-    # has its own oracle/bound elsewhere (corpus_filter_pipeline,
-    # decontaminate_corpus, minhash recall floor, document_chunks),
-    # and curation_end_to_end_exact runs the same DAG with the
-    # MinHash stage swapped for exact dedup under a full oracle
-    doc="The full pretraining-curation DAG as ONE lazy plan: held-out "
-    "split -> quality gate -> exact dedup -> MinHash near-dup removal "
-    "(keep min id per pair) -> decontamination against the held-out "
-    "set -> token-window chunking. Demonstrates that every operator "
-    "composes without materialization barriers (the MinHash persist "
-    "is the single deliberate reuse point).",
-)
 def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-curation DAG as ONE lazy plan: held-out
+    split -> quality gate -> exact dedup -> MinHash near-dup removal
+    (keep min id per pair) -> decontamination against the held-out
+    set -> token-window chunking. Demonstrates that every operator
+    composes without materialization barriers (the MinHash persist
+    is the single deliberate reuse point).
+
+    Registry entry RETIRED in round 17 (fifth and FINAL exercise of
+    the pinned displacement policy, displaced by the FULL-oracled
+    embedding_cosine_batch_topk): the MinHash stage is
+    hash-randomized so its driver row was rows-only BY DESIGN, and
+    curation_end_to_end_exact — the same DAG with the MinHash stage
+    swapped for exact dedup — stays registered under a full oracle.
+    Each stage keeps its own oracle/bound elsewhere
+    (corpus_filter_pipeline, decontaminate_corpus, the MinHash
+    recall floor, document_chunks), the plan keeps its r1-bar bench
+    slot via a local builder in bench.py (and its scale rows via
+    scripts/scale_bench.py's local builder), and
+    tests/test_curation_pipeline.py still drives this function
+    directly."""
     from ..operators import dedup
     from ..operators.text import chunk_spans, quality_features
 

@@ -1098,13 +1098,26 @@ def _cosine_batch_topk_oracle(n_queries: int, k: int) -> str:
     """
 
 
+@register(
+    "embedding_cosine_batch_topk",
+    _cosine_batch_topk_oracle(8, 10),
+    doc="Batched exact cosine top-k (the batched brute-force ANN "
+    "baseline): 8 queries share ONE corpus scan via a broadcast "
+    "query frame, per-query ranks are two-phase (partition-local "
+    "prune then final), partitioning-independent. The batched twin "
+    "of embedding_cosine_topk the way ivf_pq_batch_topk twins "
+    "ivf_pq_topk; also the exact side of the ann_batch_recall_at_10 "
+    "eval. Landed round 17 as pre-registered (displaced "
+    "curation_end_to_end, #5 — the final name — in the pinned "
+    "retirement order).",
+)
 def embedding_cosine_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Builder for the PRE-REGISTERED round-17 entry (not yet in the
-    registry — the registry is at the 200 cap and its displacement
-    target retires in round 17): the batched exact cosine top-k over
-    the 8 lowest-id queries, the batched twin of embedding_cosine_topk
-    the way ivf_pq_batch_topk twins ivf_pq_topk. Per-query equality
-    and partitioning-independence of the underlying operator are
+    """Round-17 registry entry (pre-registered in round 15/16, landed
+    as a pure registration — the oracle was cross-engine-verified
+    AHEAD of landing in tests/test_clustering_retrieval.py::
+    test_cosine_batch_topk_oracle_ready): the batched exact cosine
+    top-k over the 8 lowest-id queries. Per-query equality and
+    partitioning-independence of the underlying operator are
     pinned in tests/test_clustering_retrieval.py."""
     e = load_table(spark, sf_dir, "embeddings", rebalance=True)
     qset = (

@@ -29,6 +29,17 @@ exactly _PROMOTE, which bumps `upcoming` by one — round 15's slip
 was a check that passed at commit time and went red the moment the
 artifact landed. The round-close checklist runs BOTH modes.
 
+POST-ARTIFACT GUARD (round-17 amendment, VERDICT r16 "What's
+wrong"): when the newest CORRECTNESS file's keys already equal
+_PROMOTE, the state --simulate-next models has ALREADY happened —
+simulating a SECOND artifact for the same lists would model a round
+that can never occur (the next round rotates _PROMOTE first, so no
+future artifact repeats it), and round 16's encoding did exactly
+that, flagging the documented ols_order_size_price grace case with
+a phantom gap. In that state the mode now degrades to the
+normal-mode check with a notice; both states x both modes are
+pinned in tests/test_rotation_tool.py.
+
 Exit 0 with a summary line when all hold; exit 1 naming each
 violation otherwise. Run it in the round-close checklist.
 """
@@ -45,17 +56,24 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
-    simulate = "--simulate-next" in sys.argv[1:]
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    import __spark_entry__ as ep
-    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
-        all_queries,
-    )
+def evaluate(
+    promote: list[str],
+    demote: list[str],
+    ordered_first50: list[str],
+    registry: set[str],
+    history: dict[int, list[str]],
+    simulate: bool = False,
+) -> tuple[list[str], list[str], str]:
+    """Pure rotation check: returns (violations, notes, summary).
 
-    registry = set(all_queries().keys())
-    promote, demote = list(ep._PROMOTE), list(ep._DEMOTE)
+    ``history`` maps round number -> the entry names that round's
+    CORRECTNESS artifact rowed. Separated from main() so the
+    pre-/post-artifact x normal/simulate matrix is unit-testable
+    with synthetic registries (tests/test_rotation_tool.py — no
+    Spark, no real artifacts needed).
+    """
     errors: list[str] = []
+    notes: list[str] = []
 
     if len(promote) != 50:
         errors.append(f"len(_PROMOTE) = {len(promote)} != 50")
@@ -75,34 +93,38 @@ def main() -> int:
         if extra:
             errors.append(f"rotation names not in registry: {extra}")
 
-    ordered = list(ep._ordered_queries().keys())
-    if ordered[:50] != promote:
+    if ordered_first50 != promote:
         errors.append("queries() first-50 order != _PROMOTE")
 
-    # last-rowed round per entry, from the shipped driver artifacts
     last_rowed: dict[str, int] = {}
-    rounds: list[int] = []
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        rounds.append(rnd)
-        for name in json.load(open(path)):
+    for rnd, names in history.items():
+        for name in names:
             last_rowed[name] = max(last_rowed.get(name, 0), rnd)
 
+    rounds = sorted(history)
     upcoming = max(rounds) + 1 if rounds else 1
     if simulate:
-        # The post-artifact state: the driver has dropped
-        # CORRECTNESS_r{upcoming} containing exactly _PROMOTE.
-        for name in promote:
-            last_rowed[name] = max(last_rowed.get(name, 0), upcoming)
-        upcoming += 1
-    cadence = math.ceil(len(registry) / 50)
+        # Post-artifact guard (round-17 amendment): if the newest
+        # artifact already rowed exactly _PROMOTE, the simulated
+        # state has already happened — degrade to the normal-mode
+        # check instead of modeling an impossible second artifact.
+        if rounds and set(history[max(rounds)]) == set(promote):
+            notes.append(
+                f"simulate-next: CORRECTNESS_r{max(rounds)} already "
+                "contains exactly _PROMOTE — the simulated artifact "
+                "has landed; checking the (identical) post-artifact "
+                "state via the normal-mode rules"
+            )
+            simulate = False
+        else:
+            for name in promote:
+                last_rowed[name] = max(last_rowed.get(name, 0), upcoming)
+            upcoming += 1
+    cadence = math.ceil(len(registry) / 50) if registry else 1
     never_rowed = sorted(registry - set(last_rowed))
     next_window = set(demote[:50])
     stale = []
-    for name in registry:
+    for name in sorted(registry):
         if not simulate and name in promote:
             continue  # about to be rowed in round `upcoming`
         last = last_rowed.get(name)
@@ -123,11 +145,7 @@ def main() -> int:
         errors.append("cadence violations: " + "; ".join(sorted(stale)))
 
     retired = sorted(set(last_rowed) - registry)
-    if errors:
-        for e in errors:
-            print(f"VIOLATION: {e}")
-        return 1
-    print(
+    summary = (
         f"rotation OK{' (simulated post-artifact state)' if simulate else ''}: "
         f"registry {len(registry)}, window 50, cadence "
         f"<= {cadence} (+1 grace if queued next) rounds vs upcoming r{upcoming}; "
@@ -135,6 +153,39 @@ def main() -> int:
         f"retired {len(retired)}"
         + (f" ({', '.join(retired)})" if retired else "")
     )
+    return errors, notes, summary
+
+
+def main() -> int:
+    simulate = "--simulate-next" in sys.argv[1:]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as ep
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    history: dict[int, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        history[int(m.group(1))] = list(json.load(open(path)))
+
+    errors, notes, summary = evaluate(
+        list(ep._PROMOTE),
+        list(ep._DEMOTE),
+        list(ep._ordered_queries().keys())[:50],
+        set(all_queries().keys()),
+        history,
+        simulate=simulate,
+    )
+    for n in notes:
+        print(f"NOTE: {n}")
+    if errors:
+        for e in errors:
+            print(f"VIOLATION: {e}")
+        return 1
+    print(summary)
     return 0
 
 

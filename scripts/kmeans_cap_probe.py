@@ -60,8 +60,10 @@ def main() -> None:
     args = ap.parse_args()
     # The optimal label matching below brute-forces size! permutations
     # (exact and fine at the default k=8: 8! = 40320); k >= 11 would be
-    # infeasible — guard rather than hang.
-    assert args.k <= 10, f"--k {args.k} > 10: permutation matching is size! work"
+    # infeasible — guard rather than hang. ap.error, not assert: an
+    # assert is stripped under python -O (ADVICE r16).
+    if args.k > 10:
+        ap.error(f"--k {args.k} > 10: permutation matching is size! work")
 
     from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
         load_table,

@@ -231,6 +231,13 @@ def main() -> None:
         )
         return cosine_topk_batch(emb, qset, k=10)
 
+    def _curation_minhash(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.composed import (
+            curation_end_to_end,
+        )
+
+        return curation_end_to_end(s, d)
+
     def _simhash_xxhash(s, d):
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
             load_table,
@@ -256,11 +263,13 @@ def main() -> None:
         # 8-byte xxhash64 shingle keys instead of the oracle-able md5
         # string transform.
         "allpairs_xxhash": lambda s, d: _allpairs_xxhash(s, d),
-        # Registry entries retired in round 14 (displacement policy);
-        # the PLANS keep their scale rows via the operators directly,
-        # so the alpha tables stay regenerable.
+        # Registry entries retired in rounds 14/17 (displacement
+        # policy); the PLANS keep their scale rows via the
+        # functions/operators directly, so the alpha tables stay
+        # regenerable.
         "simhash_near_dup_pairs": lambda s, d: _simhash_xxhash(s, d),
         "minhash_near_dup_pairs": lambda s, d: _minhash_xxhash(s, d),
+        "curation_end_to_end": lambda s, d: _curation_minhash(s, d),
         # Full-corpus-training control for the round-14 TRAIN_CAP
         # change: identical plan to ivf_pq_topk's registry defaults
         # but train_stride forced to 1, so the alpha delta between

@@ -327,8 +327,11 @@ def test_cosine_batch_topk_oracle_ready(spark, sf_oracle):
     )
 
     sdf = embedding_cosine_batch_topk(spark, sf_oracle)
+    # + 0.0 normalizes signed zero before formatting: round(-eps, 6)
+    # is -0.0 and formats as "-0.000000" on one engine only (rule 8).
     got = sorted(
-        (int(r.q_id), int(r.vec_id), f"{r.cosine_sim:.6f}") for r in sdf.collect()
+        (int(r.q_id), int(r.vec_id), f"{r.cosine_sim + 0.0:.6f}")
+        for r in sdf.collect()
     )
     con = duckdb.connect()
     con.execute(
@@ -336,7 +339,7 @@ def test_cosine_batch_topk_oracle_ready(spark, sf_oracle):
         f"read_parquet('{sf_oracle}/embeddings.parquet')"
     )
     want = sorted(
-        (int(q), int(v), f"{c:.6f}")
+        (int(q), int(v), f"{c + 0.0:.6f}")
         for q, v, c in con.sql(_cosine_batch_topk_oracle(8, 10)).fetchall()
     )
     assert got == want and len(got) == 80

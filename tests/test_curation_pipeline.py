@@ -11,13 +11,15 @@ from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalo
 from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators import (
     dedup,
 )
-from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
-    all_queries,
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.composed import (
+    curation_end_to_end,
 )
 
 
 def test_curation_end_to_end_contracts(spark, sf_small):
-    out = all_queries()["curation_end_to_end"].builder(spark, sf_small)
+    # Direct call: the registry entry retired in round 17 (displacement
+    # policy #5) but the DAG's contracts stay pinned here.
+    out = curation_end_to_end(spark, sf_small)
     spans = out.collect()
     assert spans, "pipeline must produce training spans"
     surviving = {r["doc_id"] for r in spans}
