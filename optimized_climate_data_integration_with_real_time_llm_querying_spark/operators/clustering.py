@@ -696,6 +696,30 @@ def ivf_pq_rerank_topk(
     return out
 
 
+def effective_nprobe(nprobe: int, n_cells: int, realized_cells: int) -> int:
+    """The split-ratio nprobe correction for balanced IVF (round-17
+    encoding of the round-16 sweep finding, VERDICT r16 ask #5):
+    hot-list splitting turns ``n_cells`` requested cells into
+    ``realized_cells`` smaller ones, so a FIXED nprobe covers a
+    smaller share of a hot MODE — measured on the skew twin, the
+    composed stack's hot recall@10 at nprobe=2/s=200 reads 0.850 vs
+    plain 1.000 (BASELINE.md). The rule is nprobe x
+    ceil(realized/n_cells): the ratio is CEILed before multiplying —
+    whole extra probes per requested probe — because a split mode
+    needs its CHILD CELLS re-covered, and the hot list's own split
+    factor exceeds the global average growth (here the hot list
+    split ~3x while realized/n_cells = 1.5). The weaker
+    equal-coverage form, ceil(nprobe x realized/n_cells), keeps the
+    probed FRACTION constant but was measured to under-recover
+    (eff=3 -> hot 0.983 < plain 1.000; the ratio-ceil eff=4 -> hot
+    1.000 = plain). Floor-pinned in tests/test_lsh_recall.py::
+    test_composed_stack_corrected_nprobe.
+    """
+    import math
+
+    return max(nprobe, nprobe * math.ceil(realized_cells / n_cells))
+
+
 def ivf_pq_batch_topk(
     df: DataFrame,
     n_queries: int = 8,
@@ -710,6 +734,7 @@ def ivf_pq_batch_topk(
     balanced: bool = False,
     train_stride: int = 1,
     query_ids: list[int] | None = None,
+    nprobe_scale_with_split: bool = False,
 ) -> DataFrame:
     """BATCHED IVF-PQ search — how production actually drives an ANN
     index (FAISS's ``Index.search(xq, k)`` takes a query MATRIX):
@@ -728,6 +753,16 @@ def ivf_pq_batch_topk(
     batch the skew twin's hot/cold samples) — ``n_queries`` is then
     ignored. The index itself (training, coding, cells) is identical
     either way; only the broadcast query frame changes.
+
+    ``nprobe_scale_with_split`` (opt-in, default OFF so registry
+    plans stay byte-stable) applies :func:`effective_nprobe` when
+    ``balanced=True``: nprobe is scaled by the realized split ratio
+    (realized_cells / n_cells, ceil) so probe coverage of a hot mode
+    stays constant after hot-list splitting — the round-16 sweep's
+    low-nprobe dilution finding, floor-pinned in
+    tests/test_lsh_recall.py::test_composed_stack_corrected_nprobe.
+    The correction is a driver-side integer derived from the
+    already-collected centroid list — no extra action or shuffle.
 
     Scale shape: probes and LUTs stay broadcast-sized (Q x n_cells
     scalar rows, Q x m x k LUT rows); candidates are a shuffle join
@@ -754,6 +789,9 @@ def ivf_pq_batch_topk(
         df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
         train_stride=train_stride,
     )
+    if nprobe_scale_with_split and balanced:
+        realized = len({c for c, _, _ in cells.centroids})
+        nprobe = effective_nprobe(nprobe, n_cells, realized)
     cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
     dim_first = df.select(F.size(vec_col).alias("d")).first()
     d_sub = int(dim_first["d"]) // m
@@ -862,6 +900,7 @@ def ivf_pq_batch_rerank_topk(
     balanced: bool = False,
     train_stride: int = 1,
     query_ids: list[int] | None = None,
+    nprobe_scale_with_split: bool = False,
 ) -> DataFrame:
     """Batched IVF-PQ search WITH the exact re-rank stage — the
     composition production FAISS actually calls
@@ -893,6 +932,12 @@ def ivf_pq_batch_rerank_topk(
     unlike the ADC candidate set, the re-rank input cannot grow with
     the corpus), so the final output is partitioning-independent
     (pinned in tests/test_pq.py alongside the batch-search pin).
+
+    ``nprobe_scale_with_split`` forwards to the underlying batch
+    search (see :func:`ivf_pq_batch_topk`): when ``balanced=True``,
+    nprobe is scaled by the realized split ratio so hot-mode probe
+    coverage survives the split — the deployment rule for composing
+    the full skew-remedy stack at LOW nprobe (BASELINE.md).
     """
     from pyspark.sql import Window as W
 
@@ -901,6 +946,7 @@ def ivf_pq_batch_rerank_topk(
         k=k, n_iter=n_iter, topk=shortlist, vec_col=vec_col,
         id_col=id_col, balanced=balanced, train_stride=train_stride,
         query_ids=query_ids,
+        nprobe_scale_with_split=nprobe_scale_with_split,
     )
     pairs = short.select("q_id", id_col)
     qbase = (

@@ -689,6 +689,89 @@ def test_composed_stack_recall_floor(spark):
     assert cold >= 0.8, cold
 
 
+def test_composed_stack_corrected_nprobe(spark):
+    """Floor for the ENCODED nprobe split-ratio correction (round 17,
+    VERDICT r16 ask #5): the round-16 sweep found balanced hot-list
+    splitting dilutes per-probe hot-mode coverage (composed hot
+    recall@10 at nprobe=2/s=200 reads 0.850 vs plain 1.000), and the
+    remedy shipped as a prose deployment rule. It is now the opt-in
+    ``nprobe_scale_with_split`` parameter: nprobe scales by
+    ceil(realized_cells / n_cells) when balanced=True (the ratio is
+    CEILed before multiplying — the hot list's own split factor
+    exceeds the average growth, and the equal-coverage form measured
+    0.983 < plain). This pins the sweep point the ask names:
+    nprobe=2-CORRECTED recovers >= the PLAIN (unbalanced) nprobe=2
+    recall on the skew twin's hot samples (measured: corrected 1.000
+    = plain 1.000 at eff nprobe 4, realized 12 of 8 requested cells;
+    cold rises 0.467 -> 0.717 as a side effect). Defaults stay OFF so
+    registry plans remain byte-stable."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    import numpy as np
+    from gen_scale_data import gen_embeddings_skew
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        effective_nprobe,
+        ivf_pq_batch_rerank_topk,
+    )
+
+    # The rule itself: ratio-ceil, never below the requested nprobe.
+    assert effective_nprobe(2, 8, 12) == 4
+    assert effective_nprobe(2, 8, 8) == 2
+    assert effective_nprobe(6, 8, 12) == 12
+    assert effective_nprobe(3, 8, 17) == 9
+
+    tbl = gen_embeddings_skew(600)
+    pdf = tbl.to_pandas()
+    pdf["embedding"] = pdf["embedding"].map(lambda v: [float(x) for x in v])
+    emb = spark.createDataFrame(pdf)
+    m = np.array(tbl.column("embedding").to_pylist())
+    rng = np.random.default_rng(48)
+    centers = rng.standard_normal((32, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    comp = (m @ centers.T).argmax(axis=1)
+    occ = np.bincount(comp, minlength=32)
+    hot_ids = [int(q) for q in np.flatnonzero(comp == occ.argmax())[:6]]
+    norms = np.linalg.norm(m, axis=1)
+
+    def exact_top10(qid: int) -> set[int]:
+        d = m @ m[qid] / (norms * norms[qid])
+        d[qid] = -np.inf
+        return set(np.argsort(-d)[:10].tolist())
+
+    def mean_recall(balanced: bool, corrected: bool) -> float:
+        out = ivf_pq_batch_rerank_topk(
+            emb, n_cells=8, nprobe=2, m=8, k=16, n_iter=2, topk=10,
+            shortlist=200, balanced=balanced, query_ids=hot_ids,
+            nprobe_scale_with_split=corrected,
+        )
+        rows = out.collect()
+        for h in getattr(out, "cache_handles", []):
+            h.unpersist()
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        return sum(len(exact_top10(q) & got[q]) / 10 for q in hot_ids) / len(
+            hot_ids
+        )
+
+    plain = mean_recall(balanced=False, corrected=False)
+    corrected = mean_recall(balanced=True, corrected=True)
+    print(
+        f"hot recall@10 at nprobe=2, s=200: plain={plain:.3f} "
+        f"balanced+corrected={corrected:.3f}"
+    )
+    assert corrected >= plain, (corrected, plain)
+    assert corrected >= 0.95, corrected
+
+
 def test_simhash_production_path(spark):
     """The production 64-bit xxhash SimHash path must stay covered
     after its rows-only registry entry retired (round-14 displacement
