@@ -62,7 +62,17 @@ def main() -> None:
         "measured for RECALL on the same 6+6 samples (VERDICT r15 "
         "ask #3)",
     )
+    ap.add_argument(
+        "--corrected",
+        action="store_true",
+        help="with --composed: pass nprobe_scale_with_split=True so "
+        "the requested nprobes are scaled by the realized split "
+        "ratio (the round-17 encoding of the low-nprobe dilution "
+        "finding; regenerates BASELINE.md's corrected-point table)",
+    )
     args = ap.parse_args()
+    if args.corrected and not args.composed:
+        ap.error("--corrected only applies to the --composed stack")
 
     import numpy as np
     from gen_scale_data import gen_embeddings_skew
@@ -122,7 +132,8 @@ def main() -> None:
                     "tag": tag,
                     "nprobe": nprobe,
                     "queries": len(ids),
-                    "stack": "batched+balanced+refine",
+                    "stack": "batched+balanced+refine"
+                    + ("+corrected-nprobe" if args.corrected else ""),
                     "recall_at_10_by_shortlist": {},
                 }
                 for s in args.shortlists:
@@ -130,6 +141,7 @@ def main() -> None:
                         emb, n_cells=8, nprobe=nprobe, m=8, k=16,
                         n_iter=2, topk=10, shortlist=s, balanced=True,
                         query_ids=[int(q) for q in ids],
+                        nprobe_scale_with_split=args.corrected,
                     )
                     res = out.collect()
                     for h in getattr(out, "cache_handles", []):

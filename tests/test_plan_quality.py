@@ -647,3 +647,23 @@ def test_batch_recall_eval_plan_shape(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert "partial" in plan
+
+
+def test_cosine_batch_topk_plan_shape(spark, sf_oracle):
+    # The round-17 registry entry (batched exact cosine baseline):
+    # the Q-row query frame must ride the corpus scan as a BROADCAST
+    # nested-loop join (never CartesianProduct — one corpus pass with
+    # fan-out Q), the per-query top-k must stay the two-phase
+    # partial-then-final rank (no single-task global sort), and the
+    # dot products stay JVM-side (no Python in the executed plan).
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+
+    df = all_queries()["embedding_cosine_batch_topk"].builder(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # two ranking windows: the partition-local prune + the final rank
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
