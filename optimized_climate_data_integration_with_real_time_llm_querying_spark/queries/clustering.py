@@ -998,10 +998,18 @@ def ivf_pq_batch_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_pq.py).",
 )
 def ann_batch_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return _batch_recall_eval(emb)
+
+
+def _batch_recall_eval(emb: DataFrame) -> DataFrame:
+    """The batched index-quality eval composition over a given
+    embeddings frame — shared verbatim by the registry entry (full
+    corpus, byte-stable plan) and :func:`ann_batch_recall_sampled`
+    (the round-16 eval-pricing rule made executable)."""
     from ..operators.clustering import ivf_pq_batch_topk as batch
     from ..operators.similarity import cosine_topk_batch
 
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     qset = (
         emb.orderBy("vec_id")
         .limit(BATCH_Q)
@@ -1031,6 +1039,67 @@ def ann_batch_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.cache_handles = handles
     return out
+
+
+_EVAL_SAMPLE_SALT = "esamp"
+
+
+def _eval_sample_pred(id_col: str, sample_mod: int):
+    """Keep predicate for the eval's corpus hash-sample: md5-bucket
+    ("esamp:" salt — independent of the training cap's "tcap:"
+    buckets) == 0 (mod sample_mod). Rule-6 md5/conv form, so the
+    sample is replayable in any engine:
+    CAST(('0x' || substr(md5('esamp:' || CAST(vec_id AS VARCHAR)),
+    1, 8)) AS BIGINT) % sample_mod = 0 (the DuckDB twin,
+    :func:`eval_sample_pred_sql`)."""
+    hexpart = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(_EVAL_SAMPLE_SALT), F.col(id_col).cast("string")
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+    return F.pmod(F.conv(hexpart, 16, 10).cast("long"), F.lit(int(sample_mod))) == 0
+
+
+def eval_sample_pred_sql(sample_mod: int, id_col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`_eval_sample_pred` (rule 6)."""
+    return (
+        f"CAST(('0x' || substr(md5('{_EVAL_SAMPLE_SALT}:' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT) "
+        f"% {int(sample_mod)} = 0"
+    )
+
+
+def ann_batch_recall_sampled(
+    spark: SparkSession, sf_dir: str, sample_mod: int = 4
+) -> DataFrame:
+    """The round-16 exact-eval AFFORDABILITY RULE made executable
+    (BASELINE.md eval-pricing: the exact side costs ~8.1 us per
+    corpus vector per 8-query batch, so past ~10^8 vectors per node
+    the full eval stops being affordable — "run the eval on a rule-6
+    md5 hash-sample of the corpus (index + exact over the SAME
+    sample); sample queries for precision, the corpus for cost").
+
+    This is :func:`ann_batch_recall_at_10`'s exact composition run
+    on a 1/sample_mod md5 hash-sample of the corpus: training,
+    coding, probes, the exact baseline, and the query set (the
+    BATCH_Q lowest-id SAMPLED vectors) all read only the sample, so
+    the eval's cost scales down by sample_mod at any corpus size.
+    The "esamp:" salt keeps the eval sample independent of the
+    training cap's "tcap:" buckets, and the md5 form (never raw
+    id % mod — id order correlates with content) keeps it
+    cluster-unbiased and cross-engine replayable: pointing the
+    oracle's `embeddings` view at the sampled subset replays this
+    builder with the UNCHANGED full-eval oracle SQL
+    (tests/test_clustering_retrieval.py::
+    test_sampled_eval_cross_engine). Not registered: the registry
+    entry stays the full eval (byte-stable plan); this is the
+    documented scale path past the affordability ceiling."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return _batch_recall_eval(emb.filter(_eval_sample_pred("vec_id", sample_mod)))
 
 
 @register(

@@ -345,6 +345,46 @@ def test_cosine_batch_topk_oracle_ready(spark, sf_oracle):
     assert got == want and len(got) == 80
 
 
+def test_sampled_eval_cross_engine(spark, sf_oracle):
+    """The eval-pricing sampling rule, executable and falsifiable
+    (round 17): ann_batch_recall_sampled runs the batched
+    index-quality eval on a rule-6 md5 hash-sample of the corpus —
+    index, exact baseline, and query set all over the SAME sample.
+    Because the composition is byte-identical, pointing the oracle's
+    `embeddings` view at the sampled subset must replay the builder
+    with the UNCHANGED full-eval oracle SQL, cell-exactly."""
+    import duckdb
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries import (
+        all_queries,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.clustering import (
+        ann_batch_recall_sampled,
+        eval_sample_pred_sql,
+    )
+
+    sdf = ann_batch_recall_sampled(spark, sf_oracle, sample_mod=2)
+    rows = sdf.collect()
+    for h in getattr(sdf, "cache_handles", []):
+        h.unpersist()
+    got = sorted((int(r.q_id), f"{r.recall_at_10 + 0.0:.6f}") for r in rows)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_oracle}/embeddings.parquet') "
+        f"WHERE {eval_sample_pred_sql(2)}"
+    )
+    oracle = all_queries()["ann_batch_recall_at_10"].oracle
+    want = sorted(
+        (int(q), f"{v + 0.0:.6f}") for q, v in con.sql(oracle).fetchall()
+    )
+    assert got == want and len(got) == 8
+    # the sample actually engaged: the 8 lowest SAMPLED ids are not
+    # the full corpus's 0..7 (the md5 bucket drops some of them)
+    assert any(q >= 8 for q, _ in got)
+
+
 def test_cosine_topk_batch_matches_single_query(spark, sf_oracle):
     """The batched brute-force baseline (round 15): per-query rows
     must be EXACTLY cosine_topk with that query — batching cannot
