@@ -117,6 +117,13 @@ KNOB_QUERIES = [
     "ivf_pq_fulltrain",
     "kmeans_capped",
     "cosine_batch_exact",
+    # Round-17: the eval-pricing rule made executable — the batched
+    # recall eval over a rule-6 md5 1/4 corpus hash-sample. Pair with
+    # ann_batch_recall_at_10 in ONE invocation: the delta is the
+    # sampling saving at each scale (overhead-bound at the small
+    # points, approaching 4x as the exact side's ~8.1 us/vec linear
+    # term dominates).
+    "ann_recall_sampled4",
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with
@@ -231,6 +238,13 @@ def main() -> None:
         )
         return cosine_topk_batch(emb, qset, k=10)
 
+    def _ann_recall_sampled4(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.clustering import (
+            ann_batch_recall_sampled,
+        )
+
+        return ann_batch_recall_sampled(s, d, sample_mod=4)
+
     def _curation_minhash(s, d):
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.composed import (
             curation_end_to_end,
@@ -291,6 +305,8 @@ def main() -> None:
         # documents the eval's cost so "run the eval on a sample" has
         # a number.
         "cosine_batch_exact": lambda s, d: _cosine_batch_exact(s, d),
+        # Round-17: the sampled eval (see KNOB_QUERIES note).
+        "ann_recall_sampled4": lambda s, d: _ann_recall_sampled4(s, d),
     }
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()
