@@ -159,6 +159,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sees. Landing rule stays the round-13 one: decide the
 #   displacement BEFORE building the entry, pre-register the oracle,
 #   cross-verify it ahead of landing.
+# - Clause (c) is PRE-BUILT for all four candidates
+#   (tests/test_class2_retirement_ready.py): registry-independent
+#   builder-vs-oracle pins with the oracle SQL held in the test
+#   (byte-equality to the registered copy asserted while both
+#   exist), so any future class-2 retirement is a pure deletion.
+# - Round-18 statement, written now: NO addition is planned for
+#   round 18 — this round's new capability (the sampled eval) ships
+#   under the default path (operator + cross-engine pytest + scale
+#   row), and no known gap needs a driver row. The r18 window plan
+#   below therefore holds without a displacement.
 #
 # ROUND-17 ADDITION (landed as pre-registered in rounds 15-16):
 # embedding_cosine_batch_topk — the batched exact cosine top-k
