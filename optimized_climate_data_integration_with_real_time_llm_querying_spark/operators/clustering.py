@@ -696,6 +696,119 @@ def ivf_pq_rerank_topk(
     return out
 
 
+def kmeans_code_frozen(
+    df: DataFrame,
+    centroids: list[tuple[int, int, float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign vectors to the nearest FROZEN coarse centroid — the
+    index-MAINTENANCE half of IVF (FAISS ``IndexIVF.add()``: vectors
+    added after training are quantized against the codebook frozen
+    at train time; nothing retrains). At 100 TB this is the only
+    operational shape: the nightly ingest batch is one coding scan
+    (broadcast k x dim centroid cells, map-side partial aggregates,
+    no Lloyd iterations, no driver round-trips), while retraining is
+    a scheduled, churn-audited event (the capped-vs-full churn
+    findings in BASELINE.md price exactly that decision).
+
+    Same distance expression, 6-dp grid, and lowest-cluster
+    tie-break as :func:`kmeans_assign`'s final assignment, so coding
+    a corpus against its OWN trained centroids reproduces the
+    training assignment row-for-row
+    (tests/test_index_maintenance.py). Returns (id, cluster, dist2)
+    with ``centroids`` re-attached (the frozen list, unchanged) and
+    an empty ``cache_handles`` (single-scan plan: nothing persisted).
+    """
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(int(c), int(d), float(v)) for c, d, v in centroids],
+        "cluster int, dim int, cval double",
+    )
+    e = (
+        df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val"))
+        .select(F.col(id_col), "dim", F.col("val").cast("double").alias("val"))
+    )
+    dist = (
+        e.join(F.broadcast(cent), "dim")
+        .groupBy(id_col, "cluster")
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
+                6,
+            ).alias("dist2")
+        )
+    )
+    out = (
+        dist.groupBy(id_col)
+        .agg(F.min(F.struct("dist2", "cluster")).alias("m"))
+        .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
+    )
+    out.cache_handles = []
+    out.centroids = [(int(c), int(d), float(v)) for c, d, v in centroids]
+    return out
+
+
+def pq_code_frozen(
+    df: DataFrame,
+    centroids: list[tuple[int, int, int, float]],
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-code vectors against a FROZEN codebook — the PQ half of
+    FAISS ``IndexIVFPQ.add()`` (see :func:`kmeans_code_frozen`).
+    One coding scan: broadcast m x k x d_sub codebook cells, one
+    join + two aggregates, shuffle rows are (id, sub, code) scalars.
+    Same distance expression, 6-dp grid, and lowest-code tie-break
+    as :func:`_pq_lloyd`'s final assignment, so coding a corpus
+    against its own trained codebook reproduces the training
+    assignment row-for-row. Returns (id, sub, code, dist2) with
+    ``centroids`` re-attached and empty ``cache_handles``."""
+    spark = df.sparkSession
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    cent = spark.createDataFrame(
+        [(int(c), int(s), int(sd), float(v)) for c, s, sd, v in centroids],
+        "code int, sub int, sdim int, cval double",
+    )
+    e = (
+        df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val"))
+        .select(
+            F.col(id_col),
+            (F.col("dim") / d_sub).cast("int").alias("sub"),
+            (F.col("dim") % d_sub).cast("int").alias("sdim"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )
+    dist = (
+        e.join(F.broadcast(cent), ["sub", "sdim"])
+        .groupBy(id_col, "sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
+                6,
+            ).alias("dist2")
+        )
+    )
+    out = (
+        dist.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("dist2", "code")).alias("mn"))
+        .select(
+            F.col(id_col),
+            "sub",
+            F.col("mn.code").alias("code"),
+            F.col("mn.dist2").alias("dist2"),
+        )
+    )
+    out.cache_handles = []
+    out.centroids = [(int(c), int(s), int(sd), float(v)) for c, s, sd, v in centroids]
+    return out
+
+
 def effective_nprobe(nprobe: int, n_cells: int, realized_cells: int) -> int:
     """The split-ratio nprobe correction for balanced IVF (round-17
     encoding of the round-16 sweep finding, VERDICT r16 ask #5):
@@ -735,6 +848,8 @@ def ivf_pq_batch_topk(
     train_stride: int = 1,
     query_ids: list[int] | None = None,
     nprobe_scale_with_split: bool = False,
+    coarse_index: list[tuple[int, int, float]] | None = None,
+    pq_index: list[tuple[int, int, int, float]] | None = None,
 ) -> DataFrame:
     """BATCHED IVF-PQ search — how production actually drives an ANN
     index (FAISS's ``Index.search(xq, k)`` takes a query MATRIX):
@@ -764,6 +879,23 @@ def ivf_pq_batch_topk(
     The correction is a driver-side integer derived from the
     already-collected centroid list — no extra action or shuffle.
 
+    ``coarse_index`` / ``pq_index`` (default None: train as before, so
+    registry plans stay byte-stable) run the search against FROZEN
+    codebooks — the index-MAINTENANCE call shape (FAISS
+    ``IndexIVFPQ.add()`` + ``search()``: vectors ingested after train
+    time are quantized against the frozen codebooks; nothing
+    retrains). With both set, the plan drops every Lloyd iteration
+    and driver round-trip: one coarse coding scan + one PQ coding
+    scan (:func:`kmeans_code_frozen` / :func:`pq_code_frozen`), then
+    the unchanged probe/LUT/candidate pipeline. At 100 TB this is the
+    nightly-ingest shape — retraining is a separate scheduled,
+    churn-audited event (BASELINE.md's capped-vs-full churn rows
+    price exactly that decision). Passing the corpus's OWN trained
+    codebooks reproduces the trained search row-for-row
+    (tests/test_index_maintenance.py). ``balanced``/``train_stride``/
+    ``n_iter`` govern training only and are ignored for a half whose
+    index is frozen.
+
     Scale shape: probes and LUTs stay broadcast-sized (Q x n_cells
     scalar rows, Q x m x k LUT rows); candidates are a shuffle join
     of the code table against the (q_id, id) probe fan-out (scalars,
@@ -784,11 +916,14 @@ def ivf_pq_batch_topk(
     # pipeline is identical (the single-query entries' composition,
     # now available to the batch call path; registry defaults keep
     # the plain quantizer so plans stay byte-stable).
-    assign = kmeans_assign_balanced if balanced else kmeans_assign
-    cells = assign(
-        df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
-        train_stride=train_stride,
-    )
+    if coarse_index is not None:
+        cells = kmeans_code_frozen(df, coarse_index, vec_col=vec_col, id_col=id_col)
+    else:
+        assign = kmeans_assign_balanced if balanced else kmeans_assign
+        cells = assign(
+            df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
+            train_stride=train_stride,
+        )
     if nprobe_scale_with_split and balanced:
         realized = len({c for c, _, _ in cells.centroids})
         nprobe = effective_nprobe(nprobe, n_cells, realized)
@@ -833,7 +968,10 @@ def ivf_pq_batch_topk(
         .filter(F.col(id_col) != F.col("q_id"))
         .select("q_id", id_col)
     )
-    codes = pq_assign(df, m, k, n_iter, vec_col, id_col, train_stride)
+    if pq_index is not None:
+        codes = pq_code_frozen(df, pq_index, m, vec_col=vec_col, id_col=id_col)
+    else:
+        codes = pq_assign(df, m, k, n_iter, vec_col, id_col, train_stride)
     # Batched LUT: Q x m x k rows, still broadcast-sized.
     cb = spark.createDataFrame(
         codes.centroids, "code int, sub int, sdim int, cval double"
@@ -901,6 +1039,8 @@ def ivf_pq_batch_rerank_topk(
     train_stride: int = 1,
     query_ids: list[int] | None = None,
     nprobe_scale_with_split: bool = False,
+    coarse_index: list[tuple[int, int, float]] | None = None,
+    pq_index: list[tuple[int, int, int, float]] | None = None,
 ) -> DataFrame:
     """Batched IVF-PQ search WITH the exact re-rank stage — the
     composition production FAISS actually calls
@@ -938,6 +1078,13 @@ def ivf_pq_batch_rerank_topk(
     nprobe is scaled by the realized split ratio so hot-mode probe
     coverage survives the split — the deployment rule for composing
     the full skew-remedy stack at LOW nprobe (BASELINE.md).
+
+    ``coarse_index`` / ``pq_index`` forward too (see
+    :func:`ivf_pq_batch_topk`): the frozen-index maintenance shape
+    with the exact re-rank on top — FAISS
+    ``IndexRefineFlat(IndexIVFPQ).add()+search()``. The re-rank stage
+    itself never trains anything, so freezing changes only the
+    shortlist sub-plan.
     """
     from pyspark.sql import Window as W
 
@@ -947,6 +1094,7 @@ def ivf_pq_batch_rerank_topk(
         id_col=id_col, balanced=balanced, train_stride=train_stride,
         query_ids=query_ids,
         nprobe_scale_with_split=nprobe_scale_with_split,
+        coarse_index=coarse_index, pq_index=pq_index,
     )
     pairs = short.select("q_id", id_col)
     qbase = (

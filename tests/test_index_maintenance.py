@@ -1,0 +1,169 @@
+"""ANN index MAINTENANCE: coding vectors against FROZEN codebooks.
+
+The operational complement of the capped-training/churn findings
+(BASELINE.md): at 100 TB you retrain a quantizer on a schedule, not
+per ingest batch — new vectors are quantized against the codebook
+frozen at train time (FAISS ``IndexIVF.add()`` / ``IndexIVFPQ.add()``
+semantics). These tests pin the two contracts that make that safe:
+
+1. ROUND-TRIP: coding a corpus against its OWN trained codebook
+   reproduces the training assignment row-for-row (same distance
+   expression, 6-dp grid, lowest-cluster/code tie-break) — so the
+   frozen path is a strict generalization, not a near-miss, of the
+   trained path.
+2. SEARCH EQUALITY: ``ivf_pq_batch_topk(coarse_index=…, pq_index=…)``
+   with the trained codebooks returns exactly the trained search's
+   rows (and forwards through the re-rank composition).
+3. MAINTENANCE SEMANTICS: train on a BASE prefix, then code the grown
+   corpus (base + new batch) frozen — base rows are unchanged and
+   every new vector lands on its true nearest frozen centroid
+   (driver-verified brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+    load_table,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+    ivf_pq_batch_rerank_topk,
+    ivf_pq_batch_topk,
+    kmeans_assign,
+    kmeans_code_frozen,
+    pq_assign,
+    pq_code_frozen,
+)
+
+K_COARSE, M, K_PQ = 8, 8, 16
+BASE_N = 350  # train on vec_id < 350, "ingest" the remaining 150
+
+
+def _release(df):
+    for h in getattr(df, "cache_handles", []):
+        h.unpersist()
+
+
+def test_kmeans_code_frozen_roundtrip(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    trained = kmeans_assign(emb, k=K_COARSE, n_iter=2)
+    want = sorted(
+        (int(r.vec_id), int(r.cluster), float(r.dist2)) for r in trained.collect()
+    )
+    _release(trained)
+    coded = kmeans_code_frozen(emb, trained.centroids)
+    got = sorted(
+        (int(r.vec_id), int(r.cluster), float(r.dist2)) for r in coded.collect()
+    )
+    assert got == want
+    # the frozen list passes through unchanged
+    assert coded.centroids == [
+        (int(c), int(d), float(v)) for c, d, v in trained.centroids
+    ]
+    assert coded.cache_handles == []
+
+
+def test_pq_code_frozen_roundtrip(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    trained = pq_assign(emb, m=M, k=K_PQ, n_iter=2)
+    want = sorted(
+        (int(r.vec_id), int(r.sub), int(r.code), float(r.dist2))
+        for r in trained.collect()
+    )
+    _release(trained)
+    coded = pq_code_frozen(emb, trained.centroids, m=M)
+    got = sorted(
+        (int(r.vec_id), int(r.sub), int(r.code), float(r.dist2))
+        for r in coded.collect()
+    )
+    assert got == want
+
+
+def test_frozen_index_search_matches_trained(spark, sf_small):
+    """ivf_pq_batch_topk against the corpus's own trained codebooks ==
+    the train-inline call: the frozen path changes the PLAN (no Lloyd
+    iterations, no driver round-trips) but not one output row."""
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    kw = dict(n_queries=3, n_cells=K_COARSE, nprobe=2, m=M, k=K_PQ, topk=10)
+    trained = ivf_pq_batch_topk(emb, **kw)
+    want = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2)) for r in trained.collect()
+    ]
+    _release(trained)
+    cells = kmeans_assign(emb, k=K_COARSE, n_iter=2)
+    cells.collect()
+    codes = pq_assign(emb, m=M, k=K_PQ, n_iter=2)
+    codes.collect()
+    _release(cells)
+    _release(codes)
+    frozen = ivf_pq_batch_topk(
+        emb, coarse_index=cells.centroids, pq_index=codes.centroids, **kw
+    )
+    got = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2)) for r in frozen.collect()
+    ]
+    _release(frozen)
+    assert got == want and len(got) == 3 * 10
+
+
+def test_frozen_index_rerank_forwards(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    kw = dict(
+        n_queries=2, n_cells=K_COARSE, nprobe=2, m=M, k=K_PQ, topk=5, shortlist=25
+    )
+    trained = ivf_pq_batch_rerank_topk(emb, **kw)
+    want = [(int(r.q_id), int(r.vec_id), float(r.dist2)) for r in trained.collect()]
+    _release(trained)
+    cells = kmeans_assign(emb, k=K_COARSE, n_iter=2)
+    cells.collect()
+    codes = pq_assign(emb, m=M, k=K_PQ, n_iter=2)
+    codes.collect()
+    _release(cells)
+    _release(codes)
+    frozen = ivf_pq_batch_rerank_topk(
+        emb, coarse_index=cells.centroids, pq_index=codes.centroids, **kw
+    )
+    got = [(int(r.q_id), int(r.vec_id), float(r.dist2)) for r in frozen.collect()]
+    _release(frozen)
+    assert got == want and len(got) == 2 * 5
+
+
+def test_frozen_coding_of_ingest_batch(spark, sf_small):
+    """The nightly-ingest scenario: train on the BASE prefix, freeze,
+    then code base + new batch. Base assignments are IDENTICAL to the
+    base-trained run (adding vectors never moves existing ones — the
+    property FAISS add() guarantees and retraining deliberately
+    breaks), and every new vector lands on its true nearest frozen
+    centroid (brute-force verified on the driver)."""
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    base = emb.filter(F.col("vec_id") < BASE_N)
+    trained = kmeans_assign(base, k=K_COARSE, n_iter=2)
+    base_want = {int(r.vec_id): (int(r.cluster), float(r.dist2)) for r in trained.collect()}
+    _release(trained)
+    assert len(base_want) == BASE_N
+
+    coded = kmeans_code_frozen(emb, trained.centroids)
+    rows = {int(r.vec_id): (int(r.cluster), float(r.dist2)) for r in coded.collect()}
+    assert len(rows) == 500
+    # (a) base rows byte-identical
+    assert {i: rows[i] for i in base_want} == base_want
+
+    # (b) new rows: nearest frozen centroid, brute force. Replays the
+    # operator's 6-dp grid + lowest-cluster tie-break exactly.
+    cent = {}
+    for c, d, v in trained.centroids:
+        cent.setdefault(int(c), {})[int(d)] = float(v)
+    new_vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") >= BASE_N).collect()
+    }
+    assert len(new_vecs) == 500 - BASE_N
+    for vid, vec in new_vecs.items():
+        best = min(
+            (
+                (round(sum((vec[d] - cv) ** 2 for d, cv in dims.items()), 6), c)
+                for c, dims in cent.items()
+            )
+        )
+        assert rows[vid] == (best[1], best[0]), vid
