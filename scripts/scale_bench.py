@@ -124,6 +124,15 @@ KNOB_QUERIES = [
     # points, approaching 4x as the exact side's ~8.1 us/vec linear
     # term dominates).
     "ann_recall_sampled4",
+    # Round-17: the frozen-index maintenance shape. Identical search
+    # params to ivf_pq_batch_topk's registry entry but the coarse +
+    # PQ codebooks are trained ONCE per scale point outside the timed
+    # region and passed frozen (coarse_index/pq_index) — pair with
+    # ivf_pq_batch_topk in ONE invocation and the wall delta is the
+    # per-batch cost of retraining the quantizers (what a nightly
+    # ingest SAVES by coding against the frozen index, FAISS add()
+    # semantics).
+    "ivf_pq_batch_frozen",
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with
@@ -238,6 +247,40 @@ def main() -> None:
         )
         return cosine_topk_batch(emb, qset, k=10)
 
+    _frozen_idx: dict[str, tuple[list, list]] = {}
+
+    def _ivf_pq_batch_frozen(s, d):
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+            load_table,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+            ivf_pq_batch_topk,
+            kmeans_assign,
+            pq_assign,
+        )
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.clustering import (
+            _train_stride,
+        )
+
+        emb = load_table(s, d, "embeddings", rebalance=True)
+        if d not in _frozen_idx:
+            # Train EXACTLY as the registry entry trains (same stride)
+            # so the paired wall delta is attributable to training
+            # amortization alone. Codebooks are collected during
+            # construction; the assignment frames are never run.
+            stride = _train_stride(emb)
+            cells = kmeans_assign(emb, k=8, n_iter=2, train_stride=stride)
+            codes = pq_assign(emb, m=8, k=16, n_iter=2, train_stride=stride)
+            for fr in (cells, codes):
+                for h in fr.cache_handles:
+                    h.unpersist()
+            _frozen_idx[d] = (cells.centroids, codes.centroids)
+        ci, pi = _frozen_idx[d]
+        return ivf_pq_batch_topk(
+            emb, n_queries=8, n_cells=8, nprobe=2, m=8, k=16, topk=10,
+            coarse_index=ci, pq_index=pi,
+        )
+
     def _ann_recall_sampled4(s, d):
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.clustering import (
             ann_batch_recall_sampled,
@@ -307,6 +350,9 @@ def main() -> None:
         "cosine_batch_exact": lambda s, d: _cosine_batch_exact(s, d),
         # Round-17: the sampled eval (see KNOB_QUERIES note).
         "ann_recall_sampled4": lambda s, d: _ann_recall_sampled4(s, d),
+        # Round-17: the frozen-index maintenance twin (see
+        # KNOB_QUERIES note).
+        "ivf_pq_batch_frozen": lambda s, d: _ivf_pq_batch_frozen(s, d),
     }
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()

@@ -28,10 +28,12 @@ from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalo
     load_table,
 )
 from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+    codebook_churn_flows,
     ivf_pq_batch_rerank_topk,
     ivf_pq_batch_topk,
     kmeans_assign,
     kmeans_code_frozen,
+    matched_churn_from_flows,
     pq_assign,
     pq_code_frozen,
 )
@@ -167,3 +169,77 @@ def test_frozen_coding_of_ingest_batch(spark, sf_small):
             )
         )
         assert rows[vid] == (best[1], best[0]), vid
+
+
+def test_churn_flows_identity(spark, sf_small):
+    """Same codebook on both sides: every flow is diagonal, matched
+    churn 0, zero distance delta."""
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    trained = kmeans_assign(emb, k=K_COARSE, n_iter=2)
+    trained.collect()
+    _release(trained)
+    flows = codebook_churn_flows(emb, trained.centroids, trained.centroids)
+    rows = [
+        (int(r.cluster_old), int(r.cluster_new), int(r.n), float(r.mean_dist2_delta))
+        for r in flows.collect()
+    ]
+    assert all(o == n for o, n, _, _ in rows)
+    assert all(d == 0.0 for _, _, _, d in rows)
+    assert sum(n for _, _, n, _ in rows) == 500
+    assert matched_churn_from_flows([(o, n, c) for o, n, c, _ in rows]) == 0.0
+
+
+def test_churn_flows_relabel_invariant(spark, sf_small):
+    """A cold retrain relabels clusters arbitrarily; permuting the
+    NEW codebook's labels must leave matched churn at 0 even though
+    raw label disagreement is near-total — the correction
+    scripts/kmeans_cap_probe.py applies, here on the flow table."""
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    trained = kmeans_assign(emb, k=K_COARSE, n_iter=2)
+    trained.collect()
+    _release(trained)
+    realized = sorted({c for c, _, _ in trained.centroids})
+    shift = {c: realized[(i + 1) % len(realized)] for i, c in enumerate(realized)}
+    permuted = [(shift[c], d, v) for c, d, v in trained.centroids]
+    flows = codebook_churn_flows(emb, trained.centroids, permuted)
+    rows = [
+        (int(r.cluster_old), int(r.cluster_new), int(r.n)) for r in flows.collect()
+    ]
+    # raw disagreement: every row is off-diagonal (cyclic shift)
+    assert all(o != n for o, n, _ in rows)
+    assert matched_churn_from_flows(rows) == 0.0
+
+
+def test_churn_flows_retrain(spark, sf_small):
+    """Base-trained vs full-trained codebooks — the real scheduled-
+    retrain audit. Totals conserve, and the flow table's weighted
+    distance delta equals the independently-computed difference of
+    mean assigned dist2 under each codebook."""
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    base = emb.filter(F.col("vec_id") < BASE_N)
+    old = kmeans_assign(base, k=K_COARSE, n_iter=2)
+    old.collect()
+    _release(old)
+    new = kmeans_assign(emb, k=K_COARSE, n_iter=2)
+    new.collect()
+    _release(new)
+    flows = codebook_churn_flows(emb, old.centroids, new.centroids)
+    rows = [
+        (int(r.cluster_old), int(r.cluster_new), int(r.n), float(r.mean_dist2_delta))
+        for r in flows.collect()
+    ]
+    assert sum(n for _, _, n, _ in rows) == 500
+    churn = matched_churn_from_flows([(o, nw, c) for o, nw, c, _ in rows])
+    assert 0.0 <= churn <= 1.0
+    # independent check of the quality-delta column
+    d_old = sum(
+        float(r.dist2) for r in kmeans_code_frozen(emb, old.centroids).collect()
+    )
+    d_new = sum(
+        float(r.dist2) for r in kmeans_code_frozen(emb, new.centroids).collect()
+    )
+    got = sum(c * d for _, _, c, d in rows)
+    assert abs(got - (d_new - d_old)) < 1e-2
+    # full training saw the new vectors; it cannot fit the corpus
+    # WORSE than the base-only codebook does
+    assert d_new <= d_old + 1e-6
