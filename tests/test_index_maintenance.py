@@ -171,6 +171,42 @@ def test_frozen_coding_of_ingest_batch(spark, sf_small):
         assert rows[vid] == (best[1], best[0]), vid
 
 
+def test_frozen_search_plan_shape(spark, sf_small):
+    """The frozen-index search keeps the batch pipeline's plan
+    discipline (broadcast codebooks, no cartesian, no Python) AND
+    drops the training stage entirely: building the frame triggers
+    zero Spark jobs (no Lloyd collects, no seed collect — the frozen
+    path must be lazily composable into a nightly ingest DAG)."""
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    cells = kmeans_assign(emb, k=K_COARSE, n_iter=2)
+    codes = pq_assign(emb, m=M, k=K_PQ, n_iter=2)
+    for fr in (cells, codes):
+        _release(fr)
+    sc = spark.sparkContext
+    sc.setJobGroup("frozen-build", "index-maintenance plan pin")
+    try:
+        # the two dim-sniff .first() calls are the ONLY allowed
+        # actions (the batch search's own + pq_code_frozen's)
+        frozen = ivf_pq_batch_topk(
+            emb, n_queries=3, n_cells=K_COARSE, nprobe=2, m=M, k=K_PQ, topk=10,
+            coarse_index=cells.centroids, pq_index=codes.centroids,
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("frozen-build")
+    # measured: 4 (each dim sniff is 2 AQE stage-jobs); the trained
+    # build runs 39 — any training sneaking back in blows way past 6
+    assert len(jobs) <= 6, (
+        f"frozen path ran {len(jobs)} jobs — it must not train "
+        "(no Lloyd collects, no seed collect)"
+    )
+    plan = frozen._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "partial" in plan
+
+
 def test_churn_flows_identity(spark, sf_small):
     """Same codebook on both sides: every flow is diagonal, matched
     churn 0, zero distance delta."""
