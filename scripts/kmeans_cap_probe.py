@@ -57,6 +57,15 @@ def main() -> None:
         "vs full, wall vs capped",
     )
     ap.add_argument("--warm-iters", type=int, default=1)
+    ap.add_argument(
+        "--flows",
+        action="store_true",
+        help="also compute churn via the DISTRIBUTED audit "
+        "(codebook_churn_flows + matched_churn_from_flows, round 17) "
+        "on the same codebooks — must equal matched_churn_frac "
+        "exactly (the cross-validation that retires this probe's "
+        "collect-everything path at corpus scale)",
+    )
     args = ap.parse_args()
     # The optimal label matching below brute-forces size! permutations
     # (exact and fine at the default k=8: 8! = 40320); k >= 11 would be
@@ -123,7 +132,7 @@ def main() -> None:
     # Warm-up pass so the full-vs-capped pair compares steady state,
     # not parquet cold-read + codegen compile of whoever runs first.
     run(1)
-    full, wall_full, _ = run(1)
+    full, wall_full, full_centroids = run(1)
     capped, wall_capped, capped_centroids = run(stride)
     assert set(full) == set(capped) and len(full) == n
 
@@ -149,6 +158,28 @@ def main() -> None:
         "matched_churn_frac": round(churn, 4),
         "load_1m": round(os.getloadavg()[0], 2),
     }
+
+    if args.flows:
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+            codebook_churn_flows,
+            matched_churn_from_flows,
+        )
+
+        t0 = time.monotonic()
+        fl = codebook_churn_flows(emb, full_centroids, capped_centroids)
+        frows = [
+            (int(r.cluster_old), int(r.cluster_new), int(r.n)) for r in fl.collect()
+        ]
+        wall_flows = time.monotonic() - t0
+        rec.update(
+            {
+                "matched_churn_flows_frac": round(
+                    matched_churn_from_flows(frows), 4
+                ),
+                "wall_flows_sec": round(wall_flows, 2),
+                "n_flow_cells": len(frows),
+            }
+        )
 
     if args.warm_start:
         # VERDICT r15 ask #5: can ONE full-data Lloyd pass from the
