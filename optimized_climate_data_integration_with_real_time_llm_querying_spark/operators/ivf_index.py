@@ -1,0 +1,227 @@
+"""Persisted IVF-PQ index: the inverted-list layout as a TABLE.
+
+Every in-memory search in :mod:`operators.clustering` scans the whole
+code table and lets a broadcast probe-join discard the unprobed cells
+AFTER the read. That is the right shape when the codes were just
+built, but a 100-TB deployment searches a STORED index many times per
+build — and there the scan itself is the cost. The FAISS answer is
+the inverted list (codes grouped by coarse cell, only probed lists
+touched); the Spark-native translation is a parquet table
+``partitionBy("cluster")``: the probed cells become PARTITION FILTERS
+and the scan never lists, opens, or reads any other cell's files —
+``nprobe / n_cells`` of the index is the I/O bound per query batch,
+enforced by the planner, not by a post-read filter
+(tests/test_ivf_index.py pins ``PartitionFilters`` in the executed
+plan).
+
+- :func:`write_ivf_index` — code the corpus against FROZEN codebooks
+  (:func:`~.clustering.kmeans_code_frozen` /
+  :func:`~.clustering.pq_code_frozen`, the maintenance semantics: an
+  ingest batch appends by re-running this over the new rows with the
+  same codebooks) and write ``codes/`` partitioned by coarse cell
+  plus the two codebook sidecar tables. One coding pass, no training.
+- :func:`search_ivf_index` — batched ADC search over the stored
+  index: probe selection uses the SAME Spark expressions as
+  :func:`~.clustering.ivf_pq_batch_topk` (collected to Q x nprobe
+  driver pairs — that round-trip is what turns the probe set into
+  literal partition filters, exactly the list-selection step FAISS
+  runs driver-side), then LUT scoring + the two-phase per-query
+  top-k over ONLY the probed partitions. Row-for-row equal to the
+  in-memory frozen search on the same codebooks
+  (tests/test_ivf_index.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .clustering import kmeans_code_frozen, pq_code_frozen
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    coarse_index: list[tuple[int, int, float]],
+    pq_index: list[tuple[int, int, int, float]],
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Write the inverted-list index at ``path``: ``codes/`` is
+    (id, sub, code) parquet partitioned by the coarse ``cluster``
+    column (m rows per vector, all in the vector's cell partition —
+    the inverted list), ``coarse/`` and ``pq/`` hold the frozen
+    codebooks so a reader needs nothing but the path. Appending an
+    ingest batch = calling this over the NEW rows with
+    ``mode="append"`` and the SAME codebooks (frozen-coding
+    determinism makes that exactly FAISS ``add()``; retraining is a
+    separate rebuild, priced by the churn audit).
+
+    Scale shape: two coding scans + one id-join (shuffle rows are
+    scalar (id, cluster/sub/code) tuples), then a partitioned write.
+    ``partitionBy`` shuffles nothing by itself — each task writes its
+    rows into per-cell files; at corpus scale precede with
+    ``.repartition("cluster")`` upstream if small-files pressure
+    matters more than write parallelism (the compaction operator's
+    trade, documented at ingest.compact_table).
+    """
+    spark = df.sparkSession
+    cells = kmeans_code_frozen(df, coarse_index, vec_col=vec_col, id_col=id_col)
+    codes = pq_code_frozen(df, pq_index, m=m, vec_col=vec_col, id_col=id_col)
+    idx = (
+        cells.select(F.col(id_col), "cluster")
+        .join(codes.select(F.col(id_col), "sub", "code"), id_col)
+    )
+    if mode == "append":
+        # An append MUST use the codebooks the index was built with —
+        # frozen-coding against anything else silently corrupts every
+        # stored list (that operation is a REBUILD, priced by the
+        # churn audit). Loud seam, repo rule: one driver-sized read.
+        stored = sorted(
+            (int(r.cluster), int(r.dim), float(r.cval))
+            for r in spark.read.parquet(path + "/coarse").collect()
+        )
+        if stored != sorted((int(c), int(d), float(v)) for c, d, v in coarse_index):
+            raise ValueError(
+                "append with a coarse codebook different from the stored "
+                "index's — rebuild (mode='overwrite') instead"
+            )
+        stored_pq = sorted(
+            (int(r.code), int(r.sub), int(r.sdim), float(r.cval))
+            for r in spark.read.parquet(path + "/pq").collect()
+        )
+        if stored_pq != sorted(
+            (int(c), int(s), int(sd), float(v)) for c, s, sd, v in pq_index
+        ):
+            raise ValueError(
+                "append with a PQ codebook different from the stored "
+                "index's — rebuild (mode='overwrite') instead"
+            )
+        idx.write.mode("append").partitionBy("cluster").parquet(path + "/codes")
+        return
+    idx.write.mode(mode).partitionBy("cluster").parquet(path + "/codes")
+    spark.createDataFrame(
+        [(int(c), int(d), float(v)) for c, d, v in coarse_index],
+        "cluster int, dim int, cval double",
+    ).write.mode(mode).parquet(path + "/coarse")
+    spark.createDataFrame(
+        [(int(c), int(s), int(sd), float(v)) for c, s, sd, v in pq_index],
+        "code int, sub int, sdim int, cval double",
+    ).write.mode(mode).parquet(path + "/pq")
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_df: DataFrame,
+    nprobe: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Batched ADC search over a :func:`write_ivf_index` table.
+    ``query_df`` is (q_id, q_vec) — arbitrary query vectors, the
+    ``Index.search(xq, k)`` matrix. Returns (q_id, vec_id, adc_dist2)
+    ordered by (q_id, adc_dist2, vec_id); query ids present in the
+    corpus are excluded from their own results, matching
+    :func:`~.clustering.ivf_pq_batch_topk`.
+
+    The probe stage reuses the batch search's exact expressions
+    (6-dp grid, (d2, cluster) tie-break) and collects the Q x nprobe
+    (q_id, cluster) pairs: driver-sized at any corpus size, and the
+    point of the design — the probed cells become LITERAL partition
+    filters on the codes read, so the scan is bounded by
+    nprobe/n_cells of the index regardless of corpus size. LUT and
+    probe frames broadcast; the per-query top-k is the same
+    partitioning-independent two-phase rank as the in-memory batch
+    search.
+    """
+    from pyspark.sql import Window as W
+
+    coarse = spark.read.parquet(path + "/coarse")
+    qset = (
+        query_df.select(
+            F.col(q_id_col).alias("q_id"),
+            F.posexplode(F.col(q_vec_col)).alias("dim", "qval"),
+        )
+        .select("q_id", "dim", F.col("qval").cast("double").alias("qval"))
+    )
+    qd = (
+        qset.join(F.broadcast(coarse), "dim")
+        .groupBy("q_id", "cluster")
+        .agg(
+            F.round(
+                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    probe_rows = [
+        (int(r["q_id"]), int(r["cluster"]))
+        for r in (
+            qd.withColumn(
+                "rk",
+                F.row_number().over(W.partitionBy("q_id").orderBy("d2", "cluster")),
+            )
+            .filter(F.col("rk") <= nprobe)
+            .select("q_id", "cluster")
+            .collect()
+        )
+    ]
+    probed = sorted({c for _, c in probe_rows})
+    probe = spark.createDataFrame(probe_rows, "q_id bigint, cluster int")
+
+    # Literal IN-filter on the partition column: the scan plans with
+    # PartitionFilters and never touches unprobed cells' files.
+    codes = spark.read.parquet(path + "/codes").filter(
+        F.col("cluster").isin(probed)
+    )
+
+    cb = spark.read.parquet(path + "/pq")
+    d_sub_row = cb.agg((F.max("sdim") + 1).alias("ds")).first()
+    d_sub = int(d_sub_row["ds"])
+    qsub = qset.select(
+        "q_id",
+        (F.col("dim") / d_sub).cast("int").alias("sub"),
+        (F.col("dim") % d_sub).cast("int").alias("sdim"),
+        "qval",
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), ["sub", "sdim"])
+        .groupBy("q_id", "sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
+                6,
+            ).alias("lut_d")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(probe), "cluster")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("lut_d"), 6).alias("adc_dist2"))
+    )
+    part = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id", F.spark_partition_id()).orderBy(
+                "adc_dist2", id_col
+            )
+        ),
+    ).filter(F.col("rk") <= topk)
+    out = (
+        part.withColumn(
+            "rk2",
+            F.row_number().over(W.partitionBy("q_id").orderBy("adc_dist2", id_col)),
+        )
+        .filter(F.col("rk2") <= topk)
+        .select("q_id", id_col, "adc_dist2")
+        .orderBy("q_id", "adc_dist2", id_col)
+    )
+    out.cache_handles = []
+    return out

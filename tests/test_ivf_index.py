@@ -1,0 +1,142 @@
+"""Persisted inverted-list IVF-PQ index: stored-vs-in-memory search
+equality, PARTITION-PRUNED scans, and frozen append semantics.
+
+The scale claim under test: a stored index search reads only the
+probed cells' files — the planner's partition filters, not a
+post-read filter, bound the I/O at nprobe/n_cells of the index.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
+    load_table,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+    ivf_pq_batch_topk,
+    kmeans_assign,
+    pq_assign,
+)
+from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.ivf_index import (
+    search_ivf_index,
+    write_ivf_index,
+)
+
+K_COARSE, M, K_PQ, NPROBE, TOPK = 8, 8, 16, 2, 10
+
+
+def _codebooks(emb):
+    cells = kmeans_assign(emb, k=K_COARSE, n_iter=2)
+    codes = pq_assign(emb, m=M, k=K_PQ, n_iter=2)
+    for fr in (cells, codes):
+        for h in fr.cache_handles:
+            h.unpersist()
+    return cells.centroids, codes.centroids
+
+
+def _qdf(emb, n):
+    return (
+        emb.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+
+
+@pytest.fixture(scope="module")
+def stored(spark, sf_small, tmp_path_factory):
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    ci, pi = _codebooks(emb)
+    path = str(tmp_path_factory.mktemp("ivfidx") / "idx")
+    write_ivf_index(emb, path, ci, pi, m=M)
+    return emb, ci, pi, path
+
+
+def test_stored_search_matches_inmemory(spark, stored):
+    """Searching the stored index == the in-memory frozen batch
+    search on the same codebooks, row for row."""
+    emb, ci, pi, path = stored
+    want = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2))
+        for r in ivf_pq_batch_topk(
+            emb, n_queries=3, n_cells=K_COARSE, nprobe=NPROBE, m=M, k=K_PQ,
+            topk=TOPK, coarse_index=ci, pq_index=pi,
+        ).collect()
+    ]
+    got = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2))
+        for r in search_ivf_index(
+            spark, path, _qdf(emb, 3), nprobe=NPROBE, topk=TOPK
+        ).collect()
+    ]
+    assert got == want and len(got) == 3 * TOPK
+
+
+def test_partition_pruned_scan(spark, stored):
+    """The probed cells arrive as PartitionFilters on the codes scan:
+    unprobed cells' files are never listed or read (the inverted-list
+    I/O bound, enforced by the planner)."""
+    emb, ci, pi, path = stored
+    out = search_ivf_index(spark, path, _qdf(emb, 3), nprobe=NPROBE, topk=TOPK)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        (
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "codes" in plan
+        ),
+        "",
+    )
+    assert "PartitionFilters: [" in plan
+    assert "PartitionFilters: []" not in plan.replace("PartitionFilters: [],", "X")
+    # the cluster partition column is the filtered one
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "cluster" in m.group(1), (scan, m and m.group(1))
+    # and the search plan keeps the batch family's discipline
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_append_matches_one_shot(spark, sf_small, tmp_path):
+    """FAISS add(): write the base corpus, append the ingest batch
+    frozen — the grown index answers queries identically to an index
+    written over the full corpus in one shot."""
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    base = emb.filter(F.col("vec_id") < 350)
+    rest = emb.filter(F.col("vec_id") >= 350)
+    ci, pi = _codebooks(base)  # trained on the base, as in production
+
+    p_grown = str(tmp_path / "grown")
+    write_ivf_index(base, p_grown, ci, pi, m=M)
+    write_ivf_index(rest, p_grown, ci, pi, m=M, mode="append")
+
+    p_full = str(tmp_path / "oneshot")
+    write_ivf_index(emb, p_full, ci, pi, m=M)
+
+    q = _qdf(emb, 3)
+    a = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2))
+        for r in search_ivf_index(spark, p_grown, q, nprobe=NPROBE, topk=TOPK).collect()
+    ]
+    b = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2))
+        for r in search_ivf_index(spark, p_full, q, nprobe=NPROBE, topk=TOPK).collect()
+    ]
+    assert a == b and len(a) == 3 * TOPK
+
+
+def test_append_rejects_foreign_codebook(spark, sf_small, tmp_path):
+    """Appending with a codebook other than the stored one corrupts
+    every list — it must refuse loudly (that operation is a rebuild,
+    priced by the churn audit)."""
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    base = emb.filter(F.col("vec_id") < 350)
+    ci, pi = _codebooks(base)
+    path = str(tmp_path / "idx")
+    write_ivf_index(base, path, ci, pi, m=M)
+    ci2 = [(c, d, v + 1.0) for c, d, v in ci]
+    with pytest.raises(ValueError, match="coarse codebook"):
+        write_ivf_index(emb, path, ci2, pi, m=M, mode="append")
