@@ -133,6 +133,15 @@ KNOB_QUERIES = [
     # ingest SAVES by coding against the frozen index, FAISS add()
     # semantics).
     "ivf_pq_batch_frozen",
+    # Round-17: the STORED inverted-list index (write_ivf_index once
+    # per scale point outside the timed region; the timed query is
+    # search_ivf_index — probe selection + a partition-PRUNED read of
+    # the probed cells' precoded lists + LUT top-k). Three-tier story
+    # with the two rows above: retrain-per-batch -> frozen coding
+    # per batch -> stored index (no coding at all; I/O bounded at
+    # nprobe/n_cells of the index by the planner's partition
+    # filters).
+    "ivf_index_search",
 ]
 SCALES = [("0.1x", ".scale/sf0.1x", 1.0), ("1", ".scale/sf1", 10.0)]
 # Optional third point for a 3-point curve (generate with
@@ -250,11 +259,25 @@ def main() -> None:
     _frozen_idx: dict[str, tuple[list, list]] = {}
 
     def _ivf_pq_batch_frozen(s, d):
+        # Codebooks are trained EXACTLY as the registry entry trains
+        # (same stride), once per scale point via _frozen_codebooks,
+        # so the paired wall delta vs ivf_pq_batch_topk is
+        # attributable to training amortization alone.
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+            ivf_pq_batch_topk,
+        )
+
+        emb, (ci, pi) = _frozen_codebooks(s, d)
+        return ivf_pq_batch_topk(
+            emb, n_queries=8, n_cells=8, nprobe=2, m=8, k=16, topk=10,
+            coarse_index=ci, pq_index=pi,
+        )
+
+    def _frozen_codebooks(s, d):
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalog import (
             load_table,
         )
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
-            ivf_pq_batch_topk,
             kmeans_assign,
             pq_assign,
         )
@@ -264,10 +287,6 @@ def main() -> None:
 
         emb = load_table(s, d, "embeddings", rebalance=True)
         if d not in _frozen_idx:
-            # Train EXACTLY as the registry entry trains (same stride)
-            # so the paired wall delta is attributable to training
-            # amortization alone. Codebooks are collected during
-            # construction; the assignment frames are never run.
             stride = _train_stride(emb)
             cells = kmeans_assign(emb, k=8, n_iter=2, train_stride=stride)
             codes = pq_assign(emb, m=8, k=16, n_iter=2, train_stride=stride)
@@ -275,11 +294,29 @@ def main() -> None:
                 for h in fr.cache_handles:
                     h.unpersist()
             _frozen_idx[d] = (cells.centroids, codes.centroids)
-        ci, pi = _frozen_idx[d]
-        return ivf_pq_batch_topk(
-            emb, n_queries=8, n_cells=8, nprobe=2, m=8, k=16, topk=10,
-            coarse_index=ci, pq_index=pi,
+        return emb, _frozen_idx[d]
+
+    _stored_idx: dict[str, str] = {}
+
+    def _ivf_index_search(s, d):
+        import tempfile
+
+        from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.ivf_index import (
+            search_ivf_index,
+            write_ivf_index,
         )
+
+        emb, (ci, pi) = _frozen_codebooks(s, d)
+        if d not in _stored_idx:
+            path = os.path.join(
+                tempfile.mkdtemp(prefix="ivfidx_"), "idx"
+            )
+            write_ivf_index(emb, path, ci, pi, m=8)
+            _stored_idx[d] = path
+        q = emb.orderBy("vec_id").limit(8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return search_ivf_index(s, _stored_idx[d], q, nprobe=2, topk=10)
 
     def _ann_recall_sampled4(s, d):
         from optimized_climate_data_integration_with_real_time_llm_querying_spark.queries.clustering import (
@@ -353,6 +390,9 @@ def main() -> None:
         # Round-17: the frozen-index maintenance twin (see
         # KNOB_QUERIES note).
         "ivf_pq_batch_frozen": lambda s, d: _ivf_pq_batch_frozen(s, d),
+        # Round-17: the stored inverted-list index search (see
+        # KNOB_QUERIES note).
+        "ivf_index_search": lambda s, d: _ivf_index_search(s, d),
     }
     spark = get_spark("scale-bench", cpus=args.cpus)
     qs = all_queries()
