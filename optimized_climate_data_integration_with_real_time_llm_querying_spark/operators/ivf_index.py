@@ -225,3 +225,76 @@ def search_ivf_index(
     )
     out.cache_handles = []
     return out
+
+
+def search_ivf_index_rerank(
+    spark: SparkSession,
+    path: str,
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    nprobe: int = 2,
+    topk: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Stored-index search WITH the exact re-rank — the full
+    deployment endpoint (FAISS ``IndexRefineFlat`` over an on-disk
+    ``IndexIVFPQ``): :func:`search_ivf_index` keeps a per-query
+    SHORTLIST by ADC distance off the partition-pruned lists, then
+    only those (q_id, vec_id) pairs' full vectors are read from
+    ``corpus_df`` (the vector table the index was built from — the
+    index stores CODES, 16-32x smaller; the refine stage's
+    Q x shortlist broadcast semi-filter touches the corpus rows it
+    needs and nothing else) and scored exactly. Returns (q_id,
+    vec_id, dist2) ordered by (q_id, dist2, vec_id) — row-for-row
+    equal to :func:`~.clustering.ivf_pq_batch_rerank_topk` with the
+    same frozen codebooks (tests/test_ivf_index.py). Same
+    bounded-by-construction exact stage as the in-memory composition:
+    Q x shortlist pairs broadcast, rank windows over at most
+    Q x shortlist rows at any corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    short = search_ivf_index(
+        spark, path, query_df, nprobe=nprobe, topk=shortlist,
+        id_col=id_col, q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
+    pairs = short.select("q_id", id_col)
+    qset = (
+        query_df.select(
+            F.col(q_id_col).alias("q_id"),
+            F.posexplode(F.col(q_vec_col)).alias("dim", "qval"),
+        )
+        .select("q_id", "dim", F.col("qval").cast("double").alias("qval"))
+    )
+    e = (
+        corpus_df.select(
+            F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+        )
+        .select(F.col(id_col), "dim", F.col("val").cast("double").alias("val"))
+    )
+    scored = (
+        e.join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(qset), ["q_id", "dim"])
+        .groupBy("q_id", id_col)
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))),
+                6,
+            ).alias("dist2")
+        )
+    )
+    out = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("q_id").orderBy("dist2", id_col)),
+        )
+        .filter(F.col("rk") <= topk)
+        .select("q_id", id_col, "dist2")
+        .orderBy("q_id", "dist2", id_col)
+    )
+    out.cache_handles = []
+    return out

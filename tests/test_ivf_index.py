@@ -15,12 +15,14 @@ from optimized_climate_data_integration_with_real_time_llm_querying_spark.catalo
     load_table,
 )
 from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+    ivf_pq_batch_rerank_topk,
     ivf_pq_batch_topk,
     kmeans_assign,
     pq_assign,
 )
 from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.ivf_index import (
     search_ivf_index,
+    search_ivf_index_rerank,
     write_ivf_index,
 )
 
@@ -98,6 +100,27 @@ def test_partition_pruned_scan(spark, stored):
     # and the search plan keeps the batch family's discipline
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_stored_rerank_matches_inmemory(spark, stored):
+    """The full deployment endpoint: stored-index shortlist + exact
+    re-rank over the corpus table == the in-memory frozen batch
+    rerank composition, row for row."""
+    emb, ci, pi, path = stored
+    want = [
+        (int(r.q_id), int(r.vec_id), float(r.dist2))
+        for r in ivf_pq_batch_rerank_topk(
+            emb, n_queries=2, n_cells=K_COARSE, nprobe=NPROBE, m=M, k=K_PQ,
+            topk=5, shortlist=25, coarse_index=ci, pq_index=pi,
+        ).collect()
+    ]
+    got = [
+        (int(r.q_id), int(r.vec_id), float(r.dist2))
+        for r in search_ivf_index_rerank(
+            spark, path, _qdf(emb, 2), emb, nprobe=NPROBE, topk=5, shortlist=25
+        ).collect()
+    ]
+    assert got == want and len(got) == 2 * 5
 
 
 def test_append_matches_one_shot(spark, sf_small, tmp_path):
