@@ -39,6 +39,29 @@ from pyspark.sql import functions as F
 from .clustering import kmeans_code_frozen, pq_code_frozen
 
 
+def bootstrap_ivf_index(
+    spark: SparkSession,
+    path: str,
+    coarse_index: list[tuple[int, int, float]],
+    pq_index: list[tuple[int, int, int, float]],
+) -> None:
+    """Write ONLY the codebook sidecars — an EMPTY index that a
+    stream of frozen appends can grow (the operational order: the
+    quantizers are trained by the scheduled build job BEFORE any
+    ingest batch exists, so the sidecars are laid down first and
+    every subsequent :func:`write_ivf_index` ``mode="append"`` —
+    batch or foreachBatch (``streaming.index_maintenance``) —
+    validates against them)."""
+    spark.createDataFrame(
+        [(int(c), int(d), float(v)) for c, d, v in coarse_index],
+        "cluster int, dim int, cval double",
+    ).write.mode("overwrite").parquet(path + "/coarse")
+    spark.createDataFrame(
+        [(int(c), int(s), int(sd), float(v)) for c, s, sd, v in pq_index],
+        "code int, sub int, sdim int, cval double",
+    ).write.mode("overwrite").parquet(path + "/pq")
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -102,14 +125,7 @@ def write_ivf_index(
         idx.write.mode("append").partitionBy("cluster").parquet(path + "/codes")
         return
     idx.write.mode(mode).partitionBy("cluster").parquet(path + "/codes")
-    spark.createDataFrame(
-        [(int(c), int(d), float(v)) for c, d, v in coarse_index],
-        "cluster int, dim int, cval double",
-    ).write.mode(mode).parquet(path + "/coarse")
-    spark.createDataFrame(
-        [(int(c), int(s), int(sd), float(v)) for c, s, sd, v in pq_index],
-        "code int, sub int, sdim int, cval double",
-    ).write.mode(mode).parquet(path + "/pq")
+    bootstrap_ivf_index(spark, path, coarse_index, pq_index)
 
 
 def search_ivf_index(

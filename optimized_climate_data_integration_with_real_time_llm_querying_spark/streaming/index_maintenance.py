@@ -57,6 +57,73 @@ def index_update_writer(
     return write_batch
 
 
+def ivf_index_update_writer(
+    index_path: str,
+    coarse_index: list[tuple[int, int, float]],
+    pq_index: list[tuple[int, int, int, float]],
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """The ANN twin of :func:`index_update_writer`: a foreachBatch
+    function appending each micro-batch's vectors to a stored
+    inverted-list index (``operators.ivf_index``) — FAISS
+    ``add()`` as a STREAM. Coding is frozen against the codebooks
+    the index was bootstrapped with
+    (:func:`~..operators.ivf_index.bootstrap_ivf_index` runs first,
+    by the scheduled build job; every append validates against the
+    stored sidecars and refuses foreign codebooks), so a batch never
+    needs the rest of the corpus and the searchable index is current
+    the moment the micro-batch commits. Retraining is NOT a streaming
+    operation: it is the scheduled rebuild the churn audit prices
+    (BASELINE.md round-17 maintenance section).
+
+    Same at-least-once caveat as the MinHash writer above: a
+    re-appended (id, sub, code) row is harmless to search results
+    only if the reader dedups; for byte-level idempotence write
+    per-batch subdirectories keyed by batch_id."""
+    from ..operators.ivf_index import write_ivf_index
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_ivf_index(
+            batch_df,
+            index_path,
+            coarse_index,
+            pq_index,
+            m=m,
+            vec_col=vec_col,
+            id_col=id_col,
+            mode="append",
+        )
+
+    return write_batch
+
+
+def run_ivf_maintenance_available_now(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    coarse_index: list[tuple[int, int, float]],
+    pq_index: list[tuple[int, int, int, float]],
+    **index_kwargs,
+) -> None:
+    """Drain an availableNow vector stream through the IVF index
+    writer. ``vec_stream`` is a streaming DataFrame of (id, vector)
+    rows; the index at ``index_path`` must be bootstrapped (or
+    already built) with these codebooks."""
+    q = (
+        vec_stream.writeStream.foreachBatch(
+            ivf_index_update_writer(
+                index_path, coarse_index, pq_index, **index_kwargs
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_index_maintenance_available_now(
     docs_stream: DataFrame,
     index_path: str,
