@@ -716,7 +716,15 @@ def kmeans_code_frozen(
     tie-break as :func:`kmeans_assign`'s final assignment, so coding
     a corpus against its OWN trained centroids reproduces the
     training assignment row-for-row
-    (tests/test_index_maintenance.py). Returns (id, cluster, dist2)
+    (tests/test_index_maintenance.py). For a
+    :func:`kmeans_assign_balanced` codebook the semantics are still
+    FAISS add() — every vector lands on its true nearest FINAL cell
+    (pinned by brute force) — but that flat assignment may differ
+    from the hierarchical TRAINING assignment at split boundaries
+    (training assigns within the parent cell; a boundary vector can
+    be globally nearer to another parent's child). Coding is
+    codebook-defined, training is trajectory-defined; only the plain
+    quantizer's trajectory ends at the flat rule. Returns (id, cluster, dist2)
     with ``centroids`` re-attached (the frozen list, unchanged) and
     an empty ``cache_handles`` (single-scan plan: nothing persisted).
     """

@@ -279,3 +279,55 @@ def test_churn_flows_retrain(spark, sf_small):
     # full training saw the new vectors; it cannot fit the corpus
     # WORSE than the base-only codebook does
     assert d_new <= d_old + 1e-6
+
+
+def test_frozen_coding_of_balanced_codebook(spark):
+    """Freezing a BALANCED (hot-list-split) codebook: coding is the
+    flat FAISS add() rule — every vector on its true nearest FINAL
+    cell (brute-force verified) — which may legitimately differ from
+    the hierarchical training assignment at split boundaries (the
+    kmeans_code_frozen docstring's trade)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    from gen_scale_data import gen_embeddings_skew
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        kmeans_assign_balanced,
+    )
+
+    tbl = gen_embeddings_skew(600)
+    pdf = tbl.to_pandas()
+    pdf["embedding"] = pdf["embedding"].map(lambda v: [float(x) for x in v])
+    emb = spark.createDataFrame(pdf)
+
+    bal = kmeans_assign_balanced(emb, k=K_COARSE, n_iter=2, split_factor=1.2)
+    bal.collect()
+    _release(bal)
+    realized = {c for c, _, _ in bal.centroids}
+    assert len(realized) > K_COARSE  # the skew twin must actually split
+
+    coded = kmeans_code_frozen(emb, bal.centroids)
+    rows = {int(r.vec_id): (int(r.cluster), float(r.dist2)) for r in coded.collect()}
+    assert len(rows) == 600
+
+    cent = {}
+    for c, d, v in bal.centroids:
+        cent.setdefault(int(c), {})[int(d)] = float(v)
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding] for r in emb.collect()
+    }
+    for vid, vec in vecs.items():
+        best = min(
+            (
+                (round(sum((vec[d] - cv) ** 2 for d, cv in dims.items()), 6), c)
+                for c, dims in cent.items()
+            )
+        )
+        assert rows[vid] == (best[1], best[0]), vid
