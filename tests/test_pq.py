@@ -440,3 +440,53 @@ def test_balanced_batch_rerank_composes(spark):
         want = [(r.vec_id, r.dist2) for r in single.collect()]
         _release(single)
         assert got[q] == want, f"balanced batch rerank != single for query {q}"
+
+
+def test_variance_balanced_pq_recall(spark):
+    """OPQ-lite pre-transform (round 17): on a decaying-spectrum
+    corpus (PCA-like, scale 0.92^j — the shape real embedding spectra
+    take), contiguous subspace grouping starves low-energy subspaces
+    and FAILS OUTRIGHT on some queries (recall@10 = 0.0), while the
+    variance-balanced snake permutation lifts mean recall ~1.5x and
+    floors every query. On isotropic data every ordering is
+    equivalent — this corpus is the one that exposes the difference.
+    Fully deterministic (fixed seed + the operators' 6-dp grid):
+    measured plain per-query [0.7 0.6 0.0 0.1 0.4 0.5] mean 0.383,
+    snake [0.8 0.6 0.5 0.5 0.5 0.6] mean 0.583."""
+    import numpy as np
+
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        apply_dim_permutation,
+        variance_balanced_permutation,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 600, 64
+    scales = 0.92 ** np.arange(dim)
+    x = rng.standard_normal((n, dim)) * scales
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    perm = variance_balanced_permutation(emb, M)
+    assert sorted(perm) == list(range(dim))  # a true permutation
+    pemb = apply_dim_permutation(emb, perm)
+
+    def recall(df, q):
+        a = pq_adc_topk(df, query_id=q, m=M, k=K, topk=10)
+        ids = {int(r.vec_id) for r in a.collect()}
+        for h in a.cache_handles:
+            h.unpersist()
+        d2 = ((x - x[q]) ** 2).sum(axis=1)
+        d2[q] = np.inf
+        exact = set(np.argsort(d2)[:10].tolist())
+        return len(ids & exact) / 10
+
+    plain = [recall(emb, q) for q in range(6)]
+    snake = [recall(pemb, q) for q in range(6)]
+    assert min(snake) >= 0.4  # no catastrophic queries after balancing
+    assert min(plain) == 0.0  # ...which contiguous grouping HAS
+    assert sum(snake) / 6 >= sum(plain) / 6 + 0.15
+    assert sum(snake) / 6 >= 0.5
