@@ -44,6 +44,7 @@ def bootstrap_ivf_index(
     path: str,
     coarse_index: list[tuple[int, int, float]],
     pq_index: list[tuple[int, int, int, float]],
+    dim_perm: list[int] | None = None,
 ) -> None:
     """Write ONLY the codebook sidecars — an EMPTY index that a
     stream of frozen appends can grow (the operational order: the
@@ -51,7 +52,12 @@ def bootstrap_ivf_index(
     ingest batch exists, so the sidecars are laid down first and
     every subsequent :func:`write_ivf_index` ``mode="append"`` —
     batch or foreachBatch (``streaming.index_maintenance``) —
-    validates against them)."""
+    validates against them). ``dim_perm`` persists the OPQ-lite
+    pre-transform (``clustering.variance_balanced_permutation``) as a
+    ``perm/`` sidecar: an index built over permuted vectors is
+    useless to a reader that doesn't know the permutation, so it is
+    part of the index, exactly like FAISS serializes its
+    ``VectorTransform`` chain inside ``IndexPreTransform``."""
     spark.createDataFrame(
         [(int(c), int(d), float(v)) for c, d, v in coarse_index],
         "cluster int, dim int, cval double",
@@ -60,6 +66,25 @@ def bootstrap_ivf_index(
         [(int(c), int(s), int(sd), float(v)) for c, s, sd, v in pq_index],
         "code int, sub int, sdim int, cval double",
     ).write.mode("overwrite").parquet(path + "/pq")
+    if dim_perm is not None:
+        spark.createDataFrame(
+            [(int(p), int(d)) for p, d in enumerate(dim_perm)],
+            "pos int, old_dim int",
+        ).write.mode("overwrite").parquet(path + "/perm")
+
+
+def _stored_perm(spark: SparkSession, path: str) -> list[int] | None:
+    """The persisted pre-transform, or None (identity) if the index
+    was built without one. Absence is a legitimate state, not
+    corruption — the perm sidecar is only written when a transform
+    was used — so the narrow not-found catch is correct here."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(path + "/perm").collect()
+    except AnalysisException:
+        return None
+    return [d for _, d in sorted((int(r.pos), int(r.old_dim)) for r in rows)]
 
 
 def write_ivf_index(
@@ -71,6 +96,7 @@ def write_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     mode: str = "overwrite",
+    dim_perm: list[int] | None = None,
 ) -> None:
     """Write the inverted-list index at ``path``: ``codes/`` is
     (id, sub, code) parquet partitioned by the coarse ``cluster``
@@ -89,8 +115,28 @@ def write_ivf_index(
     ``.repartition("cluster")`` upstream if small-files pressure
     matters more than write parallelism (the compaction operator's
     trade, documented at ingest.compact_table).
+
+    ``dim_perm`` builds the index over OPQ-lite-permuted vectors
+    (``clustering.apply_dim_permutation`` runs here, and the
+    permutation persists as a ``perm/`` sidecar; the codebooks passed
+    in must have been trained on the PERMUTED frame). Readers apply
+    it to queries automatically (:func:`search_ivf_index`), and
+    appends validate it like the codebooks — an append that permutes
+    differently (or not at all) would silently corrupt every list.
     """
+    from .clustering import apply_dim_permutation
+
     spark = df.sparkSession
+    if mode == "append":
+        stored_perm = _stored_perm(spark, path)
+        given = list(int(i) for i in dim_perm) if dim_perm is not None else None
+        if stored_perm != given:
+            raise ValueError(
+                "append with a dim permutation different from the stored "
+                "index's — rebuild (mode='overwrite') instead"
+            )
+    if dim_perm is not None:
+        df = apply_dim_permutation(df, dim_perm, vec_col=vec_col)
     cells = kmeans_code_frozen(df, coarse_index, vec_col=vec_col, id_col=id_col)
     codes = pq_code_frozen(df, pq_index, m=m, vec_col=vec_col, id_col=id_col)
     idx = (
@@ -125,7 +171,7 @@ def write_ivf_index(
         idx.write.mode("append").partitionBy("cluster").parquet(path + "/codes")
         return
     idx.write.mode(mode).partitionBy("cluster").parquet(path + "/codes")
-    bootstrap_ivf_index(spark, path, coarse_index, pq_index)
+    bootstrap_ivf_index(spark, path, coarse_index, pq_index, dim_perm=dim_perm)
 
 
 def search_ivf_index(
@@ -154,9 +200,19 @@ def search_ivf_index(
     probe frames broadcast; the per-query top-k is the same
     partitioning-independent two-phase rank as the in-memory batch
     search.
+
+    If the index persists an OPQ-lite pre-transform (``perm/``
+    sidecar), it is applied to the query vectors here automatically —
+    callers always pass RAW vectors; the transform is the index's
+    business, FAISS ``IndexPreTransform`` style.
     """
     from pyspark.sql import Window as W
 
+    from .clustering import apply_dim_permutation
+
+    perm = _stored_perm(spark, path)
+    if perm is not None:
+        query_df = apply_dim_permutation(query_df, perm, vec_col=q_vec_col)
     coarse = spark.read.parquet(path + "/coarse")
     qset = (
         query_df.select(
@@ -271,6 +327,12 @@ def search_ivf_index_rerank(
     bounded-by-construction exact stage as the in-memory composition:
     Q x shortlist pairs broadcast, rank windows over at most
     Q x shortlist rows at any corpus size.
+
+    Works unchanged on an OPQ-lite-permuted index: the shortlist
+    stage applies the stored permutation to the queries internally
+    (see :func:`search_ivf_index`), and the exact stage scores RAW
+    corpus vectors against RAW queries — a permutation preserves L2,
+    so the refine distances are identical either way.
     """
     from pyspark.sql import Window as W
 

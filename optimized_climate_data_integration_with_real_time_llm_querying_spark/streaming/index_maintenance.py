@@ -64,6 +64,7 @@ def ivf_index_update_writer(
     m: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim_perm: list[int] | None = None,
 ):
     """The ANN twin of :func:`index_update_writer`: a foreachBatch
     function appending each micro-batch's vectors to a stored
@@ -94,6 +95,7 @@ def ivf_index_update_writer(
             vec_col=vec_col,
             id_col=id_col,
             mode="append",
+            dim_perm=dim_perm,
         )
 
     return write_batch

@@ -163,3 +163,71 @@ def test_append_rejects_foreign_codebook(spark, sf_small, tmp_path):
     ci2 = [(c, d, v + 1.0) for c, d, v in ci]
     with pytest.raises(ValueError, match="coarse codebook"):
         write_ivf_index(emb, path, ci2, pi, m=M, mode="append")
+
+
+def test_permuted_index_pretransform(spark, sf_small, tmp_path):
+    """An OPQ-lite index persists its permutation and applies it to
+    queries itself (FAISS IndexPreTransform): searching with RAW
+    queries equals searching a pre-permuted index with permuted
+    queries; the exact re-rank is permutation-invariant; appends that
+    drop or change the permutation refuse."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        apply_dim_permutation,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.ivf_index import (
+        search_ivf_index_rerank,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    perm = list(reversed(range(64)))  # fixed, clearly non-identity
+    pemb = apply_dim_permutation(emb, perm)
+    ci, pi = _codebooks(pemb)  # codebooks train on the PERMUTED frame
+
+    p_raw = str(tmp_path / "with_sidecar")
+    write_ivf_index(emb, p_raw, ci, pi, m=M, dim_perm=perm)
+    p_pre = str(tmp_path / "prepermuted")
+    write_ivf_index(pemb, p_pre, ci, pi, m=M)
+
+    q_raw = _qdf(emb, 3)
+    q_perm = (
+        pemb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    a = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2))
+        for r in search_ivf_index(spark, p_raw, q_raw, nprobe=NPROBE, topk=TOPK).collect()
+    ]
+    b = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2))
+        for r in search_ivf_index(spark, p_pre, q_perm, nprobe=NPROBE, topk=TOPK).collect()
+    ]
+    assert a == b and len(a) == 3 * TOPK
+
+    # exact re-rank over the RAW corpus: permutation-invariant L2
+    want = [
+        (int(r.q_id), int(r.vec_id), float(r.dist2))
+        for r in ivf_pq_batch_rerank_topk(
+            pemb, n_queries=2, n_cells=K_COARSE, nprobe=NPROBE, m=M, k=K_PQ,
+            topk=5, shortlist=25, coarse_index=ci, pq_index=pi,
+        ).collect()
+    ]
+    got = [
+        (int(r.q_id), int(r.vec_id), float(r.dist2))
+        for r in search_ivf_index_rerank(
+            spark, p_raw, _qdf(emb, 2), emb, nprobe=NPROBE, topk=5, shortlist=25
+        ).collect()
+    ]
+    assert got == want and len(got) == 2 * 5
+
+    # appends must carry the SAME permutation
+    batch = emb.filter(F.col("vec_id") >= 480)
+    with pytest.raises(ValueError, match="dim permutation"):
+        write_ivf_index(batch, p_raw, ci, pi, m=M, mode="append")
+    with pytest.raises(ValueError, match="dim permutation"):
+        write_ivf_index(
+            batch, p_raw, ci, pi, m=M, mode="append",
+            dim_perm=list(range(64)),
+        )
+    # and the matching one works
+    write_ivf_index(batch, p_raw, ci, pi, m=M, mode="append", dim_perm=perm)
