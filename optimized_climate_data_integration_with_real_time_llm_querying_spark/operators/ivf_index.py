@@ -174,6 +174,37 @@ def write_ivf_index(
     bootstrap_ivf_index(spark, path, coarse_index, pq_index, dim_perm=dim_perm)
 
 
+def ivf_list_stats(spark: SparkSession, path: str, m: int = 8) -> DataFrame:
+    """Inverted-list health of a stored index: (cluster, n_vectors)
+    per cell, ordered hottest-first — the monitoring scan behind the
+    rebuild/split decisions (FAISS's ``imbalance_factor``: a hot list
+    is the straggler of every probe that hits it; the balanced
+    quantizer and the churn audit are the remedies this table
+    triggers). One groupBy over the codes table (each vector holds
+    ``m`` rows, so counts divide by m); parquet row-group metadata
+    makes the count scan cheap at any index size. The driver-side
+    imbalance factor (sum(n^2) * k / total^2, FAISS's definition —
+    1.0 = perfectly balanced) is attached as ``result.imbalance``.
+    """
+    counts = (
+        spark.read.parquet(path + "/codes")
+        .groupBy("cluster")
+        .agg((F.count(F.lit(1)) / m).cast("long").alias("n_vectors"))
+        .orderBy(F.desc("n_vectors"), "cluster")
+    )
+    rows = counts.collect()
+    ns = [int(r["n_vectors"]) for r in rows]
+    total = sum(ns)
+    out = counts
+    out.imbalance = (
+        round(sum(n * n for n in ns) * len(ns) / (total * total), 4)
+        if total
+        else 0.0
+    )
+    out.cache_handles = []
+    return out
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

@@ -231,3 +231,26 @@ def test_permuted_index_pretransform(spark, sf_small, tmp_path):
         )
     # and the matching one works
     write_ivf_index(batch, p_raw, ci, pi, m=M, mode="append", dim_perm=perm)
+
+
+def test_ivf_list_stats(spark, stored):
+    """List-size monitoring over the stored index: per-cell counts
+    conserve the corpus, match the coding assignment exactly, and the
+    FAISS imbalance factor computes on the driver."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        kmeans_code_frozen,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.ivf_index import (
+        ivf_list_stats,
+    )
+
+    emb, ci, pi, path = stored
+    stats = ivf_list_stats(spark, path, m=M)
+    rows = {int(r.cluster): int(r.n_vectors) for r in stats.collect()}
+    assert sum(rows.values()) == 500
+    coded = kmeans_code_frozen(emb, ci)
+    want: dict[int, int] = {}
+    for r in coded.collect():
+        want[int(r.cluster)] = want.get(int(r.cluster), 0) + 1
+    assert rows == want
+    assert stats.imbalance >= 1.0  # 1.0 iff perfectly balanced
