@@ -174,6 +174,67 @@ def write_ivf_index(
     bootstrap_ivf_index(spark, path, coarse_index, pq_index, dim_perm=dim_perm)
 
 
+def compact_ivf_index(spark: SparkSession, src_path: str, dst_path: str) -> dict:
+    """Small-files maintenance for the stored index — the standing
+    job streaming ingest makes necessary: every micro-batch append
+    leaves its own file(s) in each touched cell partition, and every
+    probe then pays one task + footer fetch + open per file (the same
+    failure mode ``ingest.compact_small_files`` documents; Delta
+    OPTIMIZE / Iceberg rewrite_data_files are this job for table
+    formats). Rewrites ``codes/`` to EXACTLY ONE file per cell — hash
+    ``repartition(n_cells, "cluster")`` sends each cell's rows to one
+    task, so the partitioned write emits one file per cell; the
+    probe-time open count becomes nprobe, its floor. (At cells past
+    ~128 MB, salt the repartition to a byte target instead — the
+    compact_small_files trade; inverted lists that large mean
+    n_cells should grow first, see ivf_list_stats.)
+
+    Compacts INTO ``dst_path`` (codebook + perm sidecars rewritten
+    alongside, so the destination is a complete index): rewrite-then-
+    swap is the crash-safe shape — the deployment layer switches
+    readers to ``dst`` atomically, exactly the
+    compact_small_files / Iceberg rewrite-then-commit recipe. Returns
+    {files_before, files_after, cells}; search equality is the
+    test's job (tests/test_ivf_index.py)."""
+    import glob
+    import os
+
+    def _files(p: str) -> int:
+        return len(
+            [
+                f
+                for f in glob.glob(os.path.join(p, "codes", "**", "*.parquet"),
+                                   recursive=True)
+                if os.path.isfile(f)
+            ]
+        )
+
+    files_before = _files(src_path)
+    codes = spark.read.parquet(src_path + "/codes")
+    n_cells = codes.select("cluster").distinct().count()
+    (
+        codes.repartition(max(1, n_cells), "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(dst_path + "/codes")
+    )
+    for side in ("coarse", "pq"):
+        spark.read.parquet(src_path + "/" + side).write.mode(
+            "overwrite"
+        ).parquet(dst_path + "/" + side)
+    perm = _stored_perm(spark, src_path)
+    if perm is not None:
+        spark.createDataFrame(
+            [(int(p), int(d)) for p, d in enumerate(perm)],
+            "pos int, old_dim int",
+        ).write.mode("overwrite").parquet(dst_path + "/perm")
+    return {
+        "files_before": files_before,
+        "files_after": _files(dst_path),
+        "cells": int(n_cells),
+    }
+
+
 def ivf_list_stats(spark: SparkSession, path: str, m: int = 8) -> DataFrame:
     """Inverted-list health of a stored index: (cluster, n_vectors)
     per cell, ordered hottest-first — the monitoring scan behind the

@@ -254,3 +254,49 @@ def test_ivf_list_stats(spark, stored):
         want[int(r.cluster)] = want.get(int(r.cluster), 0) + 1
     assert rows == want
     assert stats.imbalance >= 1.0  # 1.0 iff perfectly balanced
+
+
+def test_compact_ivf_index(spark, sf_small, tmp_path):
+    """Compaction after appends: one file per cell at the
+    destination (the probe-time open floor), search equality
+    preserved, sidecars — including the optional pre-transform —
+    carried over."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        apply_dim_permutation,
+    )
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.ivf_index import (
+        compact_ivf_index,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings", rebalance=True)
+    perm = list(reversed(range(64)))
+    ci, pi = _codebooks(apply_dim_permutation(emb, perm))
+
+    src = str(tmp_path / "src")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") < 300), src, ci, pi, m=M, dim_perm=perm
+    )
+    for lo, hi in ((300, 400), (400, 500)):
+        write_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            src, ci, pi, m=M, mode="append", dim_perm=perm,
+        )
+
+    dst = str(tmp_path / "dst")
+    rep = compact_ivf_index(spark, src, dst)
+    assert rep["files_after"] == rep["cells"]  # exactly one file/cell
+    assert rep["files_before"] > rep["files_after"]
+
+    q = _qdf(emb, 3)
+    a = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2))
+        for r in search_ivf_index(spark, src, q, nprobe=NPROBE, topk=TOPK).collect()
+    ]
+    b = [
+        (int(r.q_id), int(r.vec_id), float(r.adc_dist2))
+        for r in search_ivf_index(spark, dst, q, nprobe=NPROBE, topk=TOPK).collect()
+    ]
+    assert a == b and len(a) == 3 * TOPK
+    # the compacted index still accepts appends under the same contract
+    with pytest.raises(ValueError, match="dim permutation"):
+        write_ivf_index(emb.limit(5), dst, ci, pi, m=M, mode="append")
