@@ -66,6 +66,96 @@ def _train_sample_pred(id_col: str, stride: int):
     return F.pmod(F.conv(hexpart, 16, 10).cast("long"), F.lit(int(stride))) == 0
 
 
+def _round6(x: float) -> float:
+    """Driver-side twin of Spark's ``F.round(col, 6)`` on DOUBLE:
+    Catalyst's ``Round`` evaluates ``BigDecimal(double).setScale(6,
+    HALF_UP)``, and Scala's ``BigDecimal(double)`` goes through
+    ``Double.toString`` — the shortest round-trip decimal form — so
+    the Python twin is ``Decimal(repr(x))`` (repr is also the
+    shortest round-trip form) quantized HALF_UP on the 6-dp grid.
+    Bit-equality with the distributed plan is pinned over real
+    probe/LUT sums plus an adversarial half-way grid in
+    tests/test_pq.py::test_python_round6_matches_spark_round."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _collect_query_vec(
+    df: DataFrame, query_id: int, vec_col: str, id_col: str
+) -> list[float]:
+    """The one-row query-vector collect behind the driver-side
+    probe/LUT computation (round-17, guide §1/§2: the codebooks these
+    tables are computed FROM are already driver-held k x dim lists —
+    shipping the single query row to the driver too turns the former
+    scan+join+aggregate probe/LUT sub-plans into broadcast-sized
+    LOCAL relations, removing several stages per search). float ->
+    double widening on collect is exact, matching the plan's
+    ``.cast("double")``."""
+    row = df.filter(F.col(id_col) == query_id).select(F.col(vec_col)).first()
+    if row is None:
+        raise ValueError(f"query id {query_id} not found in {id_col}")
+    return [float(v) for v in row[0]]
+
+
+def _cells_by_cluster(
+    centroids: list[tuple[int, int, float]],
+) -> dict[int, dict[int, float]]:
+    """Driver-held (cluster, dim, cval) rows -> {cluster: {dim: cval}}."""
+    out: dict[int, dict[int, float]] = {}
+    for c, d, v in centroids:
+        out.setdefault(int(c), {})[int(d)] = float(v)
+    return out
+
+
+def _probe_clusters(
+    centroids: list[tuple[int, int, float]],
+    qvec: list[float],
+    nprobe: int,
+) -> list[int]:
+    """The IVF cell probe on the driver: squared L2 from the query to
+    every coarse centroid (ascending-dim summation, :func:`_round6`
+    grid — the same arithmetic the former distributed sub-plan and
+    the DuckDB oracle compute), nearest ``nprobe`` cells by
+    (d2, cluster). k x dim driver flops — trivially bounded."""
+    by_c = _cells_by_cluster(centroids)
+    scored = []
+    for c in sorted(by_c):
+        s = 0.0
+        for d in sorted(by_c[c]):
+            diff = qvec[d] - by_c[c][d]
+            s += diff * diff
+        scored.append((_round6(s), c))
+    scored.sort()
+    return [c for _, c in scored[:nprobe]]
+
+
+def _adc_lut_rows(
+    codebook: list[tuple[int, int, int, float]],
+    qvec: list[float],
+    d_sub: int,
+) -> list[tuple[int, int, float]]:
+    """The (m x k)-entry ADC lookup table on the driver:
+    lut[sub][code] = ||q_sub - centroid[sub][code]||^2 on the
+    :func:`_round6` grid (ascending-sdim summation). Returns
+    (sub, code, lut_d) rows for a broadcast-sized local relation."""
+    cells: dict[tuple[int, int], dict[int, float]] = {}
+    for code, sub, sdim, cval in codebook:
+        cells.setdefault((int(sub), int(code)), {})[int(sdim)] = float(cval)
+    rows = []
+    for (sub, code) in sorted(cells):
+        s = 0.0
+        for sdim in sorted(cells[(sub, code)]):
+            diff = qvec[sub * d_sub + sdim] - cells[(sub, code)][sdim]
+            s += diff * diff
+        rows.append((sub, code, _round6(s)))
+    return rows
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,
@@ -115,14 +205,28 @@ def kmeans_assign(
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
-    e = _exploded(df, vec_col, id_col).persist()
-    # Training view: a deterministic hash-sample of the persisted
-    # exploded frame (a filter over the cache, no second persist).
+    e = _exploded(df, vec_col, id_col)
+    # Training view: a deterministic hash-sample of the exploded
+    # frame. Round-17: persist the TRAINING view, not the full
+    # exploded frame — the Lloyd iterations are the only multi-read
+    # consumers (the final assignment is a single pass), so the
+    # cached footprint shrinks from the full dim-times-row explosion
+    # to O(corpus * dim / stride) while every repeated read still
+    # hits memory (guide §5: cache only what is reused). The view is
+    # hash-partitioned by id BEFORE the persist: every Lloyd step
+    # groups or joins on (id, ...), and HashPartitioning(id) satisfies
+    # all of those ClusteredDistributions, so the per-iteration
+    # exchanges (groupBy(id, cluster), groupBy(id), the id-join back
+    # to the training rows) all disappear from the plan — one shuffle
+    # at cache build replaces 3 shuffles per iteration (guide §2.4:
+    # share one exchange across operations keyed the same way).
+    # Partition count follows the session's parallelism, never a
+    # constant, so the same code sizes itself on a cluster.
     et = (
         e.filter(_train_sample_pred(id_col, train_stride))
         if train_stride > 1
         else e
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, id_col).persist()
 
     def assign(
         cent_rows: list[tuple[int, int, float]], frame: DataFrame | None = None
@@ -207,9 +311,9 @@ def kmeans_assign(
 
         out = assign(centroids)
     except BaseException:
-        e.unpersist()
+        et.unpersist()
         raise
-    out.cache_handles = [e]
+    out.cache_handles = [et]
     # Final (cluster, dim, cval) rows — the coarse quantizer IVF-style
     # searches probe against (driver-held k x dim cells).
     out.centroids = centroids
@@ -372,47 +476,47 @@ def pq_assign(
     dim = int(first["d"])
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     d_sub = dim // m
-    e = (
-        df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val"))
-        .select(
-            F.col(id_col),
-            (F.col("dim") / d_sub).cast("int").alias("sub"),
-            (F.col("dim") % d_sub).cast("int").alias("sdim"),
-            F.col("val").cast("double").alias("val"),
-        )
-        .persist()
+    e = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    ).select(
+        F.col(id_col),
+        (F.col("dim") / d_sub).cast("int").alias("sub"),
+        (F.col("dim") % d_sub).cast("int").alias("sdim"),
+        F.col("val").cast("double").alias("val"),
     )
-    out, centroids = _pq_lloyd(e, id_col, k, n_iter, spark, train_stride)
-    out.cache_handles = [e]
+    # Round-17 (guide §5 + §2.4, mirroring kmeans_assign): persist the
+    # TRAINING view only — the Lloyd iterations are the only
+    # multi-read consumers; the final coding pass reads the corpus
+    # once — and hash-partition it by id first so every per-iteration
+    # group/join on (id, ...) runs exchange-free.
+    et = (
+        e.filter(_train_sample_pred(id_col, train_stride))
+        if train_stride > 1
+        else e
+    ).repartition(spark.sparkContext.defaultParallelism, id_col).persist()
+    out, centroids = _pq_lloyd(e, et, id_col, k, n_iter, spark)
+    out.cache_handles = [et]
     out.centroids = centroids
     return out
 
 
 def _pq_lloyd(
     e: DataFrame,
+    et: DataFrame,
     id_col: str,
     k: int,
     n_iter: int,
     spark,
-    train_stride: int = 1,
 ) -> tuple[DataFrame, list[tuple[int, int, int, float]]]:
-    """The shared multi-subspace Lloyd core: ``e`` is a PERSISTED
+    """The shared multi-subspace Lloyd core: ``e`` is the full
     (id, sub, sdim, val) frame (raw subvectors for plain PQ, residual
-    subvectors for IVF residual PQ). Seeds = the k lowest ids in
-    ``e``; same 6-dp grid and lowest-code tie-break as
-    :func:`kmeans_assign`. Returns (final assignment, codebook rows).
-    ``train_stride`` restricts SEEDS + Lloyd iterations to the
-    md5-bucket hash sample (:func:`_train_sample_pred`; the FAISS
-    bounded-training-set pattern — see :func:`kmeans_assign`); the
-    final assignment always codes every vector. On failure the caller's persist is released
-    here."""
+    subvectors for IVF residual PQ) and ``et`` the PERSISTED training
+    view of it (the md5-bucket hash sample, hash-partitioned by id —
+    see :func:`pq_assign`). Seeds = the k lowest ids in ``et``; same
+    6-dp grid and lowest-code tie-break as :func:`kmeans_assign`.
+    Returns (final assignment over ``e``, codebook rows). On failure
+    the training persist is released here."""
     from pyspark.sql import Window as W
-
-    et = (
-        e.filter(_train_sample_pred(id_col, train_stride))
-        if train_stride > 1
-        else e
-    )
 
     def assign(
         cent_rows: list[tuple[int, int, int, float]],
@@ -475,7 +579,7 @@ def _pq_lloyd(
             ]
         out = assign(centroids)
     except BaseException:
-        e.unpersist()
+        et.unpersist()
         raise
     return out, centroids
 
@@ -527,31 +631,24 @@ def _adc_lut(
     m: int,
     vec_col: str,
     id_col: str,
+    qvec: list[float] | None = None,
 ) -> DataFrame:
     """The (m x k)-entry ADC lookup table for one query:
-    lut[sub][code] = ||q_sub - centroid[sub][code]||^2, 6-dp grid."""
+    lut[sub][code] = ||q_sub - centroid[sub][code]||^2, 6-dp grid.
+    Round-17: computed ON THE DRIVER (:func:`_adc_lut_rows` — the
+    codebook is already a driver-held list; only the one query row is
+    collected) and returned as a broadcast-sized LOCAL relation,
+    replacing the former scan + join + aggregate sub-plan (guide §2.4:
+    remove stages whose inputs are already driver-sized). ``qvec``
+    lets a caller that already collected the query vector skip the
+    second one-row job."""
     spark = df.sparkSession
-    cent = spark.createDataFrame(centroids, "code int, sub int, sdim int, cval double")
-    dim_first = df.select(F.size(vec_col).alias("d")).first()
-    d_sub = int(dim_first["d"]) // m
-    q = (
-        df.filter(F.col(id_col) == query_id)
-        .select(F.posexplode(F.col(vec_col)).alias("dim", "qval"))
-        .select(
-            (F.col("dim") / d_sub).cast("int").alias("sub"),
-            (F.col("dim") % d_sub).cast("int").alias("sdim"),
-            F.col("qval").cast("double").alias("qval"),
-        )
-    )
-    return (
-        cent.join(q, ["sub", "sdim"])
-        .groupBy("sub", "code")
-        .agg(
-            F.round(
-                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
-                6,
-            ).alias("lut_d")
-        )
+    if qvec is None:
+        qvec = _collect_query_vec(df, query_id, vec_col, id_col)
+    d_sub = len(qvec) // m
+    return spark.createDataFrame(
+        _adc_lut_rows(centroids, qvec, d_sub),
+        "sub int, code int, lut_d double",
     )
 
 
@@ -596,33 +693,20 @@ def ivf_pq_topk(
         df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
         train_stride=train_stride,
     )
-    spark = df.sparkSession
-    cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
-    qfull = (
-        df.filter(F.col(id_col) == query_id)
-        .select(F.posexplode(F.col(vec_col)).alias("dim", "qval"))
-        .select("dim", F.col("qval").cast("double").alias("qval"))
-    )
-    probe = (
-        cent.join(F.broadcast(qfull), "dim")
-        .groupBy("cluster")
-        .agg(
-            F.round(
-                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
-                6,
-            ).alias("d2")
-        )
-        .orderBy("d2", "cluster")
-        .limit(nprobe)
-        .select("cluster")
-    )
+    # Round-17: the cell probe runs ON THE DRIVER (guide §2.4) — the
+    # trained centroids are already a driver-held k x dim list, so
+    # only the one query row is collected; the probed-cell set becomes
+    # a literal IN-list filter on the assignment frame instead of the
+    # former centroid-scan + join + aggregate + top-k sub-plan.
+    qvec = _collect_query_vec(df, query_id, vec_col, id_col)
+    probed = _probe_clusters(cells.centroids, qvec, nprobe)
     cand = (
-        cells.join(F.broadcast(probe), "cluster")
+        cells.filter(F.col("cluster").isin([int(c) for c in probed]))
         .filter(F.col(id_col) != query_id)
         .select(id_col)
     )
     codes = pq_assign(df, m, k, n_iter, vec_col, id_col, train_stride)
-    lut = _adc_lut(df, codes.centroids, query_id, m, vec_col, id_col)
+    lut = _adc_lut(df, codes.centroids, query_id, m, vec_col, id_col, qvec=qvec)
     # Semi-join the codes to the probed cells BEFORE scoring: at
     # corpus scale only nprobe/n_cells of the rows ever touch the LUT.
     out = (
@@ -674,10 +758,12 @@ def ivf_pq_rerank_topk(
         balanced=balanced, train_stride=train_stride,
     )
     e = _exploded(df, vec_col, id_col)
-    q = (
-        df.filter(F.col(id_col) == query_id)
-        .select(F.posexplode(F.col(vec_col)).alias("dim", "qval"))
-        .select("dim", F.col("qval").cast("double").alias("qval"))
+    # Round-17: the broadcast query frame is a LOCAL relation built
+    # from the one collected query row (guide §2.4 — the former
+    # filter+posexplode sub-plan re-scanned the corpus for one row).
+    qvec = _collect_query_vec(df, query_id, vec_col, id_col)
+    q = df.sparkSession.createDataFrame(
+        list(enumerate(qvec)), "dim int, qval double"
     )
     out = (
         e.join(short.select(id_col), id_col, "left_semi")
@@ -1087,41 +1173,29 @@ def ivf_pq_batch_topk(
     if nprobe_scale_with_split and balanced:
         realized = len({c for c, _, _ in cells.centroids})
         nprobe = effective_nprobe(nprobe, n_cells, realized)
-    cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
-    dim_first = df.select(F.size(vec_col).alias("d")).first()
-    d_sub = int(dim_first["d"]) // m
 
-    qbase = (
+    # Round-17: the query MATRIX is collected once (Q bounded rows —
+    # FAISS's search(xq, k) holds it in memory too), and the per-query
+    # probes and LUTs are computed ON THE DRIVER from the already-
+    # driver-held codebooks (guide §2.4), becoming broadcast-sized
+    # local relations: Q x nprobe probe rows, Q x m x k LUT rows —
+    # exactly the sizes the former scan+join+aggregate sub-plans
+    # produced, minus their stages. Probe ranking (d2, cluster) and
+    # the 6-dp grid are unchanged (:func:`_probe_clusters`,
+    # :func:`_adc_lut_rows`).
+    qrows = (
         df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
         if query_ids is not None
         else df.orderBy(id_col).limit(n_queries)
-    )
-    qset = (
-        qbase.select(
-            F.col(id_col).alias("q_id"),
-            F.posexplode(F.col(vec_col)).alias("dim", "qval"),
-        )
-        .select("q_id", "dim", F.col("qval").cast("double").alias("qval"))
-    )
-    # Per-query probe: Q x n_cells scalar rows, ranked per q_id.
-    qd = (
-        qset.join(F.broadcast(cent), "dim")
-        .groupBy("q_id", "cluster")
-        .agg(
-            F.round(
-                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
-                6,
-            ).alias("d2")
-        )
-    )
-    probe = (
-        qd.withColumn(
-            "rk",
-            F.row_number().over(W.partitionBy("q_id").orderBy("d2", "cluster")),
-        )
-        .filter(F.col("rk") <= nprobe)
-        .select("q_id", "cluster")
-    )
+    ).select(F.col(id_col), F.col(vec_col)).collect()
+    qmap = {int(r[0]): [float(v) for v in r[1]] for r in qrows}
+    d_sub = len(next(iter(qmap.values()))) // m
+    probe_rows = [
+        (q, int(c))
+        for q in sorted(qmap)
+        for c in _probe_clusters(cells.centroids, qmap[q], nprobe)
+    ]
+    probe = spark.createDataFrame(probe_rows, "q_id long, cluster int")
     cand = (
         cells.select(F.col(id_col), "cluster")
         .join(F.broadcast(probe), "cluster")
@@ -1133,24 +1207,13 @@ def ivf_pq_batch_topk(
     else:
         codes = pq_assign(df, m, k, n_iter, vec_col, id_col, train_stride)
     # Batched LUT: Q x m x k rows, still broadcast-sized.
-    cb = spark.createDataFrame(
-        codes.centroids, "code int, sub int, sdim int, cval double"
-    )
-    qsub = qset.select(
-        "q_id",
-        (F.col("dim") / d_sub).cast("int").alias("sub"),
-        (F.col("dim") % d_sub).cast("int").alias("sdim"),
-        "qval",
-    )
-    lut = (
-        qsub.join(F.broadcast(cb), ["sub", "sdim"])
-        .groupBy("q_id", "sub", "code")
-        .agg(
-            F.round(
-                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
-                6,
-            ).alias("lut_d")
-        )
+    lut_rows = [
+        (q, sub, code, lut_d)
+        for q in sorted(qmap)
+        for sub, code, lut_d in _adc_lut_rows(codes.centroids, qmap[q], d_sub)
+    ]
+    lut = spark.createDataFrame(
+        lut_rows, "q_id long, sub int, code int, lut_d double"
     )
     scored = (
         codes.join(cand, id_col)
@@ -1257,17 +1320,22 @@ def ivf_pq_batch_rerank_topk(
         coarse_index=coarse_index, pq_index=pq_index,
     )
     pairs = short.select("q_id", id_col)
-    qbase = (
+    # Round-17: the exact stage's query matrix is a LOCAL relation
+    # built from the collected query rows (guide §2.4 — the former
+    # filter/TakeOrdered + posexplode sub-plan re-scanned the corpus
+    # for Q bounded rows).
+    qrows = (
         df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
         if query_ids is not None
         else df.orderBy(id_col).limit(n_queries)
-    )
-    qset = (
-        qbase.select(
-            F.col(id_col).alias("q_id"),
-            F.posexplode(F.col(vec_col)).alias("dim", "qval"),
-        )
-        .select("q_id", "dim", F.col("qval").cast("double").alias("qval"))
+    ).select(F.col(id_col), F.col(vec_col)).collect()
+    qset = df.sparkSession.createDataFrame(
+        [
+            (int(r[0]), d, float(v))
+            for r in sorted(qrows, key=lambda r: int(r[0]))
+            for d, v in enumerate(r[1])
+        ],
+        "q_id long, dim int, qval double",
     )
     e = _exploded(df, vec_col, id_col)
     scored = (
@@ -1341,14 +1409,25 @@ def ivf_residual_pq_topk(
     )
     spark = df.sparkSession
     cent = spark.createDataFrame(cells.centroids, "cluster int, dim int, cval double")
-    dim_first = df.select(F.size(vec_col).alias("d")).first()
-    d_sub = int(dim_first["d"]) // m
+    # Query vector collected once (one-row pushed-filter job); it also
+    # supplies the dimensionality, replacing the former first() probe.
+    qvec = _collect_query_vec(df, query_id, vec_col, id_col)
+    d_sub = len(qvec) // m
 
     # Residual subvectors: v - centroid(cell(v)), exact IEEE (cval is
     # the same 6-dp double on both engines; no extra rounding needed).
+    # Round-17 cache layout (guide §5): persist the (id, cluster)
+    # ASSIGNMENT (3 scalars per vector — it is read by the residual
+    # derivation AND the final scoring join) and the residual TRAINING
+    # view (bounded by the stride sample, hash-partitioned by id so
+    # the Lloyd iterations run exchange-free), instead of the full
+    # corpus x dim residual explosion the previous layout cached; the
+    # final coding pass re-derives residuals once from the cached
+    # assignment.
+    cells_asg = cells.select(id_col, "cluster", "dist2").persist()
     e_full = _exploded(df, vec_col, id_col)
     res = (
-        e_full.join(cells.select(id_col, "cluster"), id_col)
+        e_full.join(cells_asg.select(id_col, "cluster"), id_col)
         .join(F.broadcast(cent), ["cluster", "dim"])
         .select(
             F.col(id_col),
@@ -1356,54 +1435,35 @@ def ivf_residual_pq_topk(
             (F.col("dim") % d_sub).cast("int").alias("sdim"),
             (F.col("val") - F.col("cval")).alias("val"),
         )
-        .persist()
     )
-    codes, codebook = _pq_lloyd(res, id_col, k, n_iter, spark, train_stride)
-    cb = spark.createDataFrame(codebook, "code int, sub int, sdim int, cval double")
+    rt = (
+        res.filter(_train_sample_pred(id_col, train_stride))
+        if train_stride > 1
+        else res
+    ).repartition(spark.sparkContext.defaultParallelism, id_col).persist()
+    codes, codebook = _pq_lloyd(res, rt, id_col, k, n_iter, spark)
 
-    qfull = (
-        df.filter(F.col(id_col) == query_id)
-        .select(F.posexplode(F.col(vec_col)).alias("dim", "qval"))
-        .select("dim", F.col("qval").cast("double").alias("qval"))
-    )
-    probe = (
-        cent.join(F.broadcast(qfull), "dim")
-        .groupBy("cluster")
-        .agg(
-            F.round(
-                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
-                6,
-            ).alias("d2")
+    # Round-17: probe + per-probed-cell residual LUTs ON THE DRIVER
+    # (guide §2.4) — both codebooks are already driver-held lists, so
+    # only the one query row is collected; the (nprobe x m x k)-row
+    # LUT becomes a broadcast-sized local relation, replacing the
+    # former centroid-scan + two-join + aggregate sub-plan. Per-cell
+    # query residual q - c_cell is the same exact-IEEE subtraction the
+    # plan computed.
+    probed = _probe_clusters(cells.centroids, qvec, nprobe)
+    by_c = _cells_by_cluster(cells.centroids)
+    lut_rows = []
+    for c in probed:
+        qr_vec = [qvec[d] - by_c[c][d] for d in range(len(qvec))]
+        lut_rows.extend(
+            (c, sub, code, lut_d)
+            for sub, code, lut_d in _adc_lut_rows(codebook, qr_vec, d_sub)
         )
-        .orderBy("d2", "cluster")
-        .limit(nprobe)
-        .select("cluster")
-    )
-    # Per-probed-cell query residual and LUT.
-    qr = (
-        probe.join(cent, "cluster")
-        .join(qfull, "dim")
-        .select(
-            "cluster",
-            (F.col("dim") / d_sub).cast("int").alias("sub"),
-            (F.col("dim") % d_sub).cast("int").alias("sdim"),
-            (F.col("qval") - F.col("cval")).alias("qrval"),
-        )
-    )
-    lut = (
-        qr.join(F.broadcast(cb), ["sub", "sdim"])
-        .groupBy("cluster", "sub", "code")
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("qrval") - F.col("cval")) * (F.col("qrval") - F.col("cval"))
-                ),
-                6,
-            ).alias("lut_d")
-        )
+    lut = spark.createDataFrame(
+        lut_rows, "cluster int, sub int, code int, lut_d double"
     )
     out = (
-        codes.join(cells.select(id_col, "cluster"), id_col)
+        codes.join(cells_asg.select(id_col, "cluster"), id_col)
         .join(F.broadcast(lut), ["cluster", "sub", "code"])
         .filter(F.col(id_col) != query_id)
         .groupBy(id_col)
@@ -1411,7 +1471,7 @@ def ivf_residual_pq_topk(
         .orderBy("adc_dist2", id_col)
         .limit(topk)
     )
-    out.cache_handles = list(cells.cache_handles) + [res]
+    out.cache_handles = list(cells.cache_handles) + [cells_asg, rt]
     return out
 
 

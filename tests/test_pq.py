@@ -490,3 +490,55 @@ def test_variance_balanced_pq_recall(spark):
     assert min(plain) == 0.0  # ...which contiguous grouping HAS
     assert sum(snake) / 6 >= sum(plain) / 6 + 0.15
     assert sum(snake) / 6 >= 0.5
+
+
+def test_python_round6_matches_spark_round(spark, sf_oracle):
+    """The round-17 optimization computes probe/LUT cells on the
+    driver (clustering._round6) instead of through a distributed
+    F.round plan; this pins the two roundings bit-identical over
+    (a) every probe/LUT sum actually produced by registry-parameter
+    trainings on the real corpus and (b) an adversarial grid of
+    half-way points, so the driver-side arithmetic can never drift
+    off the oracle's HALF_UP 6-dp grid."""
+    from optimized_climate_data_integration_with_real_time_llm_querying_spark.operators.clustering import (
+        _cells_by_cluster,
+        _collect_query_vec,
+        _round6,
+        kmeans_assign,
+        pq_assign,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings", rebalance=True)
+    cells = kmeans_assign(emb, k=8, n_iter=2)
+    codes = pq_assign(emb, m=M, k=K, n_iter=2)
+    qvec = _collect_query_vec(emb, 0, "embedding", "vec_id")
+    # every probe sum (unrounded) + every LUT sum (unrounded)
+    raw: list[float] = []
+    by_c = _cells_by_cluster(cells.centroids)
+    for c in sorted(by_c):
+        raw.append(sum((qvec[d] - by_c[c][d]) ** 2 for d in sorted(by_c[c])))
+    d_sub = len(qvec) // M
+    lut_cells: dict[tuple[int, int], dict[int, float]] = {}
+    for code, sub, sdim, cval in codes.centroids:
+        lut_cells.setdefault((sub, code), {})[sdim] = cval
+    for (sub, code), vals in sorted(lut_cells.items()):
+        raw.append(
+            sum(
+                (qvec[sub * d_sub + sd] - vals[sd]) ** 2
+                for sd in sorted(vals)
+            )
+        )
+    _release(cells)
+    _release(codes)
+    # adversarial grid: exact half-way points, negatives, tiny/huge
+    raw.extend(
+        [
+            0.0000005, 1.0000005, -0.0000005, -1.0000005, 2.5e-7,
+            0.1234565, 0.12345649999, 123456.7890125, -42.0000015,
+            1e-12, -1e-12, 7.0, 0.9999995,
+        ]
+    )
+    sdf = spark.createDataFrame([(float(v),) for v in raw], "x double")
+    spark_rounded = [r[0] for r in sdf.select(F.round("x", 6)).collect()]
+    py_rounded = [_round6(v) for v in raw]
+    assert spark_rounded == py_rounded
