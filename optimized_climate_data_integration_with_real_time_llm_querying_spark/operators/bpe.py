@@ -43,11 +43,23 @@ from pyspark.sql import functions as F
 
 
 def learn_merges(
-    words: DataFrame, n_merges: int = 12, word_col: str = "w"
+    words: DataFrame,
+    n_merges: int = 12,
+    word_col: str = "w",
+    count_col: str | None = None,
 ) -> list[str]:
     """Learn ``n_merges`` BPE merges over a (word) frame with
     multiplicity. Returns the ordered pair list; pair ``i`` (1-based)
     is merged into the placeholder symbol ``chr(i)``.
+
+    ``count_col`` (round-17, guide §2.3 "aggregate before you
+    shuffle"): callers that pre-aggregate the corpus to DISTINCT
+    words with a multiplicity column pass it here, and every round's
+    pair count becomes ``SUM(count)`` over the vocabulary-sized
+    distinct-word frame instead of ``COUNT(*)`` over the corpus-token
+    frame — exact integer equality with the unweighted form, but the
+    per-round scan and the replace chain touch |vocabulary| rows, not
+    |corpus| rows. The learned merge list is bit-identical.
 
     Callers should persist ``words`` first — every round re-scans it
     with ``i-1`` stacked replaces (all map-side).
@@ -55,14 +67,23 @@ def learn_merges(
     if not 1 <= n_merges <= 255:
         raise ValueError("n_merges must be in [1, 255] (chr placeholder alphabet)")
     merges: list[str] = []
-    w = words.select(F.col(word_col).alias("w"))
+    if count_col is None:
+        w = words.select(F.col(word_col).alias("w"), F.lit(1).alias("_n"))
+    else:
+        w = words.select(
+            F.col(word_col).alias("w"), F.col(count_col).alias("_n")
+        )
     for i in range(1, n_merges + 1):
         best = (
             w.filter(F.length("w") >= 2)
-            .select("w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("p"))
-            .select(F.expr("substring(w, p, 2)").alias("pair"))
+            .select(
+                "w",
+                "_n",
+                F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("p"),
+            )
+            .select(F.expr("substring(w, p, 2)").alias("pair"), "_n")
             .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("_n").alias("n"))
             .orderBy(F.desc("n"), "pair")
             .limit(1)
             .collect()
@@ -71,7 +92,9 @@ def learn_merges(
             break
         pair = best[0]["pair"]
         merges.append(pair)
-        w = w.select(F.replace(F.col("w"), F.lit(pair), F.lit(chr(i))).alias("w"))
+        w = w.select(
+            F.replace(F.col("w"), F.lit(pair), F.lit(chr(i))).alias("w"), "_n"
+        )
     return merges
 
 

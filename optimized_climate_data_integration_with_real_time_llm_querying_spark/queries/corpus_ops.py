@@ -371,44 +371,73 @@ def wordpiece_greedy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = subs.groupBy("sub").agg(F.sum("cnt").alias("w"))
     top = weights.orderBy(F.desc("w"), "sub").limit(_WP_VOCAB_K).select("sub")
     chars = weights.filter(F.length("sub") == 1).select("sub")
-    vocab = (
-        top.unionByName(chars)
-        .distinct()
-        .withColumn("l", F.length("sub"))
-        .persist()
+    vocab = top.unionByName(chars).distinct().withColumn("l", F.length("sub"))
+    # Round-17 rewrite (guide §1.2/§2.4): the vocabulary is bounded by
+    # construction (_WP_VOCAB_K pieces + the corpus alphabet), so the
+    # 12-round greedy longest-match unrolls as PURE COLUMN EXPRESSIONS
+    # over the distinct-word frame with the vocabulary as a map
+    # literal {sub: length}: zero joins, zero shuffles, one pass. The
+    # previous shape re-joined per round AND each round's output
+    # branch lazily replayed every earlier round (1+2+..+12 = 78
+    # join+aggregate evaluations in one plan), which made plan size —
+    # not data — the wall cost. Match semantics are identical: a
+    # candidate piece at (pos, l) counts only when
+    # substring(word, pos, l) equals a vocab entry OF LENGTH l (the
+    # former equi-join condition), and the per-round winner is
+    # max(struct(l, sub)) — the same lexicographic argmax.
+    vrows = sorted((r["sub"], int(r["l"])) for r in vocab.collect())
+    # Two array literals + map_from_arrays (constant-folds to ONE
+    # opaque map Literal) instead of create_map over scalar literals,
+    # which the optimizer expands into a |vocab|-branch CaseKeyWhen at
+    # every one of the 72 lookup sites — see unigram_lm_segments.
+    mp = F.map_from_arrays(
+        F.lit([s for s, _ in vrows]), F.lit([l for _, l in vrows])
     )
-    state = words.select("word", F.length("word").alias("wl"), F.lit(1).alias("pos"))
-    pieces = []
+    cur = words.select(
+        "word", F.length("word").alias("wl"), F.lit(1).cast("int").alias("_pos0")
+    )
     for r in range(1, _WP_ROUNDS + 1):
-        m = state.join(
-            F.broadcast(vocab), F.expr("substring(word, pos, l) = sub")
-        )
-        # NOT persisted: round r's lazy plan replays rounds 1..r-1,
-        # but the replayed frames are word-vocabulary-sized, and
-        # measurement showed per-round persistence costs MORE than
-        # the recomputation (9.4 s -> 17.4 s at sf0.1: 12 extra
-        # materialization barriers vs replaying tiny joins). The
-        # wall cost here is the 12-round stage count itself — the
-        # inherent shape of greedy segmentation, same family as the
-        # BPE merge loop.
-        best = (
-            m.groupBy("word", "wl", "pos")
-            .agg(F.max(F.struct("l", "sub")).alias("b"))
-            .select(
-                "word", "wl", "pos",
-                F.col("b.sub").alias("piece"), F.col("b.l").alias("l"),
+        pos = F.col(f"_pos{r - 1}")
+        cands = []
+        for l in range(1, _WP_MAX_SUB + 1):
+            sub_expr = F.substring(F.col("word"), pos, F.lit(l))
+            cands.append(
+                F.when(
+                    pos.isNotNull() & (mp[sub_expr] == l),
+                    F.struct(F.lit(l).alias("l"), sub_expr.alias("sub")),
+                )
+            )
+        best = F.array_max(F.filter(F.array(*cands), lambda x: x.isNotNull()))
+        cur = (
+            cur.withColumn(
+                f"_piece{r}",
+                F.when(
+                    best.isNotNull(),
+                    F.struct(
+                        F.lit(r).cast("int").alias("piece_idx"),
+                        best["sub"].alias("piece"),
+                    ),
+                ),
+            )
+            .withColumn(
+                f"_pos{r}",
+                F.when(
+                    best.isNotNull()
+                    & (pos + best["l"] <= F.col("wl")),
+                    (pos + best["l"]).cast("int"),
+                ),
             )
         )
-        pieces.append(
-            best.select("word", F.lit(r).cast("int").alias("piece_idx"), "piece")
-        )
-        state = best.filter(F.col("pos") + F.col("l") <= F.col("wl")).select(
-            "word", "wl", (F.col("pos") + F.col("l")).alias("pos")
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    out.cache_handles = [vocab, words]
+    parr = F.array(*[F.col(f"_piece{r}") for r in range(1, _WP_ROUNDS + 1)])
+    out = cur.select(
+        "word",
+        F.explode(F.filter(parr, lambda x: x.isNotNull())).alias("sg"),
+    ).select(
+        "word",
+        F.col("sg.piece_idx").alias("piece_idx"),
+        F.col("sg.piece").alias("piece"),
+    )
+    out.cache_handles = [words]
     return out
 
 
@@ -992,9 +1021,18 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    words = d.select(F.explode(tokens("text")).alias("w")).persist()
+    # Round-17 (guide §2.3): learn over the DISTINCT-word frame with a
+    # multiplicity column — SUM(cnt) pair counts are integer-identical
+    # to COUNT(*) over corpus tokens, but the 12 induction rounds scan
+    # and re-replace |vocabulary| rows instead of |corpus| rows.
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
     try:
-        merges = bpe.learn_merges(words, N_BPE_MERGES)
+        merges = bpe.learn_merges(words, N_BPE_MERGES, count_col="cnt")
     except BaseException:
         words.unpersist()
         raise
@@ -1125,9 +1163,16 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    words = d.select(F.explode(tokens("text")).alias("w")).persist()
+    # Round-17 (guide §2.3): distinct-word learning — see
+    # bpe_encode_docs; the merge list is integer-identical.
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
     try:
-        merges = bpe.learn_merges(words, N_BPE_MERGES)
+        merges = bpe.learn_merges(words, N_BPE_MERGES, count_col="cnt")
     except BaseException:
         words.unpersist()
         raise
@@ -1201,22 +1246,41 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigram_doc_scores(d: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, avg_neg_logp): the add-1-smoothed bigram-LM
     scoring core shared by bigram_logprob_scores and the CCNet bucket
-    query (same plan, same 4-dp rounding)."""
-    from pyspark.sql import Window as W
+    query (same plan, same 4-dp rounding).
 
-    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        tok.select(
+    Round-17 (guide §2.3/§2.4): bigrams come from arrays_zip over the
+    per-document token array (map-side; the former lead() window
+    shuffled every corpus token by doc_id, and its lazy frame was
+    replayed by three consumers in one plan), pre-aggregated to
+    per-document distinct-bigram counts ``m`` — the model counts
+    become SUM(m) (integer-identical) and the per-doc mean the
+    weighted form -SUM(m*logp)/SUM(m) == -AVG(logp) over rows, so
+    every shuffle carries distinct (doc, bigram) keys, never raw
+    corpus bigrams."""
+    ta = tokens("text")
+    nzip = F.greatest(F.size(ta) - 1, F.lit(0))
+    bgd = (
+        d.select(
             "doc_id",
-            F.col("token").alias("w1"),
-            F.lead("token").over(w).alias("w2"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ta, F.lit(1), nzip).alias("w1"),
+                    F.slice(ta, F.lit(2), nzip).alias("w2"),
+                )
+            ).alias("p"),
         )
-        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    vsz = tok.select("token").distinct().agg(F.count(F.lit(1)).alias("vsz"))
+    c2 = bgd.groupBy("w1", "w2").agg(F.sum("m").alias("n2"))
+    c1 = bgd.groupBy("w1").agg(F.sum("m").alias("n1"))
+    vsz = (
+        d.select(F.explode(ta).alias("token"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("vsz"))
+    )
     p = (
         c2.join(c1, "w1")
         .crossJoin(F.broadcast(vsz))
@@ -1228,14 +1292,18 @@ def _bigram_doc_scores(d: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
-        bg.join(p, ["w1", "w2"])
+    out = (
+        bgd.join(p, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(-F.avg("logp"), 4).alias("avg_neg_logp"),
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.round(-(F.sum(F.col("m") * F.col("logp")) / F.sum("m")), 4).alias(
+                "avg_neg_logp"
+            ),
         )
     )
+    out.cache_handles = [bgd]
+    return out
 
 
 @register(
@@ -1291,9 +1359,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    scores = _bigram_doc_scores(d).select("doc_id", "avg_neg_logp")
+    core = _bigram_doc_scores(d)
+    scores = core.select("doc_id", "avg_neg_logp")
     w = W.partitionBy("source").orderBy("avg_neg_logp", "doc_id")
-    return (
+    out = (
         scores.join(d.select("doc_id", "source"), "doc_id")
         .select(
             "doc_id",
@@ -1305,6 +1374,8 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+    out.cache_handles = list(getattr(core, "cache_handles", []))
+    return out
 
 
 @register(
@@ -2311,85 +2382,106 @@ def unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def viterbi(vocab: DataFrame) -> DataFrame:
-        """Returns seg frame (word, cnt, start, piece)."""
-        dp = [
-            words.select(
-                "word", "wl", "cnt",
-                F.lit(0).alias("i"),
-                F.lit(0.0).alias("score"),
-                F.lit(-1).alias("bp"),
-            )
-        ]
-        for i in range(1, _UNI_MAXW + 1):
-            prev = dp[max(0, i - _UNI_MAXP)]
-            for j in range(max(0, i - _UNI_MAXP) + 1, i):
-                prev = prev.unionByName(dp[j])
-            cand = (
-                prev.where(F.col("wl") >= i)
-                .alias("d")
-                .join(
-                    F.broadcast(vocab).alias("v"),
-                    (F.col("v.pl") == i - F.col("d.i"))
-                    & (
-                        F.col("v.piece")
-                        == F.expr(f"substr(d.word, d.i + 1, {i} - d.i)")
-                    ),
-                )
-                .select(
-                    "d.word", "d.wl", "d.cnt",
-                    F.lit(i).alias("i"),
-                    (F.col("d.score") + F.col("v.lw")).alias("score"),
-                    F.col("d.i").alias("bp"),
-                )
-            )
-            w_best = W.partitionBy("word").orderBy(
-                F.desc("score"), F.desc("bp")
-            )
-            # Eager localCheckpoint: dp[i] depends on up to 6 prior
-            # frames; left lazy, the logical plan grows exponentially
-            # in i and the analyzer, not the data (<= |vocab| rows
-            # per frame), dominates the runtime. Same per-iteration
-            # truncation discipline as kmeans/graph.
-            dp.append(
-                cand.withColumn("rn", F.row_number().over(w_best))
-                .where(F.col("rn") == 1)
-                .drop("rn")
-                .coalesce(1)  # <= |distinct words| rows; 1 task per checkpoint
-                .localCheckpoint(eager=True)
-            )
-        dp_all = dp[0]
-        for frame in dp[1:]:
-            dp_all = dp_all.unionByName(frame)
+        """Returns seg frame (word, cnt, start, piece).
 
-        cur = words.select("word", "wl", "cnt", F.col("wl").alias("pos"))
-        segs = []
-        for _ in range(_UNI_MAXW):
-            step = (
-                cur.where(F.col("pos") > 0)
-                .alias("b")
-                .join(
-                    dp_all.alias("dd"),
-                    (F.col("dd.word") == F.col("b.word"))
-                    & (F.col("dd.i") == F.col("b.pos")),
+        Round-17 rewrite (guide §1.2 "fix the distributed algorithm
+        first", §2.4): the DP is bounded per word — _UNI_MAXW
+        positions, _UNI_MAXP lookbacks — and the vocabulary is
+        bounded by construction (_UNI_TOPK pieces + the corpus
+        alphabet), so the whole Viterbi unrolls as PURE COLUMN
+        EXPRESSIONS over the persisted distinct-word frame with the
+        vocabulary as a broadcast map literal: zero joins, zero
+        shuffles, zero per-step actions. The previous shape ran an
+        eager single-task localCheckpoint per DP position and per
+        backtrack step — 32 driver-blocking jobs per EM round, which
+        dominated the query wall-clock at every scale (the frames
+        are vocabulary-sized). Arithmetic is IDENTICAL: the lw
+        values come from the SAME Spark plan (collected, not
+        recomputed), scores are the same left-to-right chains of
+        <= _UNI_MAXW additions of 6-dp-rounded lw terms, and the
+        argmax tie-break (score DESC, bp DESC) is array_max over
+        (score, bp) structs — lexicographic max, the same winner.
+        """
+        lw_map = {
+            r["piece"]: float(r["lw"])
+            for r in vocab.select("piece", "lw").collect()
+        }
+        # map_from_arrays over two ARRAY literals, not create_map over
+        # 2x|vocab| scalar literals: array literals are single Literal
+        # nodes and the whole map constant-folds to one opaque map
+        # Literal, whereas GetMapValue(CreateMap(...)) is expanded by
+        # the optimizer into a |vocab|-branch CaseKeyWhen at EVERY
+        # lookup site — measured as a 109 KB plan and seconds of
+        # driver-side optimization per run.
+        pieces_sorted = sorted(lw_map)
+        mp = F.map_from_arrays(
+            F.lit(pieces_sorted),
+            F.lit([lw_map[p] for p in pieces_sorted]),
+        )
+        cur = words.withColumn("_s0", F.lit(0.0)).withColumn(
+            "_b0", F.lit(-1)
+        )
+        for i in range(1, _UNI_MAXW + 1):
+            cands = []
+            for j in range(max(0, i - _UNI_MAXP), i):
+                lwv = mp[F.expr(f"substr(word, {j + 1}, {i - j})")]
+                cands.append(
+                    F.when(
+                        (F.col("wl") >= i)
+                        & F.col(f"_s{j}").isNotNull()
+                        & lwv.isNotNull(),
+                        F.struct(
+                            (F.col(f"_s{j}") + lwv).alias("score"),
+                            F.lit(j).alias("bp"),
+                        ),
+                    )
                 )
-                .select(
-                    "b.word", "b.wl", "b.cnt",
-                    F.col("dd.bp").alias("prev"),
-                    F.expr("substr(b.word, dd.bp + 1, b.pos - dd.bp)").alias(
-                        "piece"
+            best = F.array_max(
+                F.filter(F.array(*cands), lambda x: x.isNotNull())
+            )
+            cur = cur.withColumn(f"_s{i}", best["score"]).withColumn(
+                f"_b{i}", best["bp"]
+            )
+
+        def bp_at(pos_col):
+            expr = F.lit(None).cast("int")
+            for i in range(1, _UNI_MAXW + 1):
+                expr = F.when(pos_col == i, F.col(f"_b{i}")).otherwise(expr)
+            return expr
+
+        cur = cur.withColumn("_pos0", F.col("wl").cast("int"))
+        for s in range(1, _UNI_MAXW + 1):
+            prev = F.col(f"_pos{s - 1}")
+            bp = bp_at(prev)
+            live = (prev > 0) & bp.isNotNull()
+            cur = cur.withColumn(
+                f"_seg{s}",
+                F.when(
+                    live,
+                    F.struct(
+                        (bp + 1).cast("int").alias("start"),
+                        F.substring(
+                            F.col("word"), bp + 1, prev - bp
+                        ).alias("piece"),
                     ),
-                    (F.col("dd.bp") + 1).cast("int").alias("start"),
-                )
+                ),
+            ).withColumn(
+                f"_pos{s}",
+                F.when(live, bp).otherwise(F.lit(None).cast("int")),
             )
-            step = step.coalesce(1).localCheckpoint(eager=True)
-            segs.append(step.select("word", "cnt", "start", "piece"))
-            cur = step.select(
-                "word", "wl", "cnt", F.col("prev").alias("pos")
-            )
-        out = segs[0]
-        for sg in segs[1:]:
-            out = out.unionByName(sg)
-        return out
+        segs = F.array(
+            *[F.col(f"_seg{s}") for s in range(1, _UNI_MAXW + 1)]
+        )
+        return cur.select(
+            "word",
+            "cnt",
+            F.explode(F.filter(segs, lambda x: x.isNotNull())).alias("sg"),
+        ).select(
+            "word",
+            "cnt",
+            F.col("sg.start").alias("start"),
+            F.col("sg.piece").alias("piece"),
+        )
 
     seg_a = viterbi(v0)
     counts = seg_a.groupBy("piece").agg(F.sum("cnt").alias("used"))
