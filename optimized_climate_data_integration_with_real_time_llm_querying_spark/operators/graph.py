@@ -22,8 +22,11 @@ Lineage discipline: each round's labels frame is
 nested plan Catalyst re-optimizes in full every round (a round-9 A/B
 on dedup_clusters: 4.1 s checkpointed vs 14.1 s persisted).
 
-Resource hygiene, all public API: the edge frame persist is released
-in a ``finally``; superseded label checkpoints are released by
+Resource hygiene, all public API: the symmetrized edge frame is an
+eager localCheckpoint (round 17: lineage truncation on the EDGE side
+too — a persist caches rows but every iteration still re-analyzes the
+embedded near-dup lineage) released through the same handle contract;
+superseded label checkpoints are released by
 DROPPING their last Python reference — CPython refcounting detaches
 the py4j handle promptly, and Spark's ContextCleaner
 (referenceTracking, on by default) then unpersists the checkpointed
@@ -115,14 +118,40 @@ def connected_components(
     this only triggers on a path graph longer than the cap, which a
     near-dup graph never is (and silent truncation would mislabel).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Round-17 (guide §2.4 + §2.3): symmetrize with ONE scan of the
+    # edge frame — the former union of two selects evaluated the
+    # (often expensive, e.g. a MinHash verify) edge lineage twice on
+    # first materialization (the fix pagerank below already carried) —
+    # and hash-partition the persisted frame by the join side ``b``:
+    # every iteration joins on it, labels start and stay partitioned
+    # by ``node`` (distinct establishes it; localCheckpoint preserves
+    # it; the left join keys keep it), so the only per-iteration
+    # exchange left is the small partial-min aggregate by ``a``.
+    spark_parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint (not persist): the edge lineage is often a full
+    # near-dup pipeline; a persist caches the rows but every iteration
+    # still re-analyzes the embedded lineage (the module-doc 3.4x
+    # label-checkpoint finding, applied to the edge side in round 17 —
+    # the persisted-sym dedup_clusters plan carried the MinHash tree
+    # once per iteration reference).
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .repartition(spark_parallelism, "b")
+        .localCheckpoint(eager=True)
     )
-    sym = sym.persist()
     labels = None
     try:
         labels = (
             sym.select(F.col("a").alias("node"))
+            .repartition(spark_parallelism, "a")
             .distinct()
             .withColumn("component", F.col("node"))
             .localCheckpoint()
@@ -164,19 +193,18 @@ def connected_components(
             )
     except BaseException:
         # The propagating traceback pins THIS frame and its locals —
-        # clear the in-flight checkpoint references before re-raising
-        # so a retained exception cannot keep them reachable.
+        # clear the in-flight checkpoint references (sym included)
+        # before re-raising so a retained exception cannot keep them
+        # reachable.
         labels = None
         new_labels = None
+        sym = None
         raise
-    finally:
-        # On success AND failure: the edge persist goes; in-flight
-        # label checkpoints are reference-dropped by scope exit.
-        sym.unpersist()
-    # Strip the probe flag; the release handle stays bound to the
-    # underlying checkpointed frame.
+    # Strip the probe flag; the release handles stay bound to the
+    # underlying checkpointed frames (sym included — the final labels
+    # plan no longer references it, but release symmetry is free).
     out = labels.select("node", "component")
-    out.cache_handles = [_CheckpointHandle(labels)]
+    out.cache_handles = [_CheckpointHandle(labels), _CheckpointHandle(sym)]
     return out
 
 
@@ -244,11 +272,16 @@ def pagerank(
     dangling-mass term. Each iteration is one equi-join on the edge
     key + one (dst) aggregate; the shuffle carries (node, scalar)
     rows, never adjacency lists, and the symmetrized edge frame is
-    persisted once (returned via ``cache_handles``).
+    checkpointed once (returned via ``cache_handles``).
     """
     # Symmetrize with ONE scan of the edge frame: a union of two
     # selects would evaluate the (often expensive — e.g. an n-gram
     # pair join) edge lineage twice on first materialization.
+    # Round-17 (guide §2.4): the persisted symmetrized frame is
+    # hash-partitioned by ``src`` — every iteration's contribution
+    # join keys on it, and ``deg``/``nodes`` (groupBy/distinct on
+    # src) inherit the partitioning, so each power iteration's only
+    # exchange is the small partial-sum aggregate by ``dst``.
     sym = (
         edges.select(
             F.explode(
@@ -263,7 +296,10 @@ def pagerank(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .persist()
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src"
+        )
+        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -290,5 +326,5 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-    pr.cache_handles = [sym]
+    pr.cache_handles = [_CheckpointHandle(sym)]
     return pr

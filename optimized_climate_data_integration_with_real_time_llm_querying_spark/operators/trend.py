@@ -61,32 +61,38 @@ def holt_linear_state(
             f"{series_desc} per {key_col}, got {sorted(set(counts))}"
         )
     a, b_ = alpha, beta
-    y1 = seq.where(F.col("rn") == 1).select(key_col, F.col("cnt").alias("y1"))
-    y2 = seq.where(F.col("rn") == 2).select(key_col, F.col("cnt").alias("y2"))
-    state = y1.join(y2, key_col).select(
-        key_col,
-        F.col("y1").cast("double").alias("l"),
-        (F.col("y2") - F.col("y1")).cast("double").alias("b"),
+    # Round-17 rewrite (guide §1.2/§2.4): the recursion is a per-key
+    # SCALAR chain over a guarded-dense, bounded number of steps, so
+    # it unrolls as column expressions over ONE pivoted row per key
+    # (groupBy key, y_t = max(cnt where rn = t)) — replacing the
+    # former per-step join + eager single-task localCheckpoint
+    # (n_steps driver-blocking jobs). Arithmetic is IDENTICAL: the
+    # same per-step double ops and 6-dp roundings, element-wise per
+    # key — no aggregation-order dependence at all. One final eager
+    # localCheckpoint keeps the callers' contract that ``seq`` is
+    # fully consumed when this returns.
+    wide = seq.groupBy(key_col).agg(
+        *[
+            F.max(F.when(F.col("rn") == t, F.col("cnt"))).alias(f"_y{t}")
+            for t in range(1, n_steps + 1)
+        ]
+    )
+    cur = wide.withColumn("_l1", F.col("_y1").cast("double")).withColumn(
+        "_b1", (F.col("_y2") - F.col("_y1")).cast("double")
     )
     for t in range(2, n_steps + 1):
-        yt = seq.where(F.col("rn") == t).select(key_col, "cnt")
-        stepped = state.join(yt, key_col).select(
-            key_col,
-            F.round(a * F.col("cnt") + (1 - a) * (F.col("l") + F.col("b")), 6).alias(
-                "l_new"
-            ),
-            "l",
-            "b",
+        lp, bp = F.col(f"_l{t - 1}"), F.col(f"_b{t - 1}")
+        cur = cur.withColumn(
+            f"_l{t}",
+            F.round(a * F.col(f"_y{t}") + (1 - a) * (lp + bp), 6),
         )
-        state = (
-            stepped.select(
-                key_col,
-                F.col("l_new").alias("l"),
-                F.round(
-                    b_ * (F.col("l_new") - F.col("l")) + (1 - b_) * F.col("b"), 6
-                ).alias("b"),
-            )
-            .coalesce(1)
-            .localCheckpoint(eager=True)
+        cur = cur.withColumn(
+            f"_b{t}",
+            F.round(b_ * (F.col(f"_l{t}") - lp) + (1 - b_) * bp, 6),
         )
+    state = cur.select(
+        key_col,
+        F.col(f"_l{n_steps}").alias("l"),
+        F.col(f"_b{n_steps}").alias("b"),
+    ).localCheckpoint(eager=True)
     return state

@@ -1265,65 +1265,64 @@ def ivf_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same mat-vec primitive.",
 )
 def covariance_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     from ..operators.similarity import embedding_covariance as cov_op
 
+    # Round-17 (guide §1.2/§5): the corpus appears ONLY through the
+    # d x d covariance — every iteration touches 64 x 64 scalars, the
+    # same driver-held-codebook size the kmeans/PQ family already
+    # collects. The former shape ran each power step as an eager
+    # localCheckpoint job plus broadcast-subquery stages (6+ driver
+    # round-trips over 4,096 rows); now ONE distributed job computes
+    # the (exact-integer) covariance, and the three power steps run
+    # on the driver with IDENTICAL arithmetic: the mat-vec is exact
+    # int64 (no accumulation-order dependence — the property the
+    # oracle already relies on), the renorm divide and the final
+    # normalize are the same IEEE-double ops, and the two HALF_UP
+    # roundings replay F.round via Decimal(repr(x)) exactly
+    # (pinned for the 6-dp grid in tests/test_pq.py::
+    # test_python_round6_matches_spark_round).
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     upper = cov_op(emb).select(
         "dim_i",
         "dim_j",
         F.round(F.col("cov") * 1e6).cast("long").alias("cint"),
     )
-    cmat = upper.select(
-        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cint"
-    ).unionByName(
-        upper.where(F.col("dim_i") != F.col("dim_j")).select(
-            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cint"
+
+    def _round_half_up(x: float, places: int) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-places), rounding=ROUND_HALF_UP
+            )
         )
-    ).persist()
-    q = cmat.select(F.col("i").alias("j")).distinct().withColumn(
-        "q", F.lit(1000000).cast("long")
-    )
+
+    cmat: dict[tuple[int, int], int] = {}
+    dims: set[int] = set()
+    for r in upper.collect():
+        i, j, c = int(r["dim_i"]), int(r["dim_j"]), int(r["cint"])
+        cmat[(i, j)] = c
+        if i != j:
+            cmat[(j, i)] = c
+        dims.add(i)
+        dims.add(j)
+    order = sorted(dims)
+    q = {j: 1000000 for j in order}
     for _ in range(3):
-        w = (
-            cmat.join(q, "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("cint") * F.col("q")).cast("long").alias("w"))
-        )
-        wmax = w.agg(F.max(F.abs("w")).alias("wmax"))
-        q = (
-            w.crossJoin(F.broadcast(wmax))
-            .select(
-                F.col("i").alias("j"),
-                F.round(
-                    F.col("w").cast("double") * 1e6 / F.col("wmax")
-                )
-                .cast("long")
-                .alias("q"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    norm = q.agg(
-        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("nrm")
-    )
-    signfix = (
-        q.orderBy(F.abs("q").desc(), "j")
-        .limit(1)
-        .select(
-            F.when(F.col("q") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias(
-                "flip"
-            )
-        )
-    )
-    out = (
-        q.crossJoin(F.broadcast(norm))
-        .crossJoin(F.broadcast(signfix))
-        .select(
-            F.col("j").alias("dim"),
-            (
-                F.round(F.col("q") * F.col("flip") / F.col("nrm"), 6)
-                + F.lit(0.0)
-            ).alias("loading"),
-        )
-    )
-    out.cache_handle = cmat
-    return out
+        w = {
+            i: sum(cmat.get((i, j), 0) * q[j] for j in order)
+            for i in order
+        }
+        wmax = max(abs(v) for v in w.values())
+        q = {
+            i: int(_round_half_up(float(w[i]) * 1e6 / float(wmax), 0))
+            for i in order
+        }
+    nrm = math.sqrt(float(sum(v * v for v in q.values())))
+    top = min(order, key=lambda j: (-abs(q[j]), j))
+    flip = 1.0 if q[top] >= 0 else -1.0
+    rows = [
+        (j, _round_half_up(q[j] * flip / nrm, 6) + 0.0) for j in order
+    ]
+    return spark.createDataFrame(rows, "dim int, loading double")

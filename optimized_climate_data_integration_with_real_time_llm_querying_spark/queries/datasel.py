@@ -37,19 +37,26 @@ from . import register
 
 
 def _doc_bigrams(d: DataFrame) -> DataFrame:
-    """(doc_id, lang, w1, w2) for every adjacent token pair."""
-    tok = d.select(
-        "doc_id", "lang", F.posexplode(tokens("text")).alias("pos", "token")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
+    """(doc_id, lang, w1, w2) for every adjacent token pair.
+
+    Round-17 (guide §2.4): adjacent pairs come from arrays_zip over
+    the per-document token array — a map-side expression producing
+    exactly the rows the former lead()-over-(doc_id, pos) window did,
+    without shuffling every corpus token by doc_id first."""
+    ta = tokens("text")
+    nzip = F.greatest(F.size(ta) - 1, F.lit(0))
     return (
-        tok.select(
+        d.select(
             "doc_id",
             "lang",
-            F.col("token").alias("w1"),
-            F.lead("token").over(w).alias("w2"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ta, F.lit(1), nzip).alias("w1"),
+                    F.slice(ta, F.lit(2), nzip).alias("w2"),
+                )
+            ).alias("p"),
         )
-        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
 
 
@@ -555,45 +562,74 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True).filter(
         F.trim(F.col("text")) != ""
     )
-    tok = d.select(
-        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "token")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        tok.select(
-            "doc_id",
-            "source",
-            F.col("token").alias("w1"),
-            F.lead("token").over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
+    # Round-17 (guide §2.3 "aggregate before you shuffle" + §5):
+    # everything downstream depends only on (source, token) and
+    # (source, w1, w2) COUNTS, so the corpus collapses to those two
+    # vocabulary-sized frames in map-side passes before any join or
+    # persist. Bigrams come from arrays_zip over the per-document
+    # token array — adjacent pairs within each document, exactly the
+    # former lead()-over-(doc_id, pos) window, minus its corpus-wide
+    # shuffle — and the per-source NLL means become weighted means
+    # over distinct grams (-SUM(m*ln)/SUM(m) == -AVG(ln) over rows).
+    # The former shape persisted the corpus token AND bigram frames
+    # and shuffled the bigrams twice against their own count tables;
+    # the new caches and shuffles are all vocabulary-sized at any
+    # corpus scale.
+    ta = tokens("text")
+    tsrc = (
+        d.select("source", F.explode(ta).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("m"))
         .persist()
     )
-    tk = tok.persist()
-    uc = tk.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    un = tk.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("token").alias("v")
+    nzip = F.greatest(F.size(ta) - 1, F.lit(0))
+    bsrc = (
+        d.select(
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ta, F.lit(1), nzip).alias("w1"),
+                    F.slice(ta, F.lit(2), nzip).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("source", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    uc = tsrc.groupBy("token").agg(F.sum("m").alias("c"))
+    un = tsrc.agg(
+        F.sum("m").alias("n"), F.countDistinct("token").alias("v")
+    )
+    c2 = bsrc.groupBy("w1", "w2").agg(F.sum("m").alias("n2"))
+    c1 = bsrc.groupBy("w1").agg(F.sum("m").alias("n1"))
     nll_u = (
-        tk.join(F.broadcast(uc), "token")
+        tsrc.join(F.broadcast(uc), "token")
         .crossJoin(F.broadcast(un))
         .groupBy("source")
         .agg(
-            (-F.avg(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))))).alias(
-                "nll_uni_raw"
-            )
+            (
+                -F.sum(
+                    F.col("m")
+                    * F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+                )
+                / F.sum("m")
+            ).alias("nll_uni_raw")
         )
     )
     nll_b = (
-        bg.join(c2, ["w1", "w2"])
+        bsrc.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(un))
         .groupBy("source")
         .agg(
             (
-                -F.avg(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v"))))
+                -F.sum(
+                    F.col("m")
+                    * F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v")))
+                )
+                / F.sum("m")
             ).alias("nll_bi_raw")
         )
     )
@@ -630,7 +666,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight"),
     )
-    out.cache_handles = [bg, tk]
+    out.cache_handles = [bsrc, tsrc]
     return out
 
 

@@ -369,5 +369,8 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
     )
     out = sup.select("a", "b", "c", "support")
+    from ..operators.graph import _CheckpointHandle
+
     out.cache_handle = li
+    out.cache_handles = [_CheckpointHandle(l2)]
     return out

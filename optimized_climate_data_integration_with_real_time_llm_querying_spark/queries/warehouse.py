@@ -589,11 +589,18 @@ def copurchase_edges(spark: SparkSession, sf_dir: str, min_support: int = 2):
         (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("c.l_partkey")),
     ).select(F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb"))
+    # Round-17 (guide §2.4): every consumer references the edge list
+    # 2-3 times (triangle/wedge self-joins, BFS levels); left lazy,
+    # each reference re-ran the basket self-join + aggregate inside
+    # one plan. One eager localCheckpoint truncates the lineage so the
+    # support>=min_support list — orders of magnitude smaller than the
+    # baskets — is computed exactly once.
     edges = (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
         .select("pa", "pb")
+        .localCheckpoint(eager=True)
     )
     return li, edges
 
@@ -646,7 +653,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e1.pb").alias("b"),
         F.col("e2.pb").alias("c"),
     )
+    from ..operators.graph import _CheckpointHandle
+
     out.cache_handle = li
+    out.cache_handles = [_CheckpointHandle(e)]
     return out
 
 
@@ -1160,9 +1170,21 @@ def user_lifecycle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, e0 = copurchase_edges(spark, sf_dir)
-    e = e0.unionByName(
-        e0.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
-    ).persist()
+    # Round-17 (guide §2.4): symmetrize with ONE scan — the former
+    # union of two selects evaluated the (self-join) edge lineage
+    # twice when the persist materialized.
+    e = (
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pa"), F.col("pb")),
+                    F.struct(F.col("pb").alias("pa"), F.col("pa").alias("pb")),
+                )
+            ).alias("s")
+        )
+        .select("s.pa", "s.pb")
+        .persist()
+    )
     levels = [e.agg(F.min("pa").alias("node"))]
     for _ in range(3):
         frontier = levels[-1].select(F.col("node").alias("f"))
@@ -1177,7 +1199,9 @@ def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged = lvl.select("node", F.lit(hop).alias("hop"))
         out = tagged if out is None else out.unionByName(tagged)
     result = out.groupBy("node").agg(F.min("hop").cast("int").alias("hop"))
-    result.cache_handles = [e, li]
+    from ..operators.graph import _CheckpointHandle
+
+    result.cache_handles = [e, li, _CheckpointHandle(e0)]
     return result
 
 
