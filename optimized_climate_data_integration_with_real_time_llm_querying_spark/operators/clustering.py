@@ -1510,9 +1510,11 @@ def semantic_dedup(
     """
     assign = kmeans_assign(df, k, n_iter, vec_col, id_col,
                            train_stride=train_stride)
-    m = assign.select(id_col, "cluster").join(
-        df.select(F.col(id_col), F.col(vec_col)), id_col
-    )
+    # Round-17 (guide §5): the final assignment feeds BOTH pair-join
+    # sides and the output join — persist the compact (id, cluster)
+    # frame once instead of re-running the assignment scan per branch.
+    asg = assign.select(id_col, "cluster").persist()
+    m = asg.join(df.select(F.col(id_col), F.col(vec_col)), id_col)
     a = m.select(
         F.col("cluster"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
@@ -1528,13 +1530,12 @@ def semantic_dedup(
         .withColumn("is_dup", F.lit(1))
     )
     out = (
-        assign.select(id_col, "cluster")
-        .join(F.broadcast(drops), id_col, "left")
+        asg.join(F.broadcast(drops), id_col, "left")
         .select(
             id_col,
             "cluster",
             F.col("is_dup").isNull().cast("int").alias("is_kept"),
         )
     )
-    out.cache_handles = list(getattr(assign, "cache_handles", []))
+    out.cache_handles = list(getattr(assign, "cache_handles", [])) + [asg]
     return out

@@ -70,33 +70,26 @@ def shingles(
     default — pass distinct=False for consumers where duplicates are
     harmless, e.g. MinHash mins, to skip the dedup shuffle).
 
-    Built as posexplode(tokens) + lead() windows: higher-order array
-    functions (transform/slice lambdas) are evaluated interpreted in
-    Spark, which measured 3-8x slower than this fully codegen'd
-    explode+window shape. The window's doc_id hash partitioning is
-    reused by every downstream groupBy(doc_id), so the shingling and
-    the signature aggregate share one shuffle.
+    Built as arrays_zip over k shifted slices of the per-document
+    token array (round 17, guide §2.4): a MAP-SIDE expression — the
+    former posexplode + lead() window shuffled and sorted every
+    corpus token by doc_id before a single shingle existed. (The
+    historical HOF measurement that motivated the window shape was
+    about per-element LAMBDA functions — transform() — which Spark
+    evaluates interpreted; slice/arrays_zip are ordinary expressions
+    and the k-gram row multiset is identical.)
 
     A doc with < k tokens contributes its whole token string as a
     single shingle so short docs still participate.
     """
-    from pyspark.sql import Window as W
-
     toks = tokens(text_col)
-    tok_rows = df.select(
-        F.col(id_col), F.size(toks).alias("n_tok"), F.posexplode(toks).alias("pos", "tok")
+    cnt = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, F.lit(i + 1), cnt).alias(f"t{i}") for i in range(k)]
     )
-    w = W.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    long_docs = (
-        tok_rows.filter(F.col("n_tok") >= k)
-        .select(
-            F.col(id_col),
-            F.concat_ws(" ", *leads).alias("shingle"),
-            leads[-1].alias("_guard"),
-        )
-        .filter(F.col("_guard").isNotNull())
-        .drop("_guard")
+    long_docs = df.select(F.col(id_col), F.explode(zipped).alias("g")).select(
+        F.col(id_col),
+        F.concat_ws(" ", *[F.col(f"g.t{i}") for i in range(k)]).alias("shingle"),
     )
     short_docs = df.select(F.col(id_col), F.concat_ws(" ", toks).alias("shingle")).filter(
         (F.size(toks) < k) & (F.size(toks) > 0)
@@ -113,30 +106,21 @@ def hashed_shingles(
     distinct: bool = True,
 ) -> DataFrame:
     """(id, shingle: long) — k-word shingles hashed to 64 bits at the
-    source: xxhash64 over the k lead columns directly, so the shingle
+    source: xxhash64 over the k gram columns directly, so the shingle
     string is never materialized, the optional distinct dedups 8-byte
     longs instead of strings, and every downstream join/aggregate
-    shuffles longs. Same window shape (and shuffle reuse) as
+    shuffles longs. Same map-side arrays_zip shape as
     :func:`shingles`; equal word-k-grams hash equal, so Jaccard
     arithmetic is unchanged (modulo negligible 64-bit collisions).
     """
-    from pyspark.sql import Window as W
-
     toks = tokens(text_col)
-    tok_rows = df.select(
-        F.col(id_col), F.size(toks).alias("n_tok"), F.posexplode(toks).alias("pos", "tok")
+    cnt = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, F.lit(i + 1), cnt).alias(f"t{i}") for i in range(k)]
     )
-    w = W.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    long_docs = (
-        tok_rows.filter(F.col("n_tok") >= k)
-        .select(
-            F.col(id_col),
-            F.xxhash64(*leads).alias("shingle"),
-            leads[-1].alias("_guard"),
-        )
-        .filter(F.col("_guard").isNotNull())
-        .drop("_guard")
+    long_docs = df.select(F.col(id_col), F.explode(zipped).alias("g")).select(
+        F.col(id_col),
+        F.xxhash64(*[F.col(f"g.t{i}") for i in range(k)]).alias("shingle"),
     )
     short_docs = df.select(
         F.col(id_col), F.xxhash64(F.concat_ws(" ", toks)).alias("shingle")
@@ -167,7 +151,12 @@ def ngram_jaccard_pairs(
     strings (a 64-bit collision merging two shingles needs ~2^32
     distinct shingles per doc pair to matter — negligible).
     """
-    sh = hashed_shingles(df, text_col, id_col, k)
+    # Persisted (round 17, guide §5): the distinct hashed-shingle
+    # frame feeds the df guard, the size aggregate, and both join
+    # sides — left lazy each consumer re-ran the tokenize+shingle+
+    # distinct stage inside one plan. (id, 8-byte key) rows — compact.
+    sh0 = hashed_shingles(df, text_col, id_col, k).persist()
+    sh = sh0
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -185,7 +174,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    out = (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
         .withColumn(
@@ -199,6 +188,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
     )
+    out.cache_handles = [sh0]
+    return out
 
 
 def allpairs_jaccard_pairs(
@@ -272,8 +263,12 @@ def allpairs_jaccard_pairs(
         )
     # Distinct AFTER hashing: a (vanishingly rare) in-doc hash
     # collision then shrinks the set identically to how an oracle
-    # recomputing distinct hashed shingles sees it.
-    sh = sh.distinct()
+    # recomputing distinct hashed shingles sees it. Persisted
+    # (round 17, guide §5): five consumers below (df ranking, the
+    # position window join, both verify sides, the size aggregate)
+    # each re-derived the tokenize+shingle+distinct pipeline inside
+    # one plan; the frame is (id, 8-byte key) — compact at any scale.
+    sh = sh.distinct().persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
     w_pos = W.partitionBy(id_col).orderBy("df_count", "shingle")
     positioned = sh.join(dfreq, "shingle").select(
@@ -315,7 +310,7 @@ def allpairs_jaccard_pairs(
     raw = F.col("n_common") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     ).cast("double")
-    return (
+    out = (
         inter.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
             "id_a",
@@ -337,6 +332,8 @@ def allpairs_jaccard_pairs(
             F.round(raw, 6).alias("jaccard"),
         )
     )
+    out.cache_handles = [sh]
+    return out
 
 
 def weighted_jaccard_pairs(
@@ -380,7 +377,13 @@ def weighted_jaccard_pairs(
         sh = shingles(df, text_col, id_col, k, distinct=False).select(
             F.col(id_col), hash_family(F.col("shingle")).alias("shingle")
         )
-    counts = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
+    # Persisted (round 17, guide §5): the per-(doc, shingle) count
+    # frame feeds the df guard, the size aggregate, and BOTH join
+    # sides — left lazy each re-ran the tokenize+shingle+count stage.
+    counts0 = (
+        sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
+    counts = counts0
     if max_shingle_df is not None:
         rare = (
             counts.groupBy("shingle")
@@ -398,7 +401,7 @@ def weighted_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.least("c_a", "c_b")).alias("sum_min"))
     )
-    return (
+    out = (
         inter.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("total").alias("size_a")),
             "id_a",
@@ -418,6 +421,8 @@ def weighted_jaccard_pairs(
         .filter(F.col("w_jaccard") >= min_jaccard)
         .select("id_a", "id_b", "w_jaccard")
     )
+    out.cache_handles = [counts0]
+    return out
 
 
 def cdc_chunks(
@@ -983,14 +988,20 @@ def char_ngram_dup_profile(
     short_g = df.filter((n > 0) & (n < k)).select(
         F.col(id_col), hash_family(F.col(text_col)).alias("gh")
     )
-    g = long_g.unionAll(short_g)
+    # Persisted (round 17, guide §5): the gram frame feeds the
+    # dup-set aggregate AND the per-doc profile join — left lazy, the
+    # stride-1 md5-per-position pass (the operator's dominant compute)
+    # ran twice. MEMORY_AND_DISK default: at corpus scale the cached
+    # 8-byte keys spill to local disk, still far cheaper than a second
+    # full hashing pass over every character position.
+    g = long_g.unionAll(short_g).persist()
     dup = (
         g.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
         .filter(F.col("nd") > 1)
         .select("gh", F.lit(1).alias("is_dup"))
     )
-    return (
+    out = (
         g.join(dup, "gh", "left")
         .groupBy(id_col)
         .agg(
@@ -1006,6 +1017,8 @@ def char_ngram_dup_profile(
             ).alias("dup_frac"),
         )
     )
+    out.cache_handles = [g]
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1241,7 +1254,11 @@ def remove_duplicate_spans(
         n.alias("k_eff"),
         hash_family(F.col(text_col)).alias("gh"),
     )
-    g = long_g.unionAll(short_g)
+    # Persisted (round 17, guide §5): the gram frame feeds the
+    # dup-set aggregate AND the duplicated-position join — left lazy,
+    # the stride-1 md5-per-position pass ran twice (the same fix as
+    # char_ngram_dup_profile).
+    g = long_g.unionAll(short_g).persist()
     dup = (
         g.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
@@ -1298,7 +1315,7 @@ def remove_duplicate_spans(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("removed_chars"),
     )
-    return (
+    out = (
         df.select(id_col, text_col)
         .join(clean, id_col, "left")
         .join(stats, id_col, "left")
@@ -1314,3 +1331,5 @@ def remove_duplicate_spans(
             F.coalesce(F.col("clean_text"), F.col(text_col)).alias("clean_text"),
         )
     )
+    out.cache_handles = [g]
+    return out

@@ -93,7 +93,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Forward the component checkpoint's release handles so callers
     # (bench.run_once, the parity fixture, the driver adapter) free
     # the checkpointed blocks after materializing.
-    sel.cache_handles = list(getattr(out, "cache_handles", []))
+    sel.cache_handles = list(getattr(out, "cache_handles", [])) + list(
+        getattr(pairs, "cache_handles", [])
+    )
     return sel
 
 
@@ -193,7 +195,9 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.6, max_shingle_df=100)
     pr = pagerank(pairs, d=0.85, n_iter=3)
     out = pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pagerank"))
-    out.cache_handles = list(pr.cache_handles)
+    out.cache_handles = list(pr.cache_handles) + list(
+        getattr(pairs, "cache_handles", [])
+    )
     return out
 
 
@@ -254,7 +258,9 @@ def cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         F.row_number().over(w).cast("int").alias("rnk"),
     ).withColumn("kept", (F.col("rnk") <= 2).cast("int"))
-    sel.cache_handles = list(getattr(out, "cache_handles", []))
+    sel.cache_handles = list(getattr(out, "cache_handles", [])) + list(
+        getattr(pairs, "cache_handles", [])
+    )
     return sel
 
 

@@ -380,11 +380,13 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True)
     pairs = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.0, max_shingle_df=100)
-    return (
+    out = (
         pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
         .select("id_a", "id_b", "jaccard")
     )
+    out.cache_handles = list(getattr(pairs, "cache_handles", []))
+    return out
 
 
 @register(
@@ -446,11 +448,13 @@ def weighted_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, k=3, min_jaccard=0.0, max_shingle_df=100,
         hash_family=dedup.md5_hash64,
     )
-    return (
+    out = (
         pairs.orderBy(F.col("w_jaccard").desc(), "id_a", "id_b")
         .limit(20)
         .select("id_a", "id_b", "w_jaccard")
     )
+    out.cache_handles = list(getattr(pairs, "cache_handles", []))
+    return out
 
 
 @register(
@@ -508,9 +512,12 @@ def weighted_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def allpairs_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    return dedup.allpairs_jaccard_pairs(
+    core = dedup.allpairs_jaccard_pairs(
         d, k=3, threshold=0.6, hash_family=dedup.md5_hash64
-    ).select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+    out = core.select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+    out.cache_handles = list(getattr(core, "cache_handles", []))
+    return out
 
 
 @register(
