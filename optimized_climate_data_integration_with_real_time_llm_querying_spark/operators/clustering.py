@@ -688,11 +688,44 @@ def ivf_pq_topk(
     # contract, so the probe/semi-join pipeline is identical; pair it
     # with a proportionally larger nprobe to hold scan share
     # constant. The oracled registry path keeps the plain quantizer.
+    # Round-17 (guide §2.6 "overlap independent jobs"): the coarse
+    # k-means and the PQ codebook trainings read the same input and
+    # are independent until the search composition, but each is a
+    # chain of driver-blocking collects — run them from two driver
+    # threads so one training's Lloyd round-trips back-fill the
+    # other's idle executors. Results are unchanged (two independent
+    # deterministic computations; only job interleaving moves).
+    from concurrent.futures import ThreadPoolExecutor
+
     assign = kmeans_assign_balanced if balanced else kmeans_assign
-    cells = assign(
-        df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
-        train_stride=train_stride,
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cells = pool.submit(
+            assign, df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
+            train_stride=train_stride,
+        )
+        f_codes = pool.submit(
+            pq_assign, df, m, k, n_iter, vec_col, id_col, train_stride
+        )
+        cells_exc = codes_exc = None
+        try:
+            cells = f_cells.result()
+        except BaseException as e:  # noqa: BLE001 — release sibling below
+            cells_exc, cells = e, None
+        try:
+            codes = f_codes.result()
+        except BaseException as e:  # noqa: BLE001
+            codes_exc, codes = e, None
+    if cells_exc is not None or codes_exc is not None:
+        # One half failed: release the survivor's training persist
+        # before propagating (the kmeans/PQ internal hygiene only
+        # covers their OWN failure).
+        for ok in (cells, codes):
+            for h in getattr(ok, "cache_handles", []) if ok is not None else []:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
+        raise cells_exc or codes_exc
     # Round-17: the cell probe runs ON THE DRIVER (guide §2.4) — the
     # trained centroids are already a driver-held k x dim list, so
     # only the one query row is collected; the probed-cell set becomes
@@ -705,7 +738,6 @@ def ivf_pq_topk(
         .filter(F.col(id_col) != query_id)
         .select(id_col)
     )
-    codes = pq_assign(df, m, k, n_iter, vec_col, id_col, train_stride)
     lut = _adc_lut(df, codes.centroids, query_id, m, vec_col, id_col, qvec=qvec)
     # Semi-join the codes to the probed cells BEFORE scoring: at
     # corpus scale only nprobe/n_cells of the rows ever touch the LUT.
@@ -1164,12 +1196,50 @@ def ivf_pq_batch_topk(
     # the plain quantizer so plans stay byte-stable).
     if coarse_index is not None:
         cells = kmeans_code_frozen(df, coarse_index, vec_col=vec_col, id_col=id_col)
+        codes_pretrained = None
     else:
         assign = kmeans_assign_balanced if balanced else kmeans_assign
-        cells = assign(
-            df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
-            train_stride=train_stride,
-        )
+        if pq_index is None:
+            # Round-17 (guide §2.6): when BOTH halves train, the two
+            # independent Lloyd chains run from two driver threads so
+            # each training's collect latency back-fills the other's
+            # executors (see ivf_pq_topk). Frozen halves are lazy
+            # coding scans — nothing to overlap.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_cells = pool.submit(
+                    assign, df, n_cells, n_iter, vec_col=vec_col,
+                    id_col=id_col, train_stride=train_stride,
+                )
+                f_codes = pool.submit(
+                    pq_assign, df, m, k, n_iter, vec_col, id_col,
+                    train_stride,
+                )
+                cells_exc = codes_exc = None
+                try:
+                    cells = f_cells.result()
+                except BaseException as e:  # noqa: BLE001
+                    cells_exc, cells = e, None
+                try:
+                    codes_pretrained = f_codes.result()
+                except BaseException as e:  # noqa: BLE001
+                    codes_exc, codes_pretrained = e, None
+            if cells_exc is not None or codes_exc is not None:
+                for ok in (cells, codes_pretrained):
+                    handles = getattr(ok, "cache_handles", []) if ok is not None else []
+                    for h in handles:
+                        try:
+                            h.unpersist()
+                        except Exception:
+                            pass
+                raise cells_exc or codes_exc
+        else:
+            cells = assign(
+                df, n_cells, n_iter, vec_col=vec_col, id_col=id_col,
+                train_stride=train_stride,
+            )
+            codes_pretrained = None
     if nprobe_scale_with_split and balanced:
         realized = len({c for c, _, _ in cells.centroids})
         nprobe = effective_nprobe(nprobe, n_cells, realized)
@@ -1204,6 +1274,8 @@ def ivf_pq_batch_topk(
     )
     if pq_index is not None:
         codes = pq_code_frozen(df, pq_index, m, vec_col=vec_col, id_col=id_col)
+    elif codes_pretrained is not None:
+        codes = codes_pretrained
     else:
         codes = pq_assign(df, m, k, n_iter, vec_col, id_col, train_stride)
     # Batched LUT: Q x m x k rows, still broadcast-sized.

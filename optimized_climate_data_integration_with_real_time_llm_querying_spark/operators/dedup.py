@@ -151,12 +151,7 @@ def ngram_jaccard_pairs(
     strings (a 64-bit collision merging two shingles needs ~2^32
     distinct shingles per doc pair to matter — negligible).
     """
-    # Persisted (round 17, guide §5): the distinct hashed-shingle
-    # frame feeds the df guard, the size aggregate, and both join
-    # sides — left lazy each consumer re-ran the tokenize+shingle+
-    # distinct stage inside one plan. (id, 8-byte key) rows — compact.
-    sh0 = hashed_shingles(df, text_col, id_col, k).persist()
-    sh = sh0
+    sh = hashed_shingles(df, text_col, id_col, k)
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -188,7 +183,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
     )
-    out.cache_handles = [sh0]
     return out
 
 
@@ -263,12 +257,8 @@ def allpairs_jaccard_pairs(
         )
     # Distinct AFTER hashing: a (vanishingly rare) in-doc hash
     # collision then shrinks the set identically to how an oracle
-    # recomputing distinct hashed shingles sees it. Persisted
-    # (round 17, guide §5): five consumers below (df ranking, the
-    # position window join, both verify sides, the size aggregate)
-    # each re-derived the tokenize+shingle+distinct pipeline inside
-    # one plan; the frame is (id, 8-byte key) — compact at any scale.
-    sh = sh.distinct().persist()
+    # recomputing distinct hashed shingles sees it.
+    sh = sh.distinct()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
     w_pos = W.partitionBy(id_col).orderBy("df_count", "shingle")
     positioned = sh.join(dfreq, "shingle").select(
@@ -332,7 +322,6 @@ def allpairs_jaccard_pairs(
             F.round(raw, 6).alias("jaccard"),
         )
     )
-    out.cache_handles = [sh]
     return out
 
 
@@ -377,13 +366,7 @@ def weighted_jaccard_pairs(
         sh = shingles(df, text_col, id_col, k, distinct=False).select(
             F.col(id_col), hash_family(F.col("shingle")).alias("shingle")
         )
-    # Persisted (round 17, guide §5): the per-(doc, shingle) count
-    # frame feeds the df guard, the size aggregate, and BOTH join
-    # sides — left lazy each re-ran the tokenize+shingle+count stage.
-    counts0 = (
-        sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c")).persist()
-    )
-    counts = counts0
+    counts = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
     if max_shingle_df is not None:
         rare = (
             counts.groupBy("shingle")
@@ -421,7 +404,6 @@ def weighted_jaccard_pairs(
         .filter(F.col("w_jaccard") >= min_jaccard)
         .select("id_a", "id_b", "w_jaccard")
     )
-    out.cache_handles = [counts0]
     return out
 
 
@@ -1254,11 +1236,7 @@ def remove_duplicate_spans(
         n.alias("k_eff"),
         hash_family(F.col(text_col)).alias("gh"),
     )
-    # Persisted (round 17, guide §5): the gram frame feeds the
-    # dup-set aggregate AND the duplicated-position join — left lazy,
-    # the stride-1 md5-per-position pass ran twice (the same fix as
-    # char_ngram_dup_profile).
-    g = long_g.unionAll(short_g).persist()
+    g = long_g.unionAll(short_g)
     dup = (
         g.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
@@ -1331,5 +1309,4 @@ def remove_duplicate_spans(
             F.coalesce(F.col("clean_text"), F.col(text_col)).alias("clean_text"),
         )
     )
-    out.cache_handles = [g]
     return out

@@ -1278,7 +1278,6 @@ def _bigram_doc_scores(d: DataFrame) -> DataFrame:
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("m"))
-        .persist()
     )
     c2 = bgd.groupBy("w1", "w2").agg(F.sum("m").alias("n2"))
     c1 = bgd.groupBy("w1").agg(F.sum("m").alias("n1"))
@@ -1308,7 +1307,6 @@ def _bigram_doc_scores(d: DataFrame) -> DataFrame:
             ),
         )
     )
-    out.cache_handles = [bgd]
     return out
 
 
