@@ -134,6 +134,162 @@ def _probe_clusters(
     return [c for _, c in scored[:nprobe]]
 
 
+def _nearest_cluster(by_c: dict[int, dict[int, float]], vec: list[float]) -> int:
+    """Driver-side twin of the final-assignment argmin: squared L2 on
+    the :func:`_round6` grid (ascending-dim summation), nearest cell
+    by (dist2, cluster) — the ``F.min(F.struct("dist2", "cluster"))``
+    tie-break. Used by the bounded-sample training paths to replay the
+    coarse assignment of TRAINING rows only; the corpus assignment
+    stays distributed."""
+    best_c = best_d = None
+    for c in sorted(by_c):
+        cv = by_c[c]
+        s = 0.0
+        for d in sorted(cv):
+            diff = vec[d] - cv[d]
+            s += diff * diff
+        d2 = _round6(s)
+        if best_d is None or d2 < best_d:
+            best_c, best_d = c, d2
+    return best_c
+
+
+def _kmeans_lloyd_driver(
+    sample: list[tuple[int, list[float]]], k: int, n_iter: int
+) -> list[tuple[int, int, float]]:
+    """Driver-side twin of :func:`kmeans_assign`'s Lloyd TRAJECTORY
+    over the bounded (``train_stride``) hash sample — the FAISS
+    training shape: quantizers train on a capped in-memory sample
+    (``max_points_per_centroid``), never the corpus. The sample is
+    bounded BY CONSTRUCTION (stride = ceil(n / TRAIN_CAP)), so holding
+    it on the driver is k x dim-class traffic, same as the centroids
+    the distributed loop already collected per iteration — while the
+    3 driver-blocking jobs per training (seed collect + one collect
+    per Lloyd iteration) collapse into ONE bounded collect
+    (guide §1.2: fix the number of passes first; §2.4: remove stages
+    whose inputs are already driver-sized).
+
+    Same determinism contract as the distributed loop: seeds = the k
+    lowest sampled ids (cluster ids 0..k-1 in id order), every
+    distance and centroid component on the :func:`_round6` grid
+    (Spark's F.round twin, pinned bit-exact in tests/test_pq.py),
+    argmin ties to the lowest cluster, empty clusters disappear.
+    Sums run in ascending (id, dim) order — a fixed order, exactly as
+    DuckDB's replay fixes its own; the engines already agree through
+    the 6-dp rounding (the oracle contract this whole family rests
+    on), and cell-exact parity at every SF re-verifies it.
+
+    ``sample`` must be sorted by id. Returns (cluster, dim, cval)
+    rows, the :func:`kmeans_assign` ``centroids`` shape."""
+    cent: dict[int, list[float]] = {
+        c: [_round6(v) for v in vec] for c, (_id, vec) in enumerate(sample[:k])
+    }
+    for _ in range(n_iter):
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for _id, vec in sample:  # ascending id
+            best_c = best_d = None
+            for c in sorted(cent):
+                cv = cent[c]
+                s = 0.0
+                for d, v in enumerate(vec):
+                    diff = v - cv[d]
+                    s += diff * diff
+                d2 = _round6(s)
+                if best_d is None or d2 < best_d:
+                    best_c, best_d = c, d2
+            acc = sums.get(best_c)
+            if acc is None:
+                sums[best_c] = list(vec)
+                counts[best_c] = 1
+            else:
+                for d, v in enumerate(vec):
+                    acc[d] += v
+                counts[best_c] += 1
+        cent = {
+            c: [_round6(s / counts[c]) for s in sums[c]] for c in sums
+        }
+    return [
+        (c, d, cent[c][d]) for c in sorted(cent) for d in range(len(cent[c]))
+    ]
+
+
+def _pq_lloyd_driver(
+    sample: list[tuple[int, list[float]]], k: int, n_iter: int, m: int
+) -> list[tuple[int, int, int, float]]:
+    """Driver-side twin of :func:`_pq_lloyd`'s multi-subspace Lloyd
+    TRAJECTORY over the bounded training sample (see
+    :func:`_kmeans_lloyd_driver` for the contract and why). ``sample``
+    is sorted (id, full-vector) rows — raw vectors for plain PQ,
+    residuals for IVF residual PQ. Per-subspace code sets evolve
+    independently (a code can lose all members in one subspace and
+    survive in another, exactly as the distributed (code, sub) groups
+    do). Returns (code, sub, sdim, cval) rows, the ``centroids``
+    codebook shape."""
+    dim = len(sample[0][1])
+    d_sub = dim // m
+    cent: dict[tuple[int, int], list[float]] = {}
+    for code, (_id, vec) in enumerate(sample[:k]):
+        for sub in range(m):
+            cent[(code, sub)] = [
+                _round6(vec[sub * d_sub + sd]) for sd in range(d_sub)
+            ]
+    for _ in range(n_iter):
+        codes_by_sub: dict[int, list[int]] = {}
+        for code, sub in cent:
+            codes_by_sub.setdefault(sub, []).append(code)
+        for sub in codes_by_sub:
+            codes_by_sub[sub].sort()
+        sums: dict[tuple[int, int], list[float]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for _id, vec in sample:  # ascending id
+            for sub, codes in codes_by_sub.items():
+                base = sub * d_sub
+                best_code = best_d = None
+                for code in codes:
+                    cv = cent[(code, sub)]
+                    s = 0.0
+                    for sd in range(d_sub):
+                        diff = vec[base + sd] - cv[sd]
+                        s += diff * diff
+                    d2 = _round6(s)
+                    if best_d is None or d2 < best_d:
+                        best_code, best_d = code, d2
+                key = (best_code, sub)
+                acc = sums.get(key)
+                if acc is None:
+                    sums[key] = [vec[base + sd] for sd in range(d_sub)]
+                    counts[key] = 1
+                else:
+                    for sd in range(d_sub):
+                        acc[sd] += vec[base + sd]
+                    counts[key] += 1
+        cent = {
+            key: [_round6(s / counts[key]) for s in sums[key]] for key in sums
+        }
+    return [
+        (code, sub, sd, cent[(code, sub)][sd])
+        for code, sub in sorted(cent)
+        for sd in range(d_sub)
+    ]
+
+
+def _collect_train_sample(
+    df: DataFrame, vec_col: str, id_col: str, train_stride: int
+) -> list[tuple[int, list[float]]]:
+    """The one bounded collect behind the driver-side trainings: the
+    md5-stride hash sample's (id, vector) rows, sorted by id. The
+    filter is the SAME :func:`_train_sample_pred` the distributed
+    training view used, so the sampled id set is byte-identical;
+    float -> double widening on collect is exact."""
+    rows = (
+        df.filter(_train_sample_pred(id_col, train_stride))
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    return sorted((int(r[0]), [float(v) for v in r[1]]) for r in rows)
+
+
 def _adc_lut_rows(
     codebook: list[tuple[int, int, int, float]],
     qvec: list[float],
@@ -206,6 +362,51 @@ def kmeans_assign(
 
     spark = df.sparkSession
     e = _exploded(df, vec_col, id_col)
+
+    def assign_final(
+        cent_rows: list[tuple[int, int, float]], frame: DataFrame | None = None
+    ) -> DataFrame:
+        cent = spark.createDataFrame(
+            cent_rows, "cluster int, dim int, cval double"
+        )
+        dist = (
+            (frame if frame is not None else e).join(F.broadcast(cent), "dim")
+            .groupBy(id_col, "cluster")
+            .agg(
+                F.round(
+                    F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
+                    6,
+                ).alias("dist2")
+            )
+        )
+        # min(struct) = lexicographic (dist2, cluster): nearest
+        # centroid, ties to the lowest cluster id — deterministic.
+        return dist.groupBy(id_col).agg(
+            F.min(F.struct("dist2", "cluster")).alias("m")
+        ).select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
+
+    # Round-18 (guide §1.2/§2.4): with a bounded training sample the
+    # whole Lloyd TRAJECTORY runs on the driver from ONE collect of
+    # the sample — the FAISS training shape (quantizers train on a
+    # capped in-memory sample) — replacing the seed collect + one
+    # driver-blocking collect per iteration + the training-view
+    # persist. The corpus-scale FINAL assignment stays distributed
+    # and byte-identical (same assign_final expression). Engages only
+    # when the sample is bounded by construction (train_stride > 1)
+    # and the trajectory is the default one (no explicit seeds or
+    # warm-start); trajectory equivalence is pinned by the DuckDB
+    # parity suite at every SF plus tests/test_train_cap.py.
+    if train_stride > 1 and init_centroids is None and seed_ids is None:
+        sample = _collect_train_sample(df, vec_col, id_col, train_stride)
+        centroids = _kmeans_lloyd_driver(sample, k, n_iter)
+        out = assign_final(centroids)
+        out.cache_handles = []
+        out.centroids = centroids
+        # The residual-PQ path re-reads the same hash sample; expose
+        # it so one collect serves both trainings.
+        out.train_sample = sample
+        return out
+
     # Training view: a deterministic hash-sample of the exploded
     # frame. Round-17: persist the TRAINING view, not the full
     # exploded frame — the Lloyd iterations are the only multi-read
@@ -228,27 +429,7 @@ def kmeans_assign(
         else e
     ).repartition(spark.sparkContext.defaultParallelism, id_col).persist()
 
-    def assign(
-        cent_rows: list[tuple[int, int, float]], frame: DataFrame | None = None
-    ) -> DataFrame:
-        cent = spark.createDataFrame(
-            cent_rows, "cluster int, dim int, cval double"
-        )
-        dist = (
-            (frame if frame is not None else e).join(F.broadcast(cent), "dim")
-            .groupBy(id_col, "cluster")
-            .agg(
-                F.round(
-                    F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
-                    6,
-                ).alias("dist2")
-            )
-        )
-        # min(struct) = lexicographic (dist2, cluster): nearest
-        # centroid, ties to the lowest cluster id — deterministic.
-        return dist.groupBy(id_col).agg(
-            F.min(F.struct("dist2", "cluster")).alias("m")
-        ).select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
+    assign = assign_final
 
     # The per-iteration collect()s can fail mid-run (task loss, OOM);
     # release the persisted exploded frame on ANY exit that won't hand
@@ -489,15 +670,62 @@ def pq_assign(
     # multi-read consumers; the final coding pass reads the corpus
     # once — and hash-partition it by id first so every per-iteration
     # group/join on (id, ...) runs exchange-free.
+    # Round-18 (guide §1.2/§2.4, mirroring kmeans_assign): a bounded
+    # training sample puts the whole multi-subspace Lloyd trajectory
+    # on the driver from ONE collect — no training-view persist, no
+    # per-iteration driver-blocking collects; the corpus coding pass
+    # stays distributed and byte-identical (_pq_code).
+    if train_stride > 1:
+        sample = _collect_train_sample(df, vec_col, id_col, train_stride)
+        centroids = _pq_lloyd_driver(sample, k, n_iter, m)
+        out = _pq_code(e, centroids, id_col, spark)
+        out.cache_handles = []
+        out.centroids = centroids
+        return out
     et = (
-        e.filter(_train_sample_pred(id_col, train_stride))
-        if train_stride > 1
-        else e
-    ).repartition(spark.sparkContext.defaultParallelism, id_col).persist()
+        e.repartition(spark.sparkContext.defaultParallelism, id_col).persist()
+    )
     out, centroids = _pq_lloyd(e, et, id_col, k, n_iter, spark)
     out.cache_handles = [et]
     out.centroids = centroids
     return out
+
+
+def _pq_code(
+    frame: DataFrame,
+    cent_rows: list[tuple[int, int, int, float]],
+    id_col: str,
+    spark,
+) -> DataFrame:
+    """One distributed PQ assignment pass of ``frame`` ((id, sub,
+    sdim, val) long form) against a codebook: the exact expression
+    :func:`_pq_lloyd`'s per-iteration/final assignment evaluates —
+    broadcast codebook join, 6-dp grid, lowest-code tie-break."""
+    cent = spark.createDataFrame(
+        cent_rows, "code int, sub int, sdim int, cval double"
+    )
+    dist = (
+        frame.join(F.broadcast(cent), ["sub", "sdim"])
+        .groupBy(id_col, "sub", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                ),
+                6,
+            ).alias("dist2")
+        )
+    )
+    return (
+        dist.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("dist2", "code")).alias("mn"))
+        .select(
+            id_col,
+            "sub",
+            F.col("mn.code").alias("code"),
+            F.col("mn.dist2").alias("dist2"),
+        )
+    )
 
 
 def _pq_lloyd(
@@ -522,31 +750,7 @@ def _pq_lloyd(
         cent_rows: list[tuple[int, int, int, float]],
         frame: DataFrame | None = None,
     ) -> DataFrame:
-        cent = spark.createDataFrame(
-            cent_rows, "code int, sub int, sdim int, cval double"
-        )
-        dist = (
-            (frame if frame is not None else e).join(F.broadcast(cent), ["sub", "sdim"])
-            .groupBy(id_col, "sub", "code")
-            .agg(
-                F.round(
-                    F.sum(
-                        (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
-                    ),
-                    6,
-                ).alias("dist2")
-            )
-        )
-        return (
-            dist.groupBy(id_col, "sub")
-            .agg(F.min(F.struct("dist2", "code")).alias("mn"))
-            .select(
-                id_col,
-                "sub",
-                F.col("mn.code").alias("code"),
-                F.col("mn.dist2").alias("dist2"),
-            )
-        )
+        return _pq_code(frame if frame is not None else e, cent_rows, id_col, spark)
 
     try:
         seeded = (
@@ -1259,6 +1463,14 @@ def ivf_pq_batch_topk(
         else df.orderBy(id_col).limit(n_queries)
     ).select(F.col(id_col), F.col(vec_col)).collect()
     qmap = {int(r[0]): [float(v) for v in r[1]] for r in qrows}
+    if not qmap:
+        # ADVICE r17: an empty resolved query set (query_ids matching
+        # no rows) must not crash in next(iter(...)) — fail loudly
+        # with the cause instead.
+        raise ValueError(
+            "ivf_pq_batch_topk: no query rows resolved "
+            f"(query_ids={query_ids!r}, n_queries={n_queries})"
+        )
     d_sub = len(next(iter(qmap.values()))) // m
     probe_rows = [
         (q, int(c))
@@ -1496,10 +1708,12 @@ def ivf_residual_pq_topk(
     # corpus x dim residual explosion the previous layout cached; the
     # final coding pass re-derives residuals once from the cached
     # assignment.
-    cells_asg = cells.select(id_col, "cluster", "dist2").persist()
+    # Round-18 (ADVICE r17): both consumers read only (id, cluster) —
+    # dist2 stays out of the persisted footprint.
+    cells_asg = cells.select(id_col, "cluster").persist()
     e_full = _exploded(df, vec_col, id_col)
     res = (
-        e_full.join(cells_asg.select(id_col, "cluster"), id_col)
+        e_full.join(cells_asg, id_col)
         .join(F.broadcast(cent), ["cluster", "dim"])
         .select(
             F.col(id_col),
@@ -1508,12 +1722,32 @@ def ivf_residual_pq_topk(
             (F.col("val") - F.col("cval")).alias("val"),
         )
     )
-    rt = (
-        res.filter(_train_sample_pred(id_col, train_stride))
-        if train_stride > 1
-        else res
-    ).repartition(spark.sparkContext.defaultParallelism, id_col).persist()
-    codes, codebook = _pq_lloyd(res, rt, id_col, k, n_iter, spark)
+    train_sample = getattr(cells, "train_sample", None)
+    if train_sample is not None:
+        # Round-18 (guide §1.2/§2.4): the residual TRAINING sample is
+        # the same md5-stride id set the coarse training collected —
+        # derive each sampled row's residual ON THE DRIVER (assign to
+        # its nearest final coarse cell via the pinned _round6 argmin
+        # twin, subtract the 6-dp centroid: the identical exact-IEEE
+        # subtraction the distributed plan computes) and run the
+        # residual-PQ Lloyd trajectory there too. Replaces the
+        # residual training-view persist + 3 more driver-blocking
+        # collects; the corpus coding pass stays distributed.
+        by_c = _cells_by_cluster(cells.centroids)
+        res_sample = []
+        for sid, vec in train_sample:  # ascending id
+            cv = by_c[_nearest_cluster(by_c, vec)]
+            res_sample.append((sid, [vec[d] - cv[d] for d in range(len(vec))]))
+        codebook = _pq_lloyd_driver(res_sample, k, n_iter, m)
+        codes = _pq_code(res, codebook, id_col, spark)
+        rt = None
+    else:
+        rt = (
+            res.filter(_train_sample_pred(id_col, train_stride))
+            if train_stride > 1
+            else res
+        ).repartition(spark.sparkContext.defaultParallelism, id_col).persist()
+        codes, codebook = _pq_lloyd(res, rt, id_col, k, n_iter, spark)
 
     # Round-17: probe + per-probed-cell residual LUTs ON THE DRIVER
     # (guide §2.4) — both codebooks are already driver-held lists, so
@@ -1535,7 +1769,7 @@ def ivf_residual_pq_topk(
         lut_rows, "cluster int, sub int, code int, lut_d double"
     )
     out = (
-        codes.join(cells_asg.select(id_col, "cluster"), id_col)
+        codes.join(cells_asg, id_col)
         .join(F.broadcast(lut), ["cluster", "sub", "code"])
         .filter(F.col(id_col) != query_id)
         .groupBy(id_col)
@@ -1543,7 +1777,9 @@ def ivf_residual_pq_topk(
         .orderBy("adc_dist2", id_col)
         .limit(topk)
     )
-    out.cache_handles = list(cells.cache_handles) + [cells_asg, rt]
+    out.cache_handles = list(cells.cache_handles) + [cells_asg] + (
+        [rt] if rt is not None else []
+    )
     return out
 
 
